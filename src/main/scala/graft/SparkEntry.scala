@@ -1,13 +1,96 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.io.OrcIO
+import graft.ops.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the op inventory.
+  * `queries` keys are SURVEY op ids; `oracleSql` holds the DuckDB
+  * equivalent for every SQL-expressible op (§2.4 determinism rules:
+  * total order, decimal-exact money sums, 4-decimal rounding,
+  * column-name parity with the Spark result). */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.aggGroup(spark, "/root/testdata/sf0.001")
+
+  // ---- Tier A queries (the reference's own surface, over testdata) ----
+
+  /** A2/A1: lineitem → ORC write → ORC read → aggregate; proves the
+    * encode/decode roundtrip at dataset scale (oracle reads the same
+    * parquet directly — DuckDB cannot read ORC). */
+  private def a2Roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_a2_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    OrcIO.writeOrc(Relational.table(spark, dir, "lineitem"), path,
+      OrcIO.WriteOptions(overwrite = true))
+    OrcIO.readOrc(spark, path)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double"), 4).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** A10: column stats — count includes NULLs, sum/min/max exclude. */
+  private def a10Stats(spark: SparkSession, dir: String): DataFrame =
+    Relational.table(spark, dir, "lineitem")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double"), 4).as("sum_q"),
+        round(min(col("l_quantity")), 4).as("min_q"),
+        round(max(col("l_quantity")), 4).as("max_q"))
+
+  /** A8: lenient cell-granular cast — failures become NULL, never job
+    * failures (try_cast semantics = orca's write-value doctrine). */
+  private def a8Lenient(spark: SparkSession, dir: String): DataFrame =
+    Relational.table(spark, dir, "events")
+      .select(col("event_id"),
+        expr("try_cast(event_type AS int)").as("bad_int"),
+        expr("try_cast(cast(round(value, 4) AS string) AS double)").as("good_double"))
+      .orderBy("event_id")
+
+  /** A7: distributed schema inference over a row RDD (non-SQL op —
+    * rows-only check; exactness is unit-tested in typedef specs). */
+  private def a7Infer(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Relational.table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .collect() // bounded: schema-inference demo input, not a data path
+      .map(r => Map("doc_id" -> r.getLong(0), "lang" -> r.getString(1), "n_chars" -> r.getLong(2)): Any)
+    val rdd = spark.sparkContext.parallelize(rows.toSeq, 4)
+    val schema = OrcIO.inferSchema(rdd).get
+    Seq(schema.toDDL).toDF("inferred_ddl")
+  }
+
+  private val tierA: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a2_roundtrip" -> (a2Roundtrip _),
+    "a7_infer" -> (a7Infer _),
+    "a8_lenient" -> (a8Lenient _),
+    "a10_stats" -> (a10Stats _))
+
+  private val tierAOracle: Map[String, String] = Map(
+    "a2_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(cast(sum(cast(l_quantity as decimal(18,4))) as double), 4) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a8_lenient" ->
+      """SELECT event_id, TRY_CAST(event_type AS INT) AS bad_int,
+        |  TRY_CAST(CAST(round(value, 4) AS VARCHAR) AS DOUBLE) AS good_double
+        |FROM events ORDER BY event_id""".stripMargin,
+    "a10_stats" ->
+      """SELECT count(*) AS cnt,
+        |  round(cast(sum(cast(l_quantity as decimal(18,4))) as double), 4) AS sum_q,
+        |  round(min(l_quantity), 4) AS min_q, round(max(l_quantity), 4) AS max_q
+        |FROM lineitem""".stripMargin)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    tierA ++ Relational.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    tierAOracle ++ Relational.oracleSql
 }

@@ -1,0 +1,133 @@
+package graft.io
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.typedef.{Infer, InferOptions, Merge, TypeDef}
+
+/**
+ * ORC read/write + distributed schema inference — the Spark-native
+ * counterpart of the reference's three entry points
+ * (`read-vectors` / `write-rows` / `rows->typedef`,
+ * `src/orca/core.clj:79-89,622-671,431-437`).
+ *
+ * Where orca materializes whole files on one thread, everything here is
+ * a lazy distributed `DataFrame` / `RDD` program: reads are Spark's
+ * vectorized ORC scans, writes shard across executors, and inference is
+ * a per-partition fold + tree merge (no driver-side row loop) — the
+ * 100 TB design rule (SURVEY §7.4.10).
+ */
+object OrcIO {
+
+  /**
+   * Write options mirroring orca's option map (`src/orca/core.clj:624-638`):
+   * `:overwrite? :stripe-size :row-index-stride :enforce-buffer-size?
+   * :orc-memory-pool :batch-size`. Stripe size and row-index stride map to
+   * ORC writer options; batch size and the memory pool are handled by
+   * Spark's vectorized writer / executor memory management and are
+   * accepted for API fidelity (`:table-properties` was dead in the
+   * reference too, core.clj:624).
+   */
+  final case class WriteOptions(
+      overwrite: Boolean = false,
+      stripeSize: Option[Long] = None,
+      rowIndexStride: Option[Int] = None,
+      enforceBufferSize: Boolean = false,
+      orcMemoryPool: Double = 0.5,
+      batchSize: Int = 1024)
+
+  object WriteOptions { val default: WriteOptions = WriteOptions() }
+
+  /** A1 `orc-read`: the whole-file columnar read, as a lazy distributed
+    * scan instead of orca's in-memory frame (core.clj:79-89). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  private def applyOptions[T](w: DataFrameWriter[T], opts: WriteOptions): DataFrameWriter[T] = {
+    var out = w.mode(if (opts.overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+    opts.stripeSize.foreach(s => out = out.option("orc.stripe.size", s.toString))
+    opts.rowIndexStride.foreach(s => out = out.option("orc.row.index.stride", s.toString))
+    if (opts.enforceBufferSize) out = out.option("orc.buffer.size.enforce", "true")
+    out
+  }
+
+  /** A2 `orc-write` for an already-typed DataFrame. */
+  def writeOrc(df: DataFrame, path: String, opts: WriteOptions = WriteOptions.default): Unit =
+    applyOptions(df.write.format("orc"), opts).save(path)
+
+  /** Lenient row encode (A8): arbitrary JVM rows + target schema →
+    * DataFrame. Cell conversion failures become NULL, never job failures
+    * (core.clj:443-450). */
+  def rowsToDF(spark: SparkSession, rows: RDD[Any], schema: StructType): DataFrame =
+    spark.createDataFrame(rows.map(Lenient.encodeRow(_, schema)), schema)
+
+  def rowsToDF(spark: SparkSession, rows: Seq[Any], schema: StructType): DataFrame =
+    rowsToDF(spark, spark.sparkContext.parallelize(rows, math.max(1, math.min(rows.size, 4))), schema)
+
+  /** A2 `write-rows` (core.clj:662-671): row seq + Hive schema string →
+    * ORC file. Schema string validated up front like the reference's
+    * `TypeDescription/fromString` precondition (core.clj:626). */
+  def writeRows(spark: SparkSession, path: String, rows: Seq[Any], schemaStr: String,
+      opts: WriteOptions = WriteOptions.default): Unit =
+    writeOrc(rowsToDF(spark, rows, structOf(schemaStr)), path, opts)
+
+  /** Distributed variant for unbounded row sources. */
+  def writeRows(spark: SparkSession, path: String, rows: RDD[Any], schemaStr: String,
+      opts: WriteOptions): Unit =
+    writeOrc(rowsToDF(spark, rows, structOf(schemaStr)), path, opts)
+
+  private def structOf(schemaStr: String): StructType =
+    TypeDef.toSparkType(TypeDef.parse(schemaStr)).asInstanceOf[StructType]
+
+  /** A7 `rows->typedef` (core.clj:431-437), distributed: per-partition
+    * infer + simplify + local fold, then tree-merge of one typedef per
+    * partition — map-side combine keeps the shuffle at one record per
+    * partition regardless of data size. */
+  def inferTypeDef(rows: RDD[_], opts: InferOptions = InferOptions.default): Option[TypeDef] = {
+    val perPartition: RDD[TypeDef] = rows.mapPartitions { it =>
+      var acc: Option[TypeDef] = None
+      it.foreach { v =>
+        Infer.infer(v, opts).flatMap(Merge.simplify) match {
+          case Some(td) => acc = Some(acc.fold(td)(Merge.merge(_, td)))
+          case None     =>
+        }
+      }
+      acc.iterator
+    }
+    perPartition.treeReduce2(Merge.merge)
+  }
+
+  implicit private class TreeReduceOpt[T: scala.reflect.ClassTag](val rdd: RDD[T]) {
+    /** treeReduce that tolerates an empty RDD by returning None. */
+    def treeReduce2(f: (T, T) => T): Option[T] = {
+      val parts = rdd.mapPartitions(it => if (it.hasNext) Iterator.single(it.reduce(f)) else Iterator.empty)
+        .collect() // ≤ one element per partition — driver-safe at any scale
+      if (parts.isEmpty) None else Some(parts.reduce(f))
+    }
+  }
+
+  def inferSchema(rows: RDD[_], opts: InferOptions = InferOptions.default): Option[StructType] =
+    inferTypeDef(rows, opts).flatMap(Merge.simplify).map(TypeDef.toSparkType(_) match {
+      case st: StructType => st
+      case other          => new StructType().add("value", other)
+    })
+
+  /** A10 `stats` (core.clj:220-226): count includes NULLs (orca counts
+    * every row), sum/min/max exclude them — hence count(*), not count(col). */
+  def stats(df: DataFrame, colName: String): DataFrame =
+    df.agg(
+      count(lit(1)).as("count"),
+      sum(col(colName)).as("sum"),
+      min(col(colName)).as("min"),
+      max(col(colName)).as("max"))
+
+  /** A11 frame utilities (core.clj:679-683) — test-only driver-side
+    * materialization; never used inside Tier B/C operators. */
+  def frameVecs(df: DataFrame): Seq[Seq[Any]] = df.collect().toSeq.map(_.toSeq)
+  def frameMaps(df: DataFrame): Seq[Map[String, Any]] = {
+    val names = df.schema.fieldNames.toSeq
+    df.collect().toSeq.map(r => names.zip(r.toSeq).toMap)
+  }
+}

@@ -1,0 +1,376 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * Tier B — the relational query surface (SURVEY §2 Tier B): the Athena
+ * role of the reference's stack (`/root/reference/README.md:3`),
+ * supplied natively as Spark built-ins. Each op is a declarative
+ * DataFrame program — Catalyst provides pushdown/pruning/join-selection;
+ * we add only the hints Catalyst can't know (tiny fixed-size dims are
+ * always broadcast; money aggregations go through exact decimal sums so
+ * results are order-independent and engine-portable, SURVEY §2.4).
+ */
+object Relational {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
+    * only reads via `spark.sql.legacy.parquet.nanosAsLong` (set in every
+    * session builder here). Convert ns→µs with integer `div` (a double
+    * division would lose sub-µs bits at 1e18 magnitudes) — same floor
+    * semantics as DuckDB's ns→µs truncation, so oracles align. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
+  /** Exact, order-independent money sum: cast to decimal BEFORE summing
+    * (double summation is order-dependent and would flake the oracle hash
+    * at 4-decimal rounding), then back to double for a canonical value. */
+  private def moneySum(c: Column): Column =
+    round(sum(c.cast(DecimalType(18, 4))).cast("double"), 4)
+
+  private val ts_fmt = "yyyy-MM-dd HH:mm:ss"
+
+  // B1 — full scan + count
+  def scanParquet(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem").agg(count(lit(1)).as("cnt"))
+
+  // B2 — filter + narrow projection; predicate and column pruning reach
+  // the parquet scan (verify via .explain: PushedFilters / ReadSchema)
+  def filterProject(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity"), 4).as("quantity"), col("l_returnflag"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // B3 — TPC-H Q1-like aggregation (flagship)
+  def aggGroup(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        round(sum(col("l_discount").cast(DecimalType(18, 6))).cast("double") / count(lit(1)), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // B4 — equi inner join; customer⋈orders both scale with data → shuffle
+  // join on the key, no broadcast (AQE may still pick one at tiny SF)
+  def joinInner(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .join(table(spark, dir, "customer"), col("o_custkey") === col("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("c_name"), round(col("o_totalprice"), 4).as("total"))
+      .orderBy("o_orderkey")
+
+  // B5 — 5-way join chain; nation/region are fixed-size (25/5 rows at ANY
+  // scale factor) → always broadcast; the fact joins shuffle on their keys
+  def joinMulti(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .join(table(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(table(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(table(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+
+  // B6 — semi/anti join: customers with vs without orders
+  def joinSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val customer = table(spark, dir, "customer")
+    val orders = table(spark, dir, "orders")
+    val semi = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("with_orders").as("tag"))
+    val anti = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("no_orders").as("tag"))
+    semi.unionAll(anti).orderBy("tag", "c_custkey")
+  }
+
+  // B7 — left outer join + null handling
+  def joinOuter(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .join(table(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("o_orderkey"), lit(-1L)).as("o_orderkey"),
+        coalesce(round(col("o_totalprice"), 4), lit(0.0)).as("total"))
+      .orderBy("c_custkey", "o_orderkey")
+
+  // B8 — top-k: Spark plans TakeOrderedAndProject (per-partition heap +
+  // driver merge of k rows — no full sort, no full shuffle)
+  def sortLimitTopK(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("total"))
+      .orderBy(col("total").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  // B9a — distinct
+  def distinctOp(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer").select(col("c_mktsegment").as("seg")).distinct().orderBy("seg")
+
+  // B9b — set operations (INTERSECT / EXCEPT, distinct variants like SQL)
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val custKeys = table(spark, dir, "customer").select(col("c_custkey").as("k"))
+    val orderCust = table(spark, dir, "orders").select(col("o_custkey").as("k"))
+    custKeys.intersect(orderCust).withColumn("tag", lit("both"))
+      .unionAll(custKeys.except(orderCust).withColumn("tag", lit("customer_only")))
+      .orderBy("tag", "k")
+  }
+
+  // B10 — window rank; total order inside each partition via tie-break key
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    table(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), rank().over(w).as("rnk"))
+      .filter(col("rnk") <= 3)
+      .orderBy("o_custkey", "rnk", "o_orderkey")
+  }
+
+  // B11 — running frame: cumulative revenue per customer by order date
+  def windowFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w).cast("double"), 4)
+          .as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // B12 — rollup revenue by (nation, order priority)
+  def groupingSets(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .join(table(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(table(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("o_orderpriority"))
+      .agg(moneySum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .select(coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("revenue"), col("n_orders"))
+      .orderBy("nation", "priority")
+
+  // B13 — scalar function battery (string/date/math/CASE)
+  def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        upper(substring(col("o_orderpriority"), 1, 3)).as("pri3"),
+        concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("status_pri"),
+        year(col("o_orderdate")).as("yr"),
+        date_format(col("o_orderdate") + expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").as("plus30"),
+        round(abs(col("o_totalprice") - 100000.0), 2).as("absdiff"),
+        when(col("o_totalprice") > 200000, "big")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("small").as("bucket"))
+      .orderBy("o_orderkey")
+
+  // B14 — approx distinct (no cross-engine oracle; bracket-checked in spec)
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+
+  // B15 — tumbling 1-hour event aggregation (batch)
+  def eventsWindowBatch(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("sum_value"))
+      .select(date_format(col("w.start"), ts_fmt).as("bucket"), col("n_events"), col("sum_value"))
+      .orderBy("bucket")
+
+  // B16 — the same aggregation as a Structured Streaming micro-batch
+  // replay of the events table (file source, AvailableNow trigger,
+  // complete output so the single-batch replay equals the batch result;
+  // the watermark documents the production late-data contract — with one
+  // batch there is nothing late to drop, which is what makes the
+  // batch-equality oracle valid)
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val sinkName = "graft_b16_sink"
+    // the [t] glob makes the file-source treat the parent as basePath —
+    // a bare file path fails with "Option 'basePath' must be a directory"
+    val rawStream = spark.readStream.schema(rawSchema).parquet(s"$dir/events.parque[t]")
+    val stream = rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        rawStream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => rawStream
+    }
+    val q = stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("sum_value"))
+      .writeStream.queryName(sinkName).outputMode("complete").format("memory")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+      .select(date_format(col("w.start"), ts_fmt).as("bucket"), col("n_events"), col("sum_value"))
+      .orderBy("bucket")
+  }
+
+  // B17 — per-user session windows, 30-minute gap
+  def eventsSession(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), date_format(col("w.start"), ts_fmt).as("session_start"),
+        col("n_events"))
+      .orderBy("user_id", "session_start", "n_events")
+
+  // B18 — JSON property extraction from the events.props string column
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .select(col("event_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id")
+
+  /** Query registry: op id → function (SparkSession, sfDir) → DataFrame. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b1_scan" -> (scanParquet _),
+    "b2_filter_project" -> (filterProject _),
+    "b3_agg_group" -> (aggGroup _),
+    "b4_join_inner" -> (joinInner _),
+    "b5_join_multi" -> (joinMulti _),
+    "b6_join_semi_anti" -> (joinSemiAnti _),
+    "b7_join_outer" -> (joinOuter _),
+    "b8_topk" -> (sortLimitTopK _),
+    "b9_distinct" -> (distinctOp _),
+    "b9_setops" -> (setOps _),
+    "b10_window_rank" -> (windowRank _),
+    "b11_window_frame" -> (windowFrame _),
+    "b12_rollup" -> (groupingSets _),
+    "b13_scalar_funcs" -> (scalarFuncs _),
+    "b14_approx_distinct" -> (approxDistinct _),
+    "b15_events_window" -> (eventsWindowBatch _),
+    "b16_events_stream" -> (eventsStream _),
+    "b17_events_session" -> (eventsSession _),
+    "b18_json_props" -> (jsonProps _))
+
+  /** DuckDB oracle SQL, value-identical and column-name-identical to the
+    * Spark results (SURVEY §2.4 determinism rules). */
+  private val MONEY_SUM = "round(cast(sum(cast(%s as decimal(18,4))) as double), 4)"
+  private def msum(e: String) = MONEY_SUM.format(e)
+
+  val oracleSql: Map[String, String] = Map(
+    "b1_scan" -> "SELECT count(*) AS cnt FROM lineitem",
+    "b2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, round(l_quantity, 4) AS quantity, l_returnflag
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "b3_agg_group" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${msum("l_quantity")} AS sum_qty,
+         |  ${msum("l_extendedprice")} AS sum_base_price,
+         |  ${msum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  round(cast(sum(cast(l_discount as decimal(18,6))) as double) / count(*), 4) AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "b4_join_inner" ->
+      """SELECT o_orderkey, c_name, round(o_totalprice, 4) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "b5_join_multi" ->
+      s"""SELECT r_name, n_name,
+         |  ${msum("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "b6_join_semi_anti" ->
+      """SELECT c_custkey, 'with_orders' AS tag FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, 'no_orders' AS tag FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY tag, c_custkey""".stripMargin,
+    "b7_join_outer" ->
+      """SELECT c_custkey, coalesce(o_orderkey, -1) AS o_orderkey,
+        |  coalesce(round(o_totalprice, 4), 0.0) AS total
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
+    "b8_topk" ->
+      """SELECT o_orderkey, round(o_totalprice, 4) AS total FROM orders
+        |ORDER BY total DESC, o_orderkey LIMIT 10""".stripMargin,
+    "b9_distinct" -> "SELECT DISTINCT c_mktsegment AS seg FROM customer ORDER BY seg",
+    "b9_setops" ->
+      """SELECT k, 'both' AS tag FROM
+        |  (SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey AS k FROM orders)
+        |UNION ALL
+        |SELECT k, 'customer_only' AS tag FROM
+        |  (SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey AS k FROM orders)
+        |ORDER BY tag, k""".stripMargin,
+    "b10_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+    "b11_window_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(cast(sum(cast(o_totalprice as decimal(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double), 4) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "b12_rollup" ->
+      s"""SELECT coalesce(n_name, 'ALL') AS nation, coalesce(o_orderpriority, 'ALL') AS priority,
+         |  ${msum("o_totalprice")} AS revenue, count(*) AS n_orders
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY ROLLUP(n_name, o_orderpriority)
+         |ORDER BY nation, priority""".stripMargin,
+    "b13_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  upper(substr(o_orderpriority, 1, 3)) AS pri3,
+        |  concat(o_orderstatus, '-', o_orderpriority) AS status_pri,
+        |  year(o_orderdate) AS yr,
+        |  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+        |  round(abs(o_totalprice - 100000.0), 2) AS absdiff,
+        |  CASE WHEN o_totalprice > 200000 THEN 'big'
+        |       WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "b15_events_window" ->
+      s"""SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         |  count(*) AS n_events, ${msum("value")} AS sum_value
+         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "b16_events_stream" ->
+      s"""SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         |  count(*) AS n_events, ${msum("value")} AS sum_value
+         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "b17_events_session" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start, n_events""".stripMargin,
+    "b18_json_props" ->
+      """SELECT event_id, cast(json_extract(props, '$.k') as int) AS k
+        |FROM events ORDER BY event_id""".stripMargin)
+}
