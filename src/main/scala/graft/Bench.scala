@@ -1,6 +1,16 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — runs the BASELINE.md headline queries (B3 Q1-like
+  * agg, B5 5-way join, B8 top-k, A2 ORC roundtrip, C3 cosine top-k)
+  * against SPARK_GRAFT_SF_DIR and prints one JSON line. Results are
+  * fully materialized through the noop sink (count() would let Spark
+  * prune aggregation payloads). */
 object Bench {
+  private val headline = Seq(
+    "b3_agg_group", "b5_join_multi", "b8_topk", "a2_roundtrip", "c3_sim_topk")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -12,14 +22,16 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = headline.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.io.OrcIO
-import graft.ops.Relational
+import graft.ops.{Multimodal, Pipeline, Relational, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the op inventory.
   * `queries` keys are SURVEY op ids; `oracleSql` holds the DuckDB
@@ -87,10 +87,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    tierA ++ Relational.queries
+    tierA ++ Relational.queries ++ Pipeline.queries ++ Similarity.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    tierAOracle ++ Relational.oracleSql
+    tierAOracle ++ Relational.oracleSql ++ Pipeline.oracleSql ++ Similarity.oracleSql
 }

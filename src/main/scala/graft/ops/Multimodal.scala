@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Tier C — multimodal columns (SURVEY §2 Tier C / builder contract):
+ * image/audio/video as opaque `binary` columns with typed metadata.
+ *
+ * The decode step is STUBBED (no image/audio libraries in this
+ * container): [[decodeStub]] produces a deterministic fake feature
+ * vector from the media bytes. Everything around it — the schema, the
+ * `Dataset[T]` encoders, the per-partition batched decode shape
+ * (batches of [[batchSize]], the same contract a `mapInPandas`/Arrow
+ * decode would use), partitioning, and the aggregation — is real and
+ * tested. Swapping the stub for a real decoder changes one function.
+ */
+object Multimodal {
+
+  /** Batch shape for the partition-wise decode — mirrors an Arrow batch
+    * boundary; a real decoder would process one batch per library call. */
+  val batchSize = 64
+
+  final case class MediaDoc(
+      doc_id: Long, kind: String, media: Array[Byte],
+      width: Int, height: Int, sample_rate: Int)
+
+  final case class MediaFeatures(
+      doc_id: Long, kind: String, n_bytes: Int, features: Array[Float])
+
+  /** Ingest plumbing: attach a deterministic fake media payload + typed
+    * metadata to each document (sha256 of the text as the opaque bytes —
+    * stands in for real image/audio/video content). */
+  def attachMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      unhex(sha2(col("text"), 256)).as("media"),
+      (col("n_chars") % 640 + 16).cast("int").as("width"),
+      (col("n_chars") % 480 + 16).cast("int").as("height"),
+      when(col("doc_id") % 3 === 1, 16000).otherwise(0).as("sample_rate"))
+
+  /** ??? DECODE STUB ??? — stands in for image decode / audio feature
+    * extraction. Deterministic: folds the media bytes into an 8-float
+    * signature. A real implementation would decode `media` with an
+    * imaging/audio library here, one batch per call. */
+  def decodeStub(batch: Seq[MediaDoc]): Seq[MediaFeatures] =
+    batch.map { d =>
+      val feats = new Array[Float](8)
+      d.media.zipWithIndex.foreach { case (b, i) => feats(i % 8) += (b & 0xff) / 255.0f }
+      MediaFeatures(d.doc_id, d.kind, d.media.length, feats)
+    }
+
+  /** Partition-wise batched decode — the real distribution plumbing:
+    * executors pull [[batchSize]]-row batches through the stub, no
+    * driver involvement, output schema fixed by the encoder. */
+  def decodeFeatures(media: Dataset[MediaDoc]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(g => decodeStub(g.toSeq)))
+  }
+
+  /** Metadata-level resize: pure column transform on the typed metadata
+    * (the pixel-level resample would live in the decode stub). */
+  def resizeMeta(df: DataFrame, maxSide: Int): DataFrame = {
+    val scale = least(lit(1.0), lit(maxSide) / greatest(col("width"), col("height")))
+    df.withColumn("width", (col("width") * scale).cast("int"))
+      .withColumn("height", (col("height") * scale).cast("int"))
+      .withColumn("resized", scale < 1.0)
+  }
+
+  /** Frame sampling plan for video rows: every `stride`-th frame index
+    * up to `maxFrames` — metadata only, decode happens downstream. */
+  def frameSamplePlan(df: DataFrame, stride: Int, maxFrames: Int): DataFrame =
+    df.withColumn("frame_indices",
+      when(col("kind") === "video",
+        slice(sequence(lit(0), lit(stride * (maxFrames - 1)), lit(stride)), 1, maxFrames))
+        .otherwise(array().cast("array<int>")))
+
+  /** c6 query: ingest → batched decode → per-kind feature statistics. */
+  def decodePipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = attachMedia(Relational.table(spark, dir, "documents")).as[MediaDoc]
+    decodeFeatures(media)
+      .toDF()
+      .select(col("doc_id"), col("kind"), col("n_bytes"),
+        round(expr("aggregate(features, 0D, (a, x) -> a + cast(x as double))"), 4).as("feat_sum"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("feat_sum")), 4).as("total_feat"),
+        max(col("n_bytes")).as("max_bytes"))
+      .orderBy("kind")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c6_multimodal_decode" -> (decodePipeline _))
+
+  // no oracleSql: the decode stub is not SQL-expressible → rows-only
+  // check; determinism + batch shape are unit-tested in MultimodalSpec
+}

@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.OrcIO
+
+/**
+ * Tier C — text analysis + pipeline ops over `documents` (SURVEY §2
+ * Tier C): exact dedup, text statistics, quality scoring, token
+ * counting, winnowing fingerprints, heuristic language ID, and the
+ * multimodal nested-struct roundtrip. All pure DataFrame programs —
+ * shuffle-parallel, codegen-friendly (higher-order functions, no UDFs),
+ * no driver materialization.
+ */
+object Pipeline {
+
+  // C1 — exact dedup: keep the lowest doc_id per identical text
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Relational.table(spark, dir, "documents")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(col("keep_id"), col("n_dups"))
+      .orderBy("keep_id")
+
+  // C4 — text statistics with a language filter
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Relational.table(spark, dir, "documents")
+      .filter(col("lang") === "en")
+      .select(col("doc_id"),
+        length(col("text")).as("chars"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .orderBy("doc_id")
+
+  // C4c — quality scoring: length, stopword ratio, alpha ratio → composite
+  private val stopList = "('the','a','and','of','to','in','is','it')"
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    Relational.table(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_cnt", expr(s"size(filter(toks, t -> t in $stopList))"))
+      .withColumn("alpha_cnt", length(regexp_replace(col("text"), "[^a-z]", "")))
+      .select(col("doc_id"),
+        round(col("stop_cnt") * lit(1.0) / col("n_tokens"), 4).as("stop_ratio"),
+        round(col("alpha_cnt") * lit(1.0) / length(col("text")), 4).as("alpha_ratio"),
+        round(least(col("n_tokens") * lit(1.0) / 100.0, lit(1.0)) * 0.5
+          + (lit(1.0) - col("stop_cnt") * lit(1.0) / col("n_tokens")) * 0.5, 4).as("quality"))
+      .orderBy("doc_id")
+
+  // C4d — token counting: whitespace + BPE-ish regex segmentation.
+  // Space (not \s) in the class: Spark SQL literals eat backslashes,
+  // DuckDB's don't — a literal-space class parses identically in both.
+  private val bpeRegex = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Relational.table(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(expr(s"regexp_extract_all(lower(text), '$bpeRegex', 0)")).as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  // C4e — document fingerprint: min-hash winnow over token 3-gram
+  // shingles (one md5 per shingle, keep the minimum — a deterministic
+  // 1-permutation MinHash usable as a near-dup blocking key)
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Relational.table(spark, dir, "documents")
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("fp", expr(
+        """CASE WHEN size(t) < 3 THEN md5(text)
+          |ELSE array_min(transform(sequence(0, size(t) - 3),
+          |  i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2])))) END""".stripMargin))
+      .select(col("doc_id"), col("fp"))
+      .orderBy("doc_id")
+
+  // C4b — heuristic language ID: CJK char presence → zh, else stopword-
+  // profile argmax (deterministic tie-break via struct max). The testdata
+  // text is synthetic English-vocab, so `lang` labels are not learnable —
+  // the heuristic is exercised on crafted samples in the spec.
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val profiles = Seq(
+      "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "that"),
+      "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "du"),
+      "es" -> Seq("el", "de", "y", "que", "en", "los", "se", "una"),
+      "de" -> Seq("der", "die", "und", "das", "ein", "zu", "mit", "von"))
+    langIdOn(Relational.table(spark, dir, "documents"), profiles)
+      .select(col("doc_id"), col("lang"), col("predicted_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID scoring applied to any DataFrame with a `text` column. */
+  def langIdOn(df: DataFrame, profiles: Seq[(String, Seq[String])]): DataFrame = {
+    val scoreStructs = profiles.map { case (langCode, words) =>
+      val list = words.map(w => s"'$w'").mkString("(", ",", ")")
+      s"named_struct('score', size(filter(split(lower(text), ' '), t -> t in $list)), 'lang', '$langCode')"
+    }.mkString(", ")
+    df
+      .withColumn("best", expr(s"array_max(array($scoreStructs))"))
+      .withColumn("predicted_lang",
+        when(col("text").rlike("[\\u4e00-\\u9fff]"), "zh")
+          .when(col("best.score") > 0, col("best.lang"))
+          .otherwise("unknown"))
+  }
+
+  // C5 — multimodal nested struct: doc ⋈ embedding ⋈ stats nested into
+  // struct columns, ORC roundtrip, scalar projection (oracle-checked on
+  // the scalars)
+  def multimodalStruct(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.table(spark, dir, "documents")
+    val emb = Relational.table(spark, dir, "embeddings")
+    val nested = docs.join(emb, col("doc_id") === col("vec_id"))
+      .select(
+        struct(col("doc_id"), col("text"), col("lang")).as("doc"),
+        col("embedding"),
+        struct(col("n_chars"), col("label")).as("meta"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_c5_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    OrcIO.writeOrc(nested, path, OrcIO.WriteOptions(overwrite = true))
+    OrcIO.readOrc(spark, path)
+      .select(col("doc.doc_id").as("doc_id"), col("doc.lang").as("lang"),
+        col("meta.label").as("label"), size(col("embedding")).as("dim"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c1_dedup_exact" -> (dedupExact _),
+    "c4_text_stats" -> (textStats _),
+    "c4_quality" -> (qualityScore _),
+    "c4_token_count" -> (tokenCount _),
+    "c4_fingerprint" -> (fingerprint _),
+    "c4_lang_id" -> (langId _),
+    "c5_multimodal" -> (multimodalStruct _))
+
+  val oracleSql: Map[String, String] = Map(
+    "c1_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "c4_text_stats" ->
+      """SELECT doc_id, len(text) AS chars, len(string_split(text, ' ')) AS n_tokens
+        |FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+    "c4_quality" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id, text, len(toks) AS n_tokens,
+         |    len(list_filter(toks, t -> t in $stopList)) AS stop_cnt,
+         |    len(regexp_replace(text, '[^a-z]', '', 'g')) AS alpha_cnt
+         |  FROM base)
+         |SELECT doc_id,
+         |  round(stop_cnt * 1.0 / n_tokens, 4) AS stop_ratio,
+         |  round(alpha_cnt * 1.0 / len(text), 4) AS alpha_ratio,
+         |  round(least(n_tokens * 1.0 / 100.0, 1.0) * 0.5
+         |    + (1.0 - stop_cnt * 1.0 / n_tokens) * 0.5, 4) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "c4_token_count" ->
+      s"""SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+         |  len(regexp_extract_all(lower(text), '$bpeRegex')) AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "c4_fingerprint" ->
+      """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN len(t) < 3 THEN md5(text)
+        |  ELSE list_aggregate(list_transform(generate_series(1, len(t) - 2),
+        |    i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2]))), 'min') END AS fp
+        |FROM toks ORDER BY doc_id""".stripMargin,
+    "c5_multimodal" ->
+      """SELECT d.doc_id, d.lang, e.label, len(e.embedding) AS dim
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |ORDER BY d.doc_id""".stripMargin)
+}

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Tier C behavioral checks that the rows-only driver gate can't see:
+  * streaming/batch parity, approximate-operator recall against exact
+  * baselines, the language-ID heuristic on crafted inputs, and the
+  * multimodal decode plumbing. Runs on sf0.001 to stay fast. */
+class TierCSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("B16 streaming replay equals B15 batch aggregation (self-oracle, SURVEY B16)") {
+    val batch = Relational.eventsWindowBatch(spark, dir).collect().toSeq
+    val stream = Relational.eventsStream(spark, dir).collect().toSeq
+    assert(stream == batch)
+  }
+
+  test("C2 minhash recall: finds every exact n-gram near-dup pair") {
+    val exact = Similarity.dedupNgram(spark, dir)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.dedupMinHash(spark, dir)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    assert((exact -- approx).isEmpty,
+      s"minhash missed ${(exact -- approx).size} of ${exact.size} true pairs")
+  }
+
+  test("C2 simhash: near-identical docs collide within hamming radius") {
+    val exact = Similarity.dedupNgram(spark, dir)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Similarity.dedupSimHash(spark, dir)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(sim.contains).toDouble / math.max(exact.size, 1)
+    assert(recall >= 0.8, s"simhash recall $recall below 0.8 (found ${sim.size} pairs)")
+  }
+
+  test("C2 cosine-LSH: recovers all planted noisy duplicates") {
+    val pairs = Similarity.dedupCosineLsh(spark, dir).collect()
+    val n = Relational.table(spark, dir, "embeddings").count()
+    val planted = pairs.count(r => r.getLong(1) == r.getLong(0) + 100000L)
+    assert(planted == n, s"recovered $planted of $n planted duplicates")
+  }
+
+  test("C3 IVF ANN: high recall vs exact top-k") {
+    val exact = Similarity.simTopK(spark, dir).select("vec_id").collect().map(_.getLong(0)).toSet
+    val approx = Similarity.annIvf(spark, dir).select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall below 0.5")
+  }
+
+  test("C4b language-ID heuristic on crafted samples") {
+    import spark.implicits._
+    val samples = Seq(
+      ("the cat and the dog of it", "en"),
+      ("le chat et la porte des champs", "fr"),
+      ("el perro y el gato de la casa que", "es"),
+      ("der hund und die katze mit das haus", "de"),
+      ("这是 一个 中文 文本", "zh"),
+      ("zzz qqq xxx", "unknown")).toDF("text", "expected")
+    val profiles = Seq(
+      "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "that"),
+      "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "du"),
+      "es" -> Seq("el", "de", "y", "que", "en", "los", "se", "una"),
+      "de" -> Seq("der", "die", "und", "das", "ein", "zu", "mit", "von"))
+    val out = Pipeline.langIdOn(samples, profiles)
+      .select("expected", "predicted_lang").collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"expected ${r.getString(0)}, predicted ${r.getString(1)}"))
+  }
+
+  test("C6 multimodal: decode is deterministic, batched, and distributed") {
+    import spark.implicits._
+    val media = Multimodal.attachMedia(Relational.table(spark, dir, "documents"))
+      .as[Multimodal.MediaDoc]
+    val feats1 = Multimodal.decodeFeatures(media).collect().sortBy(_.doc_id)
+    val feats2 = Multimodal.decodeFeatures(media.repartition(7)).collect().sortBy(_.doc_id)
+    assert(feats1.length == 500)
+    assert(feats1.map(_.doc_id).toSeq == feats2.map(_.doc_id).toSeq)
+    assert(feats1.zip(feats2).forall { case (a, b) => a.features.toSeq == b.features.toSeq },
+      "decode must be deterministic regardless of partitioning")
+    assert(feats1.forall(_.features.length == 8))
+    assert(feats1.forall(_.n_bytes == 32)) // sha256 payload
+    // batch shape: stub sees ≤ batchSize rows per call
+    val batchSizes = media.repartition(2).mapPartitions(
+      _.grouped(Multimodal.batchSize).map(_.size)).collect()
+    assert(batchSizes.forall(_ <= Multimodal.batchSize))
+  }
+
+  test("C6 metadata transforms: resize + frame sampling plans") {
+    val media = Multimodal.attachMedia(Relational.table(spark, dir, "documents"))
+    val resized = Multimodal.resizeMeta(media, 64)
+    assert(resized.agg(max(greatest(col("width"), col("height")))).head().getInt(0) <= 64)
+    val planned = Multimodal.frameSamplePlan(media, stride = 5, maxFrames = 4)
+    val vids = planned.filter(col("kind") === "video")
+      .select(col("frame_indices")).head().getSeq[Int](0)
+    assert(vids == Seq(0, 5, 10, 15))
+    val nonVids = planned.filter(col("kind") =!= "video" && size(col("frame_indices")) =!= 0).count()
+    assert(nonVids == 0)
+  }
+}
