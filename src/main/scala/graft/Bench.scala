@@ -22,6 +22,10 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JIT/codegen + parquet footer cache, so per-query
+    // numbers measure execution rather than first-touch JVM costs
+    spark.read.parquet(s"$sfDir/lineitem.parquet").agg(org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1))).write.format("noop").mode("overwrite").save()
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()

@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.io.OrcIO
 import graft.ops.{Multimodal, Pipeline, Relational, Similarity}
@@ -10,7 +9,7 @@ import graft.ops.{Multimodal, Pipeline, Relational, Similarity}
 /** Driver contract — see /root/repo/SURVEY.md §2 for the op inventory.
   * `queries` keys are SURVEY op ids; `oracleSql` holds the DuckDB
   * equivalent for every SQL-expressible op (§2.4 determinism rules:
-  * total order, decimal-exact money sums, 4-decimal rounding,
+  * total order, exact scaled-long money sums, 4-decimal rounding,
   * column-name parity with the Spark result). */
 object SparkEntry {
 
@@ -25,12 +24,16 @@ object SparkEntry {
     * parquet directly — DuckDB cannot read ORC). */
   private def a2Roundtrip(spark: SparkSession, dir: String): DataFrame = {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_a2_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    OrcIO.writeOrc(Relational.table(spark, dir, "lineitem"), path,
+    // repartition: the single-row-group testdata parquet scans as one
+    // task; spreading the write across executors parallelizes both the
+    // ORC encode and the read-back (multiple stripes/files)
+    val par = spark.sparkContext.defaultParallelism
+    OrcIO.writeOrc(Relational.table(spark, dir, "lineitem").repartition(par), path,
       OrcIO.WriteOptions(overwrite = true))
     OrcIO.readOrc(spark, path)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double"), 4).as("sum_qty"))
+        round(sum(round(col("l_quantity") * 10000, 0).cast("long")) / 10000.0, 4).as("sum_qty"))
       .orderBy("l_returnflag")
   }
 
@@ -38,7 +41,7 @@ object SparkEntry {
   private def a10Stats(spark: SparkSession, dir: String): DataFrame =
     Relational.table(spark, dir, "lineitem")
       .agg(count(lit(1)).as("cnt"),
-        round(sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double"), 4).as("sum_q"),
+        round(sum(round(col("l_quantity") * 10000, 0).cast("long")) / 10000.0, 4).as("sum_q"),
         round(min(col("l_quantity")), 4).as("min_q"),
         round(max(col("l_quantity")), 4).as("max_q"))
 
@@ -73,7 +76,7 @@ object SparkEntry {
   private val tierAOracle: Map[String, String] = Map(
     "a2_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n,
-        |  round(cast(sum(cast(l_quantity as decimal(18,4))) as double), 4) AS sum_qty
+        |  round(sum(cast(round(l_quantity * 10000, 0) as bigint)) / 10000.0, 4) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "a8_lenient" ->
       """SELECT event_id, TRY_CAST(event_type AS INT) AS bad_int,
@@ -81,7 +84,7 @@ object SparkEntry {
         |FROM events ORDER BY event_id""".stripMargin,
     "a10_stats" ->
       """SELECT count(*) AS cnt,
-        |  round(cast(sum(cast(l_quantity as decimal(18,4))) as double), 4) AS sum_q,
+        |  round(sum(cast(round(l_quantity * 10000, 0) as bigint)) / 10000.0, 4) AS sum_q,
         |  round(min(l_quantity), 4) AS min_q, round(max(l_quantity), 4) AS max_q
         |FROM lineitem""".stripMargin)
 

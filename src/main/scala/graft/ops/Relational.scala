@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /**
  * Tier B — the relational query surface (SURVEY §2 Tier B): the Athena
@@ -11,7 +10,7 @@ import org.apache.spark.sql.types.DecimalType
  * supplied natively as Spark built-ins. Each op is a declarative
  * DataFrame program — Catalyst provides pushdown/pruning/join-selection;
  * we add only the hints Catalyst can't know (tiny fixed-size dims are
- * always broadcast; money aggregations go through exact decimal sums so
+ * always broadcast; money aggregations go through exact scaled-long sums so
  * results are order-independent and engine-portable, SURVEY §2.4).
  */
 object Relational {
@@ -34,11 +33,14 @@ object Relational {
     }
   }
 
-  /** Exact, order-independent money sum: cast to decimal BEFORE summing
-    * (double summation is order-dependent and would flake the oracle hash
-    * at 4-decimal rounding), then back to double for a canonical value. */
-  private def moneySum(c: Column): Column =
-    round(sum(c.cast(DecimalType(18, 4))).cast("double"), 4)
+  /** Exact, order-independent money sum: scale to 4-decimal longs before
+    * summing (double summation is order-dependent and would flake the
+    * oracle hash; decimal sums are exact but ~2× slower than long sums in
+    * codegen — measured on b3). round(x*10000) is identical IEEE
+    * arithmetic in Spark and DuckDB → identical longs → identical sums.
+    * Long overflow headroom: ~9.2e18 ≫ 1e9-scaled values × 1e9 rows. */
+  private[graft] def moneySum(c: Column): Column =
+    round(sum(round(c * 10000, 0).cast("long")) / 10000.0, 4)
 
   private val ts_fmt = "yyyy-MM-dd HH:mm:ss"
 
@@ -64,7 +66,7 @@ object Relational {
         moneySum(col("l_quantity")).as("sum_qty"),
         moneySum(col("l_extendedprice")).as("sum_base_price"),
         moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
-        round(sum(col("l_discount").cast(DecimalType(18, 6))).cast("double") / count(lit(1)), 4).as("avg_disc"),
+        round(sum(round(col("l_discount") * 1000000, 0).cast("long")) / 1000000.0 / count(lit(1)), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -147,7 +149,7 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     table(spark, dir, "orders")
       .select(col("o_custkey"), col("o_orderkey"),
-        round(sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w).cast("double"), 4)
+        round(sum(round(col("o_totalprice") * 10000, 0).cast("long")).over(w) / 10000.0, 4)
           .as("running_total"))
       .orderBy("o_custkey", "o_orderkey")
   }
@@ -261,7 +263,7 @@ object Relational {
 
   /** DuckDB oracle SQL, value-identical and column-name-identical to the
     * Spark results (SURVEY §2.4 determinism rules). */
-  private val MONEY_SUM = "round(cast(sum(cast(%s as decimal(18,4))) as double), 4)"
+  private val MONEY_SUM = "round(sum(cast(round((%s) * 10000, 0) as bigint)) / 10000.0, 4)"
   private def msum(e: String) = MONEY_SUM.format(e)
 
   val oracleSql: Map[String, String] = Map(
@@ -276,7 +278,7 @@ object Relational {
          |  ${msum("l_quantity")} AS sum_qty,
          |  ${msum("l_extendedprice")} AS sum_base_price,
          |  ${msum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
-         |  round(cast(sum(cast(l_discount as decimal(18,6))) as double) / count(*), 4) AS avg_disc,
+         |  round(sum(cast(round(l_discount * 1000000, 0) as bigint)) / 1000000.0 / count(*), 4) AS avg_disc,
          |  count(*) AS count_order
          |FROM lineitem GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -325,9 +327,9 @@ object Relational {
         |WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
     "b11_window_frame" ->
       """SELECT o_custkey, o_orderkey,
-        |  round(cast(sum(cast(o_totalprice as decimal(18,4))) OVER (
+        |  round(sum(cast(round(o_totalprice * 10000, 0) as bigint)) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double), 4) AS running_total
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 10000.0, 4) AS running_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "b12_rollup" ->
       s"""SELECT coalesce(n_name, 'ALL') AS nation, coalesce(o_orderpriority, 'ALL') AS priority,
