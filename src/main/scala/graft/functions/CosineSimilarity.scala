@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * Codegen'd cosine similarity over two numeric arrays — a native
+ * Catalyst `Expression` replacing the interpreted
+ * `aggregate(zip_with(...))` folds on the similarity hot path
+ * (higher-order functions never enter whole-stage codegen; this does).
+ *
+ * Semantics: single pass accumulating dot/norms in double, exactly the
+ * summation order of the sequential folds it replaces (and of DuckDB's
+ * `list_cosine_similarity` over double arrays) — bit-identical results,
+ * so the existing oracles keep matching. NULL when either side is NULL
+ * or a norm is zero. Array elements are assumed non-null (embedding
+ * vectors; NULL elements read as 0).
+ */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(t, _) => t
+    case other           => other
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _                                    => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine similarity needs array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  private def get(arr: ArrayData, i: Int, dt: DataType): Double = dt match {
+    case FloatType => arr.getFloat(i).toDouble
+    case _         => arr.getDouble(i)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val (lt, rt) = (elemType(left), elemType(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = get(x, i, lt); val yv = get(y, i, rt)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    def getter(dt: DataType, arr: String, i: String) = dt match {
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case _         => s"$arr.getDouble($i)"
+    }
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y"); val denom = ctx.freshName("denom")
+      s"""
+        |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  double $x = ${getter(elemType(left), a, i)};
+        |  double $y = ${getter(elemType(right), b, i)};
+        |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+        |}
+        |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+        |if ($denom == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $dot / $denom; }
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_cosine"
+}
+
+/** Registration for graft's native functions: per-session temp-function
+  * registration (library use) and a `SparkSessionExtensions` injector
+  * (`spark.sql.extensions=graft.GraftExtensions`, cluster-wide use). */
+object GraftFunctions {
+
+  val cosineInfo = new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine")
+
+  val cosineBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => CosineSimilarity(a, b)
+    case other => throw new IllegalArgumentException(
+      s"graft_cosine takes 2 arguments, got ${other.size}")
+  }
+
+  /** Idempotent per-session registration of `graft_cosine`. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine", cosineBuilder, "built-in")
+}

@@ -5,6 +5,8 @@ import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
+
 /**
  * Tier C — deduplication and similarity search over `documents` /
  * `embeddings` (SURVEY §2 Tier C; nothing like this exists in the
@@ -106,17 +108,18 @@ object Similarity {
       .orderBy("da", "db")
   }
 
-  /** Cosine similarity of two double-cast float arrays, computed with
-    * sequential folds (deterministic, engine-portable). */
-  private def cosineExpr(a: String, b: String): org.apache.spark.sql.Column = {
-    def dot(x: String, y: String) =
-      s"aggregate(zip_with($x, $y, (p, q) -> cast(p as double) * cast(q as double)), 0D, (acc, v) -> acc + v)"
-    expr(s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))")
-  }
+  /** Cosine similarity via the native codegen'd [[graft.functions.CosineSimilarity]]
+    * expression — same sequential double accumulation as the interpreted
+    * `aggregate(zip_with(...))` folds it replaced (bit-identical, oracle-
+    * stable) but inside whole-stage codegen. Callers must have called
+    * [[graft.functions.GraftFunctions.register]] on the session. */
+  private def cosineExpr(a: String, b: String): org.apache.spark.sql.Column =
+    expr(s"graft_cosine($a, $b)")
 
   // C2d — exact embedding-cosine near-dup pairs (oracle-checked).
   // O(n²) baseline; the LSH variant below is the scale path.
   def dedupCosine(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
     val e = Relational.table(spark, dir, "embeddings")
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
@@ -145,6 +148,7 @@ object Similarity {
   // validating a near-dup pipeline end-to-end. Rows-only check; recall
   // vs the planted truth asserted in the spec.
   def dedupCosineLsh(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
     val base = Relational.table(spark, dir, "embeddings")
     val noisy = base.select(
       (col("vec_id") + 100000L).as("vec_id"),
@@ -170,6 +174,7 @@ object Similarity {
   // the sort at k rows. At scale this is one map + top-k, no shuffle of
   // the corpus.
   def simTopK(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
     val e = Relational.table(spark, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     e.filter(col("vec_id") =!= 0)
@@ -188,6 +193,7 @@ object Similarity {
   // exception to the no-collect rule). Approximate → rows-only check;
   // recall vs simTopK asserted in the spec.
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
     import org.apache.spark.ml.clustering.KMeans
     val e = Relational.table(spark, dir, "embeddings")
       .withColumn("features", array_to_vector(expr("cast(embedding as array<double>)")))

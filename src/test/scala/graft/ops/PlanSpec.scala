@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Physical-plan shape assertions — the properties that make these
+  * operators scale-safe must survive refactors: filters and projections
+  * reach the parquet scan, fixed-size dims broadcast, top-k never fully
+  * sorts, and the similarity hot path stays inside whole-stage codegen. */
+class PlanSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("B2: predicate pushdown and column pruning reach the scan") {
+    val p = plan(Relational.filterProject(spark, dir))
+    assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
+    assert(p.contains("IsNotNull(l_shipdate)") || p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate predicate not pushed:\n$p")
+    // pruned read schema: only the 4 referenced columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_tax"),
+      s"scan reads unreferenced columns: $readSchema")
+  }
+
+  test("B5: fixed-size dims broadcast; fact joins do not nest loops") {
+    val p = plan(Relational.joinMulti(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"nation/region not broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"non-equi join crept into the chain:\n$p")
+  }
+
+  test("B8: top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.sortLimitTopK(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"full sort for top-k:\n$p")
+  }
+
+  test("B3: partial aggregation before the shuffle (map-side combine)") {
+    val p = plan(Relational.aggGroup(spark, dir))
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstAgg >= 0, s"no hash aggregate:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial"), s"no partial aggregation:\n$p")
+  }
+
+  test("C3: cosine scoring runs inside whole-stage codegen") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Similarity.simTopK(spark, dir)
+    df.collect() // finalize the adaptive plan — codegen stages appear post-execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_cosine"), s"native cosine not in plan:\n$p")
+    // codegen stages render as "*(n)" prefixes in the executed plan
+    assert(p.contains("*("), s"no codegen span:\n$p")
+    // the scoring projection must not fall back to interpreted eval:
+    // graft_cosine appears inside a codegen stage (marked by *(n) prefix)
+    val scoringLine = p.linesIterator.find(_.contains("graft_cosine")).getOrElse("")
+    assert(scoringLine.trim.stripPrefix("+- ").startsWith("*"),
+      s"cosine projection outside codegen: $scoringLine\nfull plan:\n$p")
+  }
+
+  test("C1: dedup aggregates with partial combine, no shuffle of full text") {
+    val p = plan(Pipeline.dedupExact(spark, dir))
+    assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
+  }
+}
