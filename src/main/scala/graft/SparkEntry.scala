@@ -90,7 +90,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    tierA ++ Relational.queries ++ Pipeline.queries ++ Similarity.queries ++ Multimodal.queries
+    tierA ++ Relational.queries ++ Pipeline.queries ++ Similarity.queries ++
+      Multimodal.queries ++ graft.streaming.Sessionize.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -130,4 +130,32 @@ object OrcIO {
     val names = df.schema.fieldNames.toSeq
     df.collect().toSeq.map(r => names.zip(r.toSeq).toMap)
   }
+
+  /** A9 opt-in orca-compat collect (SURVEY §7.4.5): reproduces the
+    * reference's read-side value asymmetries for behavioral-fidelity
+    * tests — booleans read back as 0/1 (core.clj:499-504: the Long
+    * vector reader has no BOOLEAN branch), floats widen to Double
+    * (:512-519), binary decodes as UTF-8 String (:521-525), dates as
+    * LocalDate, timestamps as Instant (:531-534), structs as maps that
+    * OMIT null fields (:566-571), and empty maps read as null
+    * (:583-591). The normal DataFrame surface returns proper Spark
+    * types; this shim exists only where exact orca frames are needed. */
+  def orcaCompatMaps(df: DataFrame): Seq[Map[String, Any]] = {
+    def conv(v: Any): Any = v match {
+      case null                     => null
+      case b: java.lang.Boolean     => if (b) 1L else 0L
+      case f: java.lang.Float       => f.toDouble
+      case b: Array[Byte]           => new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      case d: java.sql.Date         => d.toLocalDate
+      case t: java.sql.Timestamp    => t.toInstant
+      case r: Row =>
+        r.schema.fieldNames.zip(r.toSeq).collect { case (n, fv) if fv != null => n -> conv(fv) }.toMap
+      case m: scala.collection.Map[_, _] =>
+        if (m.isEmpty) null
+        else m.map { case (k, vv) => conv(k) -> conv(vv) }.toMap
+      case s: scala.collection.Seq[_] => s.map(conv)
+      case other                    => other
+    }
+    frameMaps(df).map(_.map { case (k, v) => k -> conv(v) })
+  }
 }

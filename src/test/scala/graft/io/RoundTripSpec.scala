@@ -100,6 +100,23 @@ class RoundTripSpec extends AnyFunSuite with SparkTestSession {
       == Seq(Seq(Map("x" -> "y", "b" -> "10"))))
   }
 
+  test("A9 orcaCompat collect reproduces the reference's read-side asymmetries") {
+    val dir = Files.createTempDirectory("graft-compat").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath + "/c.orc"
+    OrcIO.writeRows(spark, path,
+      Seq(Map("b" -> true, "f" -> 1.5f, "s" -> Map("x" -> 1), "m" -> Map[String, String](),
+        "d" -> LocalDate.of(2017, 1, 2), "t" -> Instant.ofEpochMilli(1000))),
+      "struct<b:boolean,f:float,s:struct<x:int,y:string>,m:map<string,string>,d:date,t:timestamp>")
+    val m = OrcIO.orcaCompatMaps(OrcIO.readOrc(spark, path)).head
+    assert(m("b") == 1L)                       // booleans come back 0/1
+    assert(m("f") == 1.5)                      // floats widen to Double
+    assert(m("s") == Map("x" -> 1))            // struct omits NULL fields
+    assert(m("m") == null)                     // empty map reads as null
+    assert(m("d") == LocalDate.of(2017, 1, 2)) // dates as LocalDate
+    assert(m("t") == Instant.ofEpochMilli(1000)) // timestamps as Instant
+  }
+
   test("lenient cell failure → NULL, not job failure (core.clj:443-450)") {
     // a struct where one cell can't convert: date column fed garbage
     assert(roundtrip(Seq(Seq("not-a-date", 1), Seq("2017-05-06", 2)), "struct<d:date,i:int>")
