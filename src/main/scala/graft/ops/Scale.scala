@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale machinery the optimizer can't derive on its own (SURVEY §7.4.10,
+ * builder contract "Partitioning & shuffle"):
+ *
+ *  - **Salted join** for skewed keys: spread a hot key across `buckets`
+ *    sub-partitions by salting the big side deterministically and
+ *    replicating the small side per salt. AQE's skew-join splits
+ *    oversized partitions after a shuffle exists; salting removes the
+ *    hot partition up front and composes with any join type.
+ *  - **Bucketed join** for co-located repeat joins: persist both sides
+ *    bucketed by the join key → Spark plans a sort-merge join with NO
+ *    shuffle exchange on either side (asserted in PlanSpec). At 100 TB
+ *    this turns every repeated fact⋈fact join on the bucket key into a
+ *    local merge.
+ *
+ * Both register as queries whose oracle is the PLAIN join result —
+ * the scale path must be value-identical to the naive one.
+ */
+object Scale {
+
+  /** Deterministic salt: hash of the whole row spreads a hot key's rows
+    * across buckets without RNG state (reproducible on any cluster). */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String, smallKey: String,
+      buckets: Int): DataFrame = {
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(buckets)).cast("int"))
+    val expanded = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(expanded,
+      salted(bigKey) === expanded(smallKey) && salted("__salt") === expanded("__salt"))
+      .drop("__salt")
+  }
+
+  // b20 — the b4 join executed through the salt path; same oracle as b4
+  def joinSalted(spark: SparkSession, dir: String): DataFrame =
+    saltedJoin(
+      Relational.table(spark, dir, "orders"),
+      Relational.table(spark, dir, "customer"),
+      "o_custkey", "c_custkey", buckets = 8)
+      .select(col("o_orderkey"), col("c_name"), round(col("o_totalprice"), 4).as("total"))
+      .orderBy("o_orderkey")
+
+  /** Persist both sides bucketed+sorted by the join key (in-session
+    * catalog; on a real cluster these are long-lived bucketed tables). */
+  def bucketedTables(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    Relational.table(spark, dir, "orders").write
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$wh/orders_b").mode(SaveMode.Overwrite).saveAsTable("graft_orders_b")
+    Relational.table(spark, dir, "customer").write
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$wh/customer_b").mode(SaveMode.Overwrite).saveAsTable("graft_customer_b")
+    (spark.table("graft_orders_b"), spark.table("graft_customer_b"))
+  }
+
+  // b21 — the b4 join over bucketed tables (shuffle-free sort-merge);
+  // same oracle as b4
+  def joinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val (orders, customer) = bucketedTables(spark, dir)
+    orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_name"), round(col("o_totalprice"), 4).as("total"))
+      .orderBy("o_orderkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "b20_join_salted" -> (joinSalted _),
+    "b21_join_bucketed" -> (joinBucketed _))
+
+  private val b4Oracle =
+    """SELECT o_orderkey, c_name, round(o_totalprice, 4) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "b20_join_salted" -> b4Oracle,
+    "b21_join_bucketed" -> b4Oracle)
+}

@@ -64,4 +64,25 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     val p = plan(Pipeline.dedupExact(spark, dir))
     assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
   }
+
+  test("B21: bucketed join plans a shuffle-free sort-merge join") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (orders, customer) = Scale.bucketedTables(spark, dir)
+      val joined = orders.join(customer,
+        org.apache.spark.sql.functions.col("o_custkey") === org.apache.spark.sql.functions.col("c_custkey"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("B20: salted join equals the plain join") {
+    val plain = Relational.joinInner(spark, dir).collect().toSeq
+    val salted = Scale.joinSalted(spark, dir).collect().toSeq
+    assert(salted == plain)
+  }
 }
