@@ -84,7 +84,15 @@ object OrcIO {
   /** A7 `rows->typedef` (core.clj:431-437), distributed: per-partition
     * infer + simplify + local fold, then tree-merge of one typedef per
     * partition — map-side combine keeps the shuffle at one record per
-    * partition regardless of data size. */
+    * partition regardless of data size.
+    *
+    * Semantics note (property-discovered, see Merge scaladoc): the merge
+    * algebra is order-dependent in two corners — mutually-convertible
+    * pairs (string↔double) and absorbing chains (string⊔int⊔date folds
+    * to string sequentially, but int⊔date alone throws). There the
+    * tree-merge may produce a different (or failing) result than the
+    * reference's strictly sequential fold, depending on partitioning.
+    * On order-free domains (everything else) the two agree exactly. */
   def inferTypeDef(rows: RDD[_], opts: InferOptions = InferOptions.default): Option[TypeDef] = {
     val perPartition: RDD[TypeDef] = rows.mapPartitions { it =>
       var acc: Option[TypeDef] = None

@@ -23,6 +23,14 @@ import graft.typedef.TypeDef._
  *
  * Inference is strict (throws) while encoding is lenient (error→NULL) —
  * two deliberate, separate failure doctrines (SURVEY §7.4.9).
+ *
+ * Faithful quirk (property-tested): Hive's lattice makes some pairs
+ * MUTUALLY convertible (string↔double, string↔varchar, double↔varchar,
+ * decimal↔varchar), and orca's `coerce` tries x→y before y→x
+ * (core.clj:357-359) — so merge is order-dependent for exactly those
+ * pairs (`merge(string, double) = double` but `merge(double, string) =
+ * string`), which also makes the dataset-level left-fold sensitive to
+ * row order when those types mix. Replicated, not "fixed".
  */
 object Merge {
 
