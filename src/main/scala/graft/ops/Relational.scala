@@ -181,6 +181,25 @@ object Relational {
           .otherwise("small").as("bucket"))
       .orderBy("o_orderkey")
 
+  // B13b — extended scalar battery: pad/trim/replace/regexp, date
+  // arithmetic, math (engine-portable function subset)
+  def scalarFuncs2(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        lpad(col("o_orderstatus"), 3, "_").as("padded"),
+        trim(concat(lit("  "), col("o_orderpriority"), lit("  "))).as("trimmed"),
+        regexp_replace(col("o_orderpriority"), "[0-9]-", "").as("depri"),
+        reverse(col("o_orderstatus")).as("rev"),
+        instr(col("o_orderpriority"), "-").cast("int").as("dash_at"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date")).as("days_since"),
+        floor(col("o_totalprice") / 1000).cast("long").as("price_k"),
+        round(sqrt(col("o_totalprice")), 4).as("sqrt_price"),
+        pmod(col("o_orderkey"), lit(7)).as("key_mod"),
+        greatest(col("o_totalprice"), lit(50000.0)).as("floor50k"),
+        sign(col("o_totalprice") - 150000).cast("int").as("vs150k"))
+      .orderBy("o_orderkey")
+
   // B14 — approx distinct (no cross-engine oracle; bracket-checked in spec)
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem")
@@ -255,6 +274,7 @@ object Relational {
     "b11_window_frame" -> (windowFrame _),
     "b12_rollup" -> (groupingSets _),
     "b13_scalar_funcs" -> (scalarFuncs _),
+    "b13b_scalar_funcs2" -> (scalarFuncs2 _),
     "b14_approx_distinct" -> (approxDistinct _),
     "b15_events_window" -> (eventsWindowBatch _),
     "b16_events_stream" -> (eventsStream _),
@@ -348,6 +368,20 @@ object Relational {
         |  round(abs(o_totalprice - 100000.0), 2) AS absdiff,
         |  CASE WHEN o_totalprice > 200000 THEN 'big'
         |       WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "b13b_scalar_funcs2" ->
+      """SELECT o_orderkey,
+        |  lpad(o_orderstatus, 3, '_') AS padded,
+        |  trim(concat('  ', o_orderpriority, '  ')) AS trimmed,
+        |  regexp_replace(o_orderpriority, '[0-9]-', '', 'g') AS depri,
+        |  reverse(o_orderstatus) AS rev,
+        |  cast(instr(o_orderpriority, '-') as int) AS dash_at,
+        |  date_diff('day', DATE '1995-01-01', cast(o_orderdate as date)) AS days_since,
+        |  cast(floor(o_totalprice / 1000) as bigint) AS price_k,
+        |  round(sqrt(o_totalprice), 4) AS sqrt_price,
+        |  o_orderkey % 7 AS key_mod,
+        |  greatest(o_totalprice, 50000.0) AS floor50k,
+        |  cast(sign(o_totalprice - 150000) as int) AS vs150k
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "b15_events_window" ->
       s"""SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
