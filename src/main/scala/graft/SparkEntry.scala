@@ -91,10 +91,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     tierA ++ Relational.queries ++ Pipeline.queries ++ Similarity.queries ++
-      Multimodal.queries ++ Scale.queries ++ graft.streaming.Sessionize.queries
+      Multimodal.queries ++ Scale.queries ++ graft.streaming.Sessionize.queries ++
+      graft.sources.JsonInfer.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    tierAOracle ++ Relational.oracleSql ++ Pipeline.oracleSql ++ Similarity.oracleSql ++ Scale.oracleSql
+    tierAOracle ++ Relational.oracleSql ++ Pipeline.oracleSql ++ Similarity.oracleSql ++
+      Scale.oracleSql ++ graft.sources.JsonInfer.oracleSql
 }
