@@ -200,6 +200,31 @@ object Relational {
         sign(col("o_totalprice") - 150000).cast("int").as("vs150k"))
       .orderBy("o_orderkey")
 
+  // B22 — the SQL surface directly: scalar subquery against temp views
+  // (threshold computed with the scaled-long average so both engines
+  // compare against the identical double)
+  def sqlSubquery(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql(
+      """SELECT c_custkey, round(c_acctbal, 4) AS bal FROM customer
+        |WHERE c_acctbal > (SELECT sum(cast(round(c_acctbal * 10000, 0) as bigint)) / 10000.0 / count(*)
+        |                   FROM customer)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  // B23 — pivot: order counts per status × priority
+  def pivotOp(spark: SparkSession, dir: String): DataFrame = {
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    table(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", priorities)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderstatus") +: priorities.map(p =>
+        col(s"`$p`").as("p" + p.charAt(0))): _*)
+      .orderBy("o_orderstatus")
+  }
+
   // B14 — approx distinct (no cross-engine oracle; bracket-checked in spec)
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem")
@@ -275,6 +300,8 @@ object Relational {
     "b12_rollup" -> (groupingSets _),
     "b13_scalar_funcs" -> (scalarFuncs _),
     "b13b_scalar_funcs2" -> (scalarFuncs2 _),
+    "b22_sql_subquery" -> (sqlSubquery _),
+    "b23_pivot" -> (pivotOp _),
     "b14_approx_distinct" -> (approxDistinct _),
     "b15_events_window" -> (eventsWindowBatch _),
     "b16_events_stream" -> (eventsStream _),
@@ -383,6 +410,19 @@ object Relational {
         |  greatest(o_totalprice, 50000.0) AS floor50k,
         |  cast(sign(o_totalprice - 150000) as int) AS vs150k
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "b22_sql_subquery" ->
+      """SELECT c_custkey, round(c_acctbal, 4) AS bal FROM customer
+        |WHERE c_acctbal > (SELECT sum(cast(round(c_acctbal * 10000, 0) as bigint)) / 10000.0 / count(*)
+        |                   FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+    "b23_pivot" ->
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1,
+        |  count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2,
+        |  count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3,
+        |  count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4,
+        |  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "b15_events_window" ->
       s"""SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
          |  count(*) AS n_events, ${msum("value")} AS sum_value
