@@ -98,5 +98,5 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     tierAOracle ++ Relational.oracleSql ++ Pipeline.oracleSql ++ Similarity.oracleSql ++
-      Scale.oracleSql ++ graft.sources.JsonInfer.oracleSql
+      Scale.oracleSql ++ Multimodal.oracleSql ++ graft.sources.JsonInfer.oracleSql
 }

@@ -97,8 +97,13 @@ object Lenient {
     }
     case d: DecimalType =>
       // any value stringifies then parses, like HiveDecimalWritable(str v)
-      // (core.clj:495-497); scale adjusted to the target (Hive HALF_UP)
-      new JBigDecimal(stringify(v)).setScale(d.scale, RoundingMode.HALF_UP)
+      // (core.clj:495-497); scale adjusted to the target (Hive HALF_UP);
+      // precision overflow → conversion failure → NULL (lenient doctrine —
+      // Spark would otherwise fail the whole write downstream)
+      val bd = new JBigDecimal(stringify(v)).setScale(d.scale, RoundingMode.HALF_UP)
+      if (bd.precision > d.precision)
+        throw new IllegalArgumentException(s"decimal $bd overflows ${d.sql}")
+      bd
     case StringType => stringify(v)
     case BinaryType => v match {
       case b: Array[Byte] => b

@@ -50,6 +50,9 @@ object OrcIO {
     opts.stripeSize.foreach(s => out = out.option("orc.stripe.size", s.toString))
     opts.rowIndexStride.foreach(s => out = out.option("orc.row.index.stride", s.toString))
     if (opts.enforceBufferSize) out = out.option("orc.buffer.size.enforce", "true")
+    // hive.exec.orc.memory.pool in the reference (core.clj:629-630);
+    // the ORC writer's own knob is orc.memory.pool
+    if (opts.orcMemoryPool != 0.5) out = out.option("orc.memory.pool", opts.orcMemoryPool.toString)
     out
   }
 

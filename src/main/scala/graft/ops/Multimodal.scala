@@ -92,9 +92,25 @@ object Multimodal {
       .orderBy("kind")
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "c6_multimodal_decode" -> (decodePipeline _))
+  /** c6b: the metadata half of the pipeline, fully SQL-expressible →
+    * oracle-checked (the feature sums stay in the stub-only query). */
+  def metaStats(spark: SparkSession, dir: String): DataFrame =
+    attachMedia(Relational.table(spark, dir, "documents"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"), max(length(col("media"))).as("max_bytes"))
+      .orderBy("kind")
 
-  // no oracleSql: the decode stub is not SQL-expressible → rows-only
-  // check; determinism + batch shape are unit-tested in MultimodalSpec
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c6_multimodal_decode" -> (decodePipeline _),
+    "c6_multimodal_meta" -> (metaStats _))
+
+  // c6_multimodal_decode has no oracleSql: the decode stub is not
+  // SQL-expressible → rows-only check; determinism + batch shape are
+  // unit-tested in TierCSpec
+  val oracleSql: Map[String, String] = Map(
+    "c6_multimodal_meta" ->
+      """SELECT CASE cast(doc_id % 3 as int) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  count(*) AS n, 32 AS max_bytes
+        |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin)
 }

@@ -130,5 +130,8 @@ class RoundTripSpec extends AnyFunSuite with SparkTestSession {
     // date → epoch-day into bigint column (to-long LocalDate branch, core_test:196-197)
     assert(roundtrip(Seq(Seq(LocalDate.of(2017, 1, 2))), "struct<x:bigint>")
       == Seq(Seq(17168L)))
+    // decimal precision overflow → NULL cell, not a failed write
+    assert(roundtrip(Seq(Seq(new JBigDecimal("1E+20")), Seq(new JBigDecimal("1.00"))), "struct<x:decimal(12,2)>")
+      .map(_.head).toSet == Set(null, new JBigDecimal("1.00")))
   }
 }
