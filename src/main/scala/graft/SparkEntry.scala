@@ -24,12 +24,16 @@ object SparkEntry {
     * parquet directly — DuckDB cannot read ORC). */
   private def a2Roundtrip(spark: SparkSession, dir: String): DataFrame = {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_a2_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    // repartition: the single-row-group testdata parquet scans as one
-    // task; spreading the write across executors parallelizes both the
-    // ORC encode and the read-back (multiple stripes/files)
-    val par = spark.sparkContext.defaultParallelism
-    OrcIO.writeOrc(Relational.table(spark, dir, "lineitem").repartition(par), path,
-      OrcIO.WriteOptions(overwrite = true))
+    // size write parallelism by data volume (~64MB/partition), not core
+    // count: repartitioning a small single-row-group source costs more
+    // in shuffle than the parallel write saves (measured), while a large
+    // source arrives many-partitioned and needs no shuffle at all
+    val src = Relational.table(spark, dir, "lineitem")
+    val sizeBytes = src.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = (sizeBytes / (64L << 20)).toLong.toInt.max(1)
+      .min(spark.sparkContext.defaultParallelism)
+    val sized = if (target > src.rdd.getNumPartitions) src.repartition(target) else src
+    OrcIO.writeOrc(sized, path, OrcIO.WriteOptions(overwrite = true))
     OrcIO.readOrc(spark, path)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
