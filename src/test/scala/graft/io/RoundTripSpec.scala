@@ -100,6 +100,22 @@ class RoundTripSpec extends AnyFunSuite with SparkTestSession {
       == Seq(Seq(Map("x" -> "y", "b" -> "10"))))
   }
 
+  test("binary and char columns roundtrip (schema-builder paths, core.clj:338,344)") {
+    // binary: bytes in, bytes out on the Spark surface (orca reads
+    // binary as UTF-8 String — that shim lives in orcaCompatMaps)
+    val bytes = "payload".getBytes("UTF-8")
+    val back = roundtrip(Seq(Seq(bytes), Seq(null)), "struct<x:binary>")
+    assert(back.flatMap(_.headOption).collect {
+      case b: Array[Byte] => new String(b, "UTF-8")
+    } == Seq("payload"))
+    // char/varchar: length props dropped like the reference (SURVEY §7.4.4),
+    // values read back as strings
+    assert(sorted(roundtrip(Seq(Seq("a"), Seq("b")), "struct<x:char(1)>"))
+      == Seq(Seq("a"), Seq("b")))
+    assert(sorted(roundtrip(Seq(Seq("abc")), "struct<x:varchar(10)>"))
+      == Seq(Seq("abc")))
+  }
+
   test("A9 orcaCompat collect reproduces the reference's read-side asymmetries") {
     val dir = Files.createTempDirectory("graft-compat").toFile
     dir.deleteOnExit()
