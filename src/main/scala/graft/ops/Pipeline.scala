@@ -119,7 +119,26 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  // C8 — the composed corpus-cleaning pipeline (the operator a
+  // training-data user actually runs): quality-filter → exact dedup
+  // (keep lowest doc_id) → near-dup removal (drop the higher id of
+  // every exact-jaccard pair; transitive chains handled conservatively
+  // — each pair independently drops its db side). Every stage is a
+  // shuffle-parallel DataFrame program; oracle mirrors it exactly.
+  def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val quality = qualityScore(spark, dir).filter(col("quality") >= 0.7)
+      .select(col("doc_id"), col("quality"))
+    val keepers = dedupExact(spark, dir).select(col("keep_id").as("doc_id"))
+    val nearDupLosers = Similarity.dedupNgram(spark, dir).select(col("db").as("doc_id"))
+    quality
+      .join(keepers, "doc_id") // exact-dup canonical survivors
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("quality"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c8_clean_corpus" -> (cleanCorpus _),
     "c1_dedup_exact" -> (dedupExact _),
     "c4_text_stats" -> (textStats _),
     "c4_quality" -> (qualityScore _),
@@ -129,6 +148,30 @@ object Pipeline {
     "c5_multimodal" -> (multimodalStruct _))
 
   val oracleSql: Map[String, String] = Map(
+    "c8_clean_corpus" ->
+      s"""WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         |m AS (SELECT doc_id, text, len(toks) AS n_tokens,
+         |    len(list_filter(toks, t -> t in $stopList)) AS stop_cnt FROM base),
+         |q AS (SELECT doc_id,
+         |    round(least(n_tokens * 1.0 / 100.0, 1.0) * 0.5
+         |      + (1.0 - stop_cnt * 1.0 / n_tokens) * 0.5, 4) AS quality FROM m),
+         |keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |toks2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT doc_id,
+         |  list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         |    ELSE list_transform(generate_series(1, len(t) - 2),
+         |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END) AS shingles FROM toks2),
+         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+         |losers AS (SELECT db AS doc_id FROM pairs
+         |  JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+         |  WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.8)
+         |SELECT q.doc_id, q.quality FROM q
+         |JOIN keepers USING (doc_id)
+         |WHERE q.quality >= 0.7 AND q.doc_id NOT IN (SELECT doc_id FROM losers)
+         |ORDER BY q.doc_id""".stripMargin,
     "c1_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
