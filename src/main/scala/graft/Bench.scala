@@ -41,7 +41,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout gets buried in sbt log noise (BENCH_r01 parsed: null) — also
+    // write the line to a file the driver / later rounds can load directly
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    println(json)
     spark.stop()
   }
 }

@@ -59,14 +59,16 @@ object SparkEntry {
       .orderBy("event_id")
 
   /** A7: distributed schema inference over a row RDD (non-SQL op —
-    * rows-only check; exactness is unit-tested in typedef specs). */
+    * rows-only check; exactness is unit-tested in typedef specs). The
+    * input stays a file-backed RDD end to end — rows map to the orca-style
+    * Map form on executors and feed the per-partition-fold + tree-merge
+    * inference without ever touching the driver. */
   private def a7Infer(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val rows = Relational.table(spark, dir, "documents")
+    val rdd = Relational.table(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("n_chars"))
-      .collect() // bounded: schema-inference demo input, not a data path
+      .rdd
       .map(r => Map("doc_id" -> r.getLong(0), "lang" -> r.getString(1), "n_chars" -> r.getLong(2)): Any)
-    val rdd = spark.sparkContext.parallelize(rows.toSeq, 4)
     val schema = OrcIO.inferSchema(rdd).get
     Seq(schema.toDDL).toDF("inferred_ddl")
   }
@@ -102,5 +104,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     tierAOracle ++ Relational.oracleSql ++ Pipeline.oracleSql ++ Similarity.oracleSql ++
-      Scale.oracleSql ++ Multimodal.oracleSql ++ graft.sources.JsonInfer.oracleSql
+      Scale.oracleSql ++ Multimodal.oracleSql ++ graft.streaming.Sessionize.oracleSql ++
+      graft.sources.JsonInfer.oracleSql
 }

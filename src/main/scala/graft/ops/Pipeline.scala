@@ -75,16 +75,16 @@ object Pipeline {
   // profile argmax (deterministic tie-break via struct max). The testdata
   // text is synthetic English-vocab, so `lang` labels are not learnable —
   // the heuristic is exercised on crafted samples in the spec.
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val profiles = Seq(
-      "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "that"),
-      "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "du"),
-      "es" -> Seq("el", "de", "y", "que", "en", "los", "se", "una"),
-      "de" -> Seq("der", "die", "und", "das", "ein", "zu", "mit", "von"))
-    langIdOn(Relational.table(spark, dir, "documents"), profiles)
+  private val langProfiles = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "that"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "du"),
+    "es" -> Seq("el", "de", "y", "que", "en", "los", "se", "una"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "zu", "mit", "von"))
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langIdOn(Relational.table(spark, dir, "documents"), langProfiles)
       .select(col("doc_id"), col("lang"), col("predicted_lang"))
       .orderBy("doc_id")
-  }
 
   /** Language-ID scoring applied to any DataFrame with a `text` column. */
   def langIdOn(df: DataFrame, profiles: Seq[(String, Seq[String])]): DataFrame = {
@@ -196,6 +196,25 @@ object Pipeline {
       s"""SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
          |  len(regexp_extract_all(lower(text), '$bpeRegex')) AS bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // same scoring as langIdOn: per-profile stopword hit counts, argmax
+    // via lexicographic struct max (score first, then lang — identical
+    // tie-break in Spark's array_max and DuckDB's list_aggregate 'max')
+    "c4_lang_id" -> {
+      val structs = langProfiles.map { case (langCode, words) =>
+        val list = words.map(w => s"'$w'").mkString("(", ",", ")")
+        s"{'score': cast(len(list_filter(string_split(lower(text), ' '), t -> t IN $list)) as int), 'lang': '$langCode'}"
+      }.mkString(",\n        |    ")
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS cjk,
+         |    list_aggregate([$structs], 'max') AS best
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |  CASE WHEN cjk THEN 'zh'
+         |       WHEN best.score > 0 THEN best.lang
+         |       ELSE 'unknown' END AS predicted_lang
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
     "c4_fingerprint" ->
       """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
         |SELECT doc_id,

@@ -132,6 +132,18 @@ object Relational {
       .orderBy("tag", "k")
   }
 
+  // B9c — multiset set operations (INTERSECT ALL / EXCEPT ALL). Orders
+  // carry real key multiplicity (many orders per customer) while customer
+  // keys are unique, so exceptAll keeps n-1 copies per key and
+  // intersectAll exactly one — results the distinct variants can't produce.
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val custKeys = table(spark, dir, "customer").select(col("c_custkey").as("k"))
+    val orderCust = table(spark, dir, "orders").select(col("o_custkey").as("k"))
+    orderCust.intersectAll(custKeys).withColumn("tag", lit("once_per_customer"))
+      .unionAll(orderCust.exceptAll(custKeys).withColumn("tag", lit("repeat_orders")))
+      .orderBy("tag", "k")
+  }
+
   // B10 — window rank; total order inside each partition via tie-break key
   def windowRank(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -238,34 +250,66 @@ object Relational {
       .select(date_format(col("w.start"), ts_fmt).as("bucket"), col("n_events"), col("sum_value"))
       .orderBy("bucket")
 
-  // B16 — the same aggregation as a Structured Streaming micro-batch
-  // replay of the events table (file source, AvailableNow trigger,
-  // complete output so the single-batch replay equals the batch result;
-  // the watermark documents the production late-data contract — with one
-  // batch there is nothing late to drop, which is what makes the
-  // batch-equality oracle valid)
+  // B16 — the same aggregation as a Structured Streaming replay of the
+  // events table through REAL micro-batches: the table is staged as 4
+  // event-time-ordered parquet files, the file source replays them one
+  // per trigger (maxFilesPerTrigger=1), and the 10-minute watermark
+  // advances between batches. Append output mode → only windows the
+  // final watermark has closed are emitted (the production late-data
+  // contract; a beyond-watermark row is proven dropped in StreamingSpec).
+  // The oracle mirrors append semantics exactly: full aggregation minus
+  // windows whose end is past max(ts) - 10min.
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val ev = events(spark, dir)
+    val stage = stageEventFiles(spark, ev, s"graft_b16_stage_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     val sinkName = "graft_b16_sink"
-    // the [t] glob makes the file-source treat the parent as basePath —
-    // a bare file path fails with "Option 'basePath' must be a directory"
-    val rawStream = spark.readStream.schema(rawSchema).parquet(s"$dir/events.parque[t]")
-    val stream = rawSchema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        rawStream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => rawStream
-    }
-    val q = stream
+    val q = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour").as("w"))
       .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("sum_value"))
-      .writeStream.queryName(sinkName).outputMode("complete").format("memory")
+      .writeStream.queryName(sinkName).outputMode("append").format("memory")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     spark.table(sinkName)
       .select(date_format(col("w.start"), ts_fmt).as("bucket"), col("n_events"), col("sum_value"))
       .orderBy("bucket")
+  }
+
+  /** Stage a (converted) events DataFrame as `n` single-file parquet
+    * slices partitioned by event-time range, modification times ascending
+    * so the file source replays them oldest-first — a faithful stand-in
+    * for files landing over time. Replay harness only (bounded passes
+    * over one table); production streams read their real file feed. */
+  private def stageEventFiles(spark: SparkSession, ev: DataFrame, name: String, n: Int = 4): String = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val stage = Paths.get(System.getProperty("java.io.tmpdir"), name)
+    if (Files.exists(stage)) {
+      Files.walk(stage).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+    Files.createDirectories(stage)
+    val b = ev.agg(min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val step = math.max(1L, (hi - lo) / n + 1)
+    (0 until n).foreach { i =>
+      val hiBound = if (i == n - 1) hi + 1 else lo + (i + 1) * step
+      val tmp = stage.resolve(s"tmp$i")
+      ev.filter(unix_micros(col("ts")) >= lo + i * step && unix_micros(col("ts")) < hiBound)
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = stage.resolve(f"slice_$i%02d.parquet")
+      Files.move(part, dest)
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + i * 2000L))
+    }
+    stage.toString
   }
 
   // B17 — per-user session windows, 30-minute gap
@@ -295,6 +339,7 @@ object Relational {
     "b8_topk" -> (sortLimitTopK _),
     "b9_distinct" -> (distinctOp _),
     "b9_setops" -> (setOps _),
+    "b9_setops_all" -> (setOpsAll _),
     "b10_window_rank" -> (windowRank _),
     "b11_window_frame" -> (windowFrame _),
     "b12_rollup" -> (groupingSets _),
@@ -366,6 +411,13 @@ object Relational {
         |SELECT k, 'customer_only' AS tag FROM
         |  (SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey AS k FROM orders)
         |ORDER BY tag, k""".stripMargin,
+    "b9_setops_all" ->
+      """SELECT k, 'once_per_customer' AS tag FROM
+        |  (SELECT o_custkey AS k FROM orders INTERSECT ALL SELECT c_custkey AS k FROM customer)
+        |UNION ALL
+        |SELECT k, 'repeat_orders' AS tag FROM
+        |  (SELECT o_custkey AS k FROM orders EXCEPT ALL SELECT c_custkey AS k FROM customer)
+        |ORDER BY tag, k""".stripMargin,
     "b10_window_rank" ->
       """SELECT o_custkey, o_orderkey, rnk FROM (
         |  SELECT o_custkey, o_orderkey,
@@ -427,10 +479,18 @@ object Relational {
       s"""SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
          |  count(*) AS n_events, ${msum("value")} AS sum_value
          |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // append-mode semantics: only windows closed by the final watermark
+    // (max event time - 10 min, ms precision like Spark's) are emitted
     "b16_events_stream" ->
-      s"""SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
-         |  count(*) AS n_events, ${msum("value")} AS sum_value
-         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+      s"""WITH agg AS (
+         |  SELECT time_bucket(INTERVAL '1 hour', ts) AS w,
+         |    count(*) AS n_events, ${msum("value")} AS sum_value
+         |  FROM events GROUP BY 1),
+         |f AS (SELECT epoch_ms(max(ts)) - 600000 AS wm FROM events)
+         |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS bucket, n_events, sum_value
+         |FROM agg, f
+         |WHERE epoch_ms(w + INTERVAL 1 HOUR) <= wm
+         |ORDER BY bucket""".stripMargin,
     "b17_events_session" ->
       """WITH flagged AS (
         |  SELECT user_id, ts,

@@ -92,8 +92,10 @@ object Similarity {
     cands
       .join(docs.as("x"), col("da") === col("x.doc_id"))
       .join(docs.as("y"), col("db") === col("y.doc_id"))
+      // 1.0D, not 1.0: a bare SQL-string literal parses as DECIMAL(2,1)
+      // and would make j decimal where the exact path (and oracle) is double
       .select(col("da"), col("db"), expr(
-        """round(size(array_intersect(x.shingles, y.shingles)) * 1.0 /
+        """round(size(array_intersect(x.shingles, y.shingles)) * 1.0D /
           |(size(x.shingles) + size(y.shingles) - size(array_intersect(x.shingles, y.shingles))), 4)"""
           .stripMargin).as("j"))
       .filter(col("j") >= 0.8)

@@ -26,10 +26,18 @@ import graft.ops.Relational
 object Sessionize {
 
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
-  final case class SessionState(startMs: Long, lastMs: Long, n: Int, sum: Double)
-  final case class Session(user_id: Long, session_start: Timestamp, n_events: Int, sum_value: Double)
+  final case class SessionState(startMs: Long, lastMs: Long, n: Int, sumScaled: Long)
+  final case class Session(user_id: Long, session_start: Timestamp, n_events: Long, sum_value: Double)
 
   val gapMs: Long = 30L * 60 * 1000
+
+  /** Per-event money scaling (the moneySum doctrine, SURVEY §2.4): fold
+    * 4-decimal scaled longs so the session sum is exact and independent
+    * of fold order — a plain double fold would differ from the oracle's
+    * unordered sum in the last bits. BigDecimal.valueOf + HALF_UP is
+    * bit-identical to Spark's `round(x, 0)` and DuckDB's `round(x, 0)`. */
+  private def scaled(v: Double): Long =
+    java.math.BigDecimal.valueOf(v * 10000).setScale(0, java.math.RoundingMode.HALF_UP).longValue
 
   /** Fold a batch of events for one user into open/closed sessions.
     * Events inside a trigger arrive unordered → sort by time first. */
@@ -38,7 +46,7 @@ object Sessionize {
     if (state.hasTimedOut) {
       val s = state.get
       state.remove()
-      return Iterator.single(Session(userId, new Timestamp(s.startMs), s.n, s.sum))
+      return Iterator.single(Session(userId, new Timestamp(s.startMs), s.n.toLong, s.sumScaled / 10000.0))
     }
     val sorted = events.toSeq.sortBy(_.ts.getTime)
     var open = state.getOption
@@ -47,12 +55,12 @@ object Sessionize {
       val t = e.ts.getTime
       open match {
         case Some(s) if t - s.lastMs < gapMs =>
-          open = Some(s.copy(lastMs = t, n = s.n + 1, sum = s.sum + e.value))
+          open = Some(s.copy(lastMs = t, n = s.n + 1, sumScaled = s.sumScaled + scaled(e.value)))
         case Some(s) =>
-          closed += Session(userId, new Timestamp(s.startMs), s.n, s.sum)
-          open = Some(SessionState(t, t, 1, e.value))
+          closed += Session(userId, new Timestamp(s.startMs), s.n.toLong, s.sumScaled / 10000.0)
+          open = Some(SessionState(t, t, 1, scaled(e.value)))
         case None =>
-          open = Some(SessionState(t, t, 1, e.value))
+          open = Some(SessionState(t, t, 1, scaled(e.value)))
       }
     }
     open match {
@@ -97,7 +105,34 @@ object Sessionize {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b19_sessionize_stateful" -> (sessionizeEvents _))
-  // no oracle: append-mode emission excludes sessions still open at the
-  // watermark frontier (≤ 1 per user at stream end) — subset equality
-  // vs the batch session_window result is asserted in StreamingSpec
+
+  /** Append-mode emission = every non-last session per user (closed by
+    * its successor's first event) plus last sessions the final watermark
+    * (max event time − 10 min, ms precision) has timed out — i.e. the
+    * gaps-and-islands result minus sessions still open at the frontier.
+    * Sum via the scaled-long money pattern so both engines fold exactly. */
+  val oracleSql: Map[String, String] = Map(
+    "b19_sessionize_stateful" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged),
+        |agg AS (
+        |  SELECT user_id, sid, min(ts) AS start_ts, max(ts) AS last_ts,
+        |    count(*) AS n_events,
+        |    round(sum(cast(round(value * 10000, 0) as bigint)) / 10000.0, 4) AS sum_value,
+        |    max(sid) OVER (PARTITION BY user_id) AS max_sid
+        |  FROM sess GROUP BY user_id, sid),
+        |f AS (SELECT epoch_ms(max(ts)) - 600000 AS wm FROM events)
+        |SELECT user_id, strftime(start_ts, '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  n_events, sum_value
+        |FROM agg, f
+        |WHERE sid < max_sid OR epoch_ms(last_ts) + 1800000 < wm
+        |ORDER BY user_id, session_start, n_events""".stripMargin)
 }

@@ -25,4 +25,41 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       s"stream missed ${missing.size} sessions but only $users users can hold an open session")
     assert(stream.nonEmpty && stream.size >= batch.size - users)
   }
+
+  /** The B16 late-data contract (SURVEY B16: watermark + late-data
+    * drop): in append mode, a row arriving after the watermark has
+    * closed its window must be silently dropped, and still-open windows
+    * are withheld. */
+  test("append-mode window agg drops a beyond-watermark late row") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val q = mem.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.queryName("graft_late_sink").outputMode("append").format("memory")
+      .start()
+    def t(s: String) = Timestamp.valueOf(s)
+    mem.addData((t("2024-01-01 12:00:00"), 1.0), (t("2024-01-01 12:30:00"), 1.0))
+    q.processAllAvailable()
+    // watermark 12:20 — window [12:00,13:00) still open, nothing emitted
+    mem.addData((t("2024-01-01 14:00:00"), 1.0))
+    q.processAllAvailable()
+    // watermark now 13:50 → [12:00,13:00) finalized and emitted with n=2
+    mem.addData((t("2024-01-01 12:45:00"), 9.0), // LATE: watermark already closed its window
+      (t("2024-01-01 14:30:00"), 1.0)) //          on-time, lands in the open [14:00,15:00)
+    q.processAllAvailable()
+    q.stop()
+    // epoch-second comparison: independent of JVM default timezone
+    val got = spark.table("graft_late_sink")
+      .select(col("w.start").cast("long"), col("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val h12 = t("2024-01-01 12:00:00").getTime / 1000
+    assert(got == Set((h12, 2L)),
+      s"expected exactly the closed [12:00,13:00) window with the late row dropped, got $got")
+  }
 }
