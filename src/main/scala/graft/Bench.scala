@@ -11,6 +11,13 @@ object Bench {
   private val headline = Seq(
     "b3_agg_group", "b5_join_multi", "b8_topk", "a2_roundtrip", "c3_sim_topk")
 
+  /** comma-separated override, e.g. scale rehearsals benching the dedup
+    * pipeline queries on generated sf1 data */
+  private def querySet: Seq[String] =
+    sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(headline)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -28,7 +35,7 @@ object Bench {
       org.apache.spark.sql.functions.lit(1))).write.format("noop").mode("overwrite").save()
     // min of two runs per query: background-load noise on a shared box
     // swings single runs ±2×; the min tracks the query's actual cost
-    val results = headline.map { name =>
+    val results = querySet.map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()

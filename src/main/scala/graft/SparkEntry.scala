@@ -24,13 +24,18 @@ object SparkEntry {
     * parquet directly — DuckDB cannot read ORC). */
   private def a2Roundtrip(spark: SparkSession, dir: String): DataFrame = {
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_a2_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    // size write parallelism by data volume (~64MB/partition), not core
-    // count: repartitioning a small single-row-group source costs more
-    // in shuffle than the parallel write saves (measured), while a large
-    // source arrives many-partitioned and needs no shuffle at all
+    // size write parallelism by data volume (~64MB of RAW data per
+    // partition), not core count: repartitioning a small single-row-group
+    // source costs more in shuffle than the parallel write saves
+    // (measured), while a large source arrives many-partitioned and needs
+    // no shuffle at all. sizeInBytes is the COMPRESSED file size — scale
+    // by ~8× (zstd parquet ratio) or the write itself becomes the
+    // bottleneck: at sf1 the unscaled estimate packed a 6M-row ORC encode
+    // into one task (56 s single-threaded vs ~8 s parallel).
     val src = Relational.table(spark, dir, "lineitem")
     val sizeBytes = src.queryExecution.optimizedPlan.stats.sizeInBytes
-    val target = (sizeBytes / (64L << 20)).toLong.toInt.max(1)
+    val compressionFactor = 8L
+    val target = (sizeBytes * compressionFactor / (64L << 20)).toLong.toInt.max(1)
       .min(spark.sparkContext.defaultParallelism)
     val sized = if (target > src.rdd.getNumPartitions) src.repartition(target) else src
     OrcIO.writeOrc(sized, path, OrcIO.WriteOptions(overwrite = true))

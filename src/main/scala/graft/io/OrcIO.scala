@@ -34,6 +34,7 @@ object OrcIO {
       overwrite: Boolean = false,
       stripeSize: Option[Long] = None,
       rowIndexStride: Option[Int] = None,
+      bufferSize: Option[Int] = None,
       enforceBufferSize: Boolean = false,
       orcMemoryPool: Double = 0.5,
       batchSize: Int = 1024)
@@ -49,6 +50,8 @@ object OrcIO {
     var out = w.mode(if (opts.overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
     opts.stripeSize.foreach(s => out = out.option("orc.stripe.size", s.toString))
     opts.rowIndexStride.foreach(s => out = out.option("orc.row.index.stride", s.toString))
+    // the ORC writer's compression-chunk buffer (orca's :buffer-size knob)
+    opts.bufferSize.foreach(s => out = out.option("orc.compress.size", s.toString))
     if (opts.enforceBufferSize) out = out.option("orc.buffer.size.enforce", "true")
     // hive.exec.orc.memory.pool in the reference (core.clj:629-630);
     // the ORC writer's own knob is orc.memory.pool

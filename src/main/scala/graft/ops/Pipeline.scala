@@ -61,13 +61,16 @@ object Pipeline {
   // C4e — document fingerprint: min-hash winnow over token 3-gram
   // shingles (one md5 per shingle, keep the minimum — a deterministic
   // 1-permutation MinHash usable as a near-dup blocking key)
+  // token array bound once as a lambda variable — an aliased `split`
+  // column gets inlined by CollapseProject and re-splits per shingle
+  // index (the O(tokens²) trap; see Similarity.withShingles)
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Relational.table(spark, dir, "documents")
-      .withColumn("t", split(col("text"), " "))
       .withColumn("fp", expr(
-        """CASE WHEN size(t) < 3 THEN md5(text)
-          |ELSE array_min(transform(sequence(0, size(t) - 3),
-          |  i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2])))) END""".stripMargin))
+        """transform(array(split(text, ' ')), t ->
+          |  CASE WHEN size(t) < 3 THEN md5(text)
+          |  ELSE array_min(transform(sequence(0, size(t) - 3),
+          |    i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2])))) END)[0]""".stripMargin))
       .select(col("doc_id"), col("fp"))
       .orderBy("doc_id")
 
@@ -125,11 +128,18 @@ object Pipeline {
   // every exact-jaccard pair; transitive chains handled conservatively
   // — each pair independently drops its db side). Every stage is a
   // shuffle-parallel DataFrame program; oracle mirrors it exactly.
+  //
+  // Near-dup stage uses the SCALED path (MinHash-LSH candidates → exact
+  // Jaccard verify), whose output is oracle-proven identical to the
+  // exact shingle self-join. The exact join is only a correctness
+  // baseline: the sf1 rehearsal showed its pair-count aggregation going
+  // O(duplicates²) per hot shingle once the corpus carries real
+  // duplicate structure (>19 min at sf1 vs seconds for the LSH path).
   def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
     val quality = qualityScore(spark, dir).filter(col("quality") >= 0.7)
       .select(col("doc_id"), col("quality"))
     val keepers = dedupExact(spark, dir).select(col("keep_id").as("doc_id"))
-    val nearDupLosers = Similarity.dedupNgram(spark, dir).select(col("db").as("doc_id"))
+    val nearDupLosers = Similarity.dedupNgramScaled(spark, dir).select(col("db").as("doc_id"))
     quality
       .join(keepers, "doc_id") // exact-dup canonical survivors
       .join(nearDupLosers, Seq("doc_id"), "left_anti")

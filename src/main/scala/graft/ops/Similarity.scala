@@ -23,17 +23,22 @@ import graft.functions.GraftFunctions
 object Similarity {
 
   /** Distinct token 3-gram shingles; single-token guard keeps short docs
-    * non-empty. Tokenization goes through a materialized column first —
-    * referencing `split(text)` inside the transform lambda would
-    * re-split the whole text per shingle index (O(tokens²) per row; it
-    * showed up as a 100%-CPU interpreted `UTF8String.split` hot loop). */
+    * non-empty. The token array is bound ONCE as a lambda variable
+    * (`transform(array(split(..)), toks -> ..)[0]`): a plain
+    * `withColumn("tokens", split(..))` is NOT safe — CollapseProject
+    * inlines the alias into its consumers, and a `tokens[i]` reference
+    * inside the shingle transform then re-splits the whole text per
+    * shingle index. That O(tokens²)-per-row trap passed every sf0.01
+    * check and surfaced only in the sf1 rehearsal as a 100%-CPU
+    * interpreted `UTF8String.split` loop. A lambda binding is opaque to
+    * the optimizer, so the split stays once-per-row in every plan. */
   private def withShingles(df: DataFrame): DataFrame =
-    df.withColumn("tokens", split(col("text"), " "))
-      .withColumn("shingles", expr(
-        """array_distinct(CASE WHEN size(tokens) < 3 THEN array(text)
-          |ELSE transform(sequence(0, size(tokens) - 3),
-          |  i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))
-          |END)""".stripMargin))
+    df.withColumn("shingles", expr(
+      """transform(array(split(text, ' ')), toks ->
+        |  array_distinct(CASE WHEN size(toks) < 3 THEN array(text)
+        |  ELSE transform(sequence(0, size(toks) - 3),
+        |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |  END))[0]""".stripMargin))
 
   // C2b — exact n-gram Jaccard near-dup pairs (oracle-checked).
   // At 100 TB the shingle self-join amplifies hot shingles quadratically —

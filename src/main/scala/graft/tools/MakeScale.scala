@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale-rehearsal data generator: concatenates a source SF directory N
+ * times with re-keyed ids (each copy's keys shifted by copy × (max+1) per
+ * key column) so joins keep referential integrity and dedup gains real
+ * exact-duplicate structure (every document text appears N times — the
+ * honest "dedup at scale" workload). Fixed-size dims (region/nation) are
+ * copied once. Fact tables are written multi-file so scans are
+ * multi-row-group, unlike the single-row-group testdata.
+ *
+ * Usage: runMain graft.tools.MakeScale [srcDir] [dstDir] [copies]
+ */
+object MakeScale {
+
+  /** key columns to shift per table; empty = copy verbatim (fixed dims) */
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "region" -> Nil,
+    "nation" -> Nil,
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  /** output files per table — facts get enough splits for parallel scans */
+  private def filesFor(name: String, copies: Int): Int = name match {
+    case "region" | "nation"          => 1
+    case "lineitem" | "orders"        => math.max(copies, 16)
+    case _                            => math.max(copies / 2, 4)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    keyCols.foreach { case (name, keys) =>
+      val df = spark.read.parquet(s"$src/$name.parquet")
+      val out =
+        if (keys.isEmpty) df
+        else {
+          // stride = max+1 per key column, computed once from the source
+          val strides = keys.map { k =>
+            k -> (df.agg(max(col(k))).head().getLong(0) + 1L)
+          }
+          (0 until copies).map { i =>
+            strides.foldLeft(df) { case (d, (k, stride)) =>
+              d.withColumn(k, col(k) + lit(i * stride))
+            }
+          }.reduce(_.unionAll(_))
+        }
+      out.repartition(filesFor(name, copies))
+        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      System.err.println(s"[make-scale] $name x${if (keys.isEmpty) 1 else copies} -> $dst/$name.parquet")
+    }
+    spark.stop()
+  }
+}

@@ -66,6 +66,33 @@ class OrcIOSpec extends AnyFunSuite with SparkTestSession {
     assert(OrcIO.frameVecs(OrcIO.readOrc(spark, path)) == Seq(Seq(3, "c")))
   }
 
+  /** C5/C6 at realistic media payload sizes: ≥1 MB binary cells through
+    * the ORC path with non-default stripe/buffer/stride options, so the
+    * write exercises multi-stripe files and compression-chunk sizing
+    * rather than the 32-byte sha stand-ins the struct roundtrip uses.
+    * Fully distributed compare (md5 + length joined on id, no payload
+    * ever collected). */
+  test("MB-scale binary cells roundtrip with non-default stripe/buffer options") {
+    import org.apache.spark.sql.functions._
+    val path = tmpDir()
+    // 'media_<id>_' repeated 131072× → ~1.1 MB deterministic cell
+    val payload = expr("cast(repeat(concat('media_', cast(id as string), '_'), 131072) as binary)")
+    val src = spark.range(24).select(col("id"), payload.as("payload"))
+    OrcIO.writeOrc(src, path, OrcIO.WriteOptions(
+      overwrite = true,
+      stripeSize = Some(4L << 20),      // 4 MB stripes → several per file
+      rowIndexStride = Some(1000),      // minimum legal stride
+      bufferSize = Some(64 << 10),      // 64 KB compress chunks (default 256 KB)
+      enforceBufferSize = true))
+    val back = OrcIO.readOrc(spark, path)
+    val joined = src.select(col("id"), md5(col("payload")).as("h"), length(col("payload")).as("len"))
+      .join(back.select(col("id"), md5(col("payload")).as("h2"), length(col("payload")).as("len2")), "id")
+    assert(back.count() == 24)
+    assert(joined.filter(col("h") =!= col("h2") || col("len") =!= col("len2")).count() == 0,
+      "payload bytes must survive the roundtrip unchanged")
+    assert(joined.filter(col("len") < (1 << 20)).count() == 0, "cells must be >= 1 MB")
+  }
+
   test("distributed inference handles empty and all-null partitions") {
     val rdd = spark.sparkContext.parallelize(Seq[Any](null, Map("a" -> 1), null), 3)
     assert(OrcIO.inferTypeDef(rdd).map(graft.typedef.Merge.simplify(_).get)
