@@ -147,8 +147,34 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  // C9 — streaming exact deduplication: `dropDuplicates` on the key
+  // columns over the 4-file micro-batch replay; append mode emits the
+  // first occurrence of each key, cross-batch duplicates are suppressed
+  // by the state store. Output restricted to the key itself — which
+  // payload arrives first is an intra-batch ordering artifact. Exact
+  // dedup holds state for every key forever (the correctness baseline);
+  // at 100 TB with time-scoped keys the same pipeline takes
+  // `withWatermark + dropDuplicatesWithinWatermark` to bound the store.
+  def dedupStream(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Relational.events(spark, dir)
+    val stage = Relational.stageEventFiles(spark, ev,
+      s"graft_c9_stage_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val sinkName = "graft_c9_sink"
+    val q = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .writeStream.queryName(sinkName).outputMode("append").format("memory")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName).orderBy("user_id", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c8_clean_corpus" -> (cleanCorpus _),
+    "c9_dedup_stream" -> (dedupStream _),
     "c1_dedup_exact" -> (dedupExact _),
     "c4_text_stats" -> (textStats _),
     "c4_quality" -> (qualityScore _),
@@ -185,6 +211,10 @@ object Pipeline {
     "c1_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    // first-occurrence-per-key streaming dedup ≡ the distinct key set
+    "c9_dedup_stream" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
     "c4_text_stats" ->
       """SELECT doc_id, len(text) AS chars, len(string_split(text, ' ')) AS n_tokens
         |FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin,

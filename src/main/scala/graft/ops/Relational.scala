@@ -283,7 +283,7 @@ object Relational {
     * so the file source replays them oldest-first — a faithful stand-in
     * for files landing over time. Replay harness only (bounded passes
     * over one table); production streams read their real file feed. */
-  private def stageEventFiles(spark: SparkSession, ev: DataFrame, name: String, n: Int = 4): String = {
+  private[ops] def stageEventFiles(spark: SparkSession, ev: DataFrame, name: String, n: Int = 4): String = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val stage = Paths.get(System.getProperty("java.io.tmpdir"), name)

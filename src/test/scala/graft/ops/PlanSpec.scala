@@ -65,6 +65,25 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
   }
 
+  test("C2/C4: every tokenizing split stays lambda-bound after optimization") {
+    // CollapseProject inlines plain column aliases into consumers; a
+    // `tokens[i]` reference inside the shingle transform then re-splits
+    // the text per shingle index — O(tokens²)/row, found at sf1. The
+    // bound form `transform(array(split(..)), toks -> ..)` is opaque to
+    // the optimizer, so every split in the OPTIMIZED plan must appear in
+    // exactly that shape.
+    def check(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val op = df.queryExecution.optimizedPlan.toString
+      val all = "split\\(text".r.findAllIn(op).length
+      val bound = "transform\\(array\\(split\\(text".r.findAllIn(op).length
+      assert(all > 0 && all == bound,
+        s"$name: $all split(text) occurrences but only $bound lambda-bound — inlining regressed")
+    }
+    check(Similarity.dedupNgram(spark, dir), "dedupNgram")
+    check(Similarity.dedupNgramScaled(spark, dir), "dedupNgramScaled")
+    check(Pipeline.fingerprint(spark, dir), "fingerprint")
+  }
+
   test("B21: bucketed join plans a shuffle-free sort-merge join") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
