@@ -1,6 +1,5 @@
 package graft.ops
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -62,47 +61,93 @@ object Similarity {
       .orderBy("da", "db")
   }
 
-  // C2 — MinHash+LSH near-dup candidates (shingle → minhash → banded
-  // bucket join inside approxSimilarityJoin). Fixed seed → deterministic;
-  // approximate → rows-only check, recall asserted against dedupNgram in
-  // the spec.
-  def dedupMinHash(spark: SparkSession, dir: String): DataFrame = {
-    val docs = withShingles(Relational.table(spark, dir, "documents"))
+  /** Banded MinHash signatures + candidate pairs. 64 hash functions =
+    * 16 bands × 4 rows: per-band collision probability is J⁴, so
+    * background pairs (J ≲ 0.1) almost never collide while J ≥ 0.8
+    * pairs collide in ≥1 of 16 bands with probability ≈ 1 − 3.8e−8.
+    * Spark ML's MinHashLSH was dropped here after the sf1 rehearsal: its
+    * r = 1 banding (one hash per table) admits candidates at probability
+    * J per table, which on a corpus with shared vocabulary grows the
+    * candidate set quadratically (timed out at 50k docs where this
+    * formulation takes seconds). Each shingle is hashed ONCE to a long;
+    * per-plane values are `xxhash64(h, plane)` — long arithmetic only,
+    * no per-row string building, deterministic on any cluster. */
+  /** Callers must pass docs repartitioned to core parallelism BEFORE the
+    * shingle projection (see shingledDocs): signature work must scale
+    * with cores, not input file count. */
+  private def minhashCandidates(docs: DataFrame): DataFrame = {
+    val sigs = docs.withColumn("sigs", expr(
+      """transform(array(transform(shingles, s -> xxhash64(s))), hs ->
+        |  transform(sequence(0, 63), i ->
+        |    array_min(transform(hs, h -> xxhash64(h, i)))))[0]""".stripMargin))
+    // band key = the 4-row slice; sigs bound once so the 64-hash
+    // signature is never recomputed per band (see withShingles). Only
+    // (doc_id, band key) flows into the self-join — carrying the shingle
+    // arrays through a 16×-exploded shuffle would move the corpus text
+    // many times over
+    val banded = sigs.select(col("doc_id"),
+      explode(expr(
+        """transform(array(sigs), sg ->
+          |  transform(sequence(0, 15), b -> named_struct(
+          |    'band', b, 'key', slice(sg, b * 4 + 1, 4))))[0]""".stripMargin)).as("bk"))
+    // distinct BEFORE re-attaching shingles: deduping (da, db) id pairs
+    // shuffles a few bytes per row, while a distinct over rows carrying
+    // both shingle arrays shuffles the corpus text ~16× (measured at sf1
+    // as the dominant cost); the two verify joins below fetch each doc's
+    // shingles exactly once
+    // shuffle-hash, never broadcast: the banded side is "small" by
+    // byte-size estimate but EXPENSIVE to compute — a broadcast build
+    // would funnel the whole signature subplan through a driver collect
+    // (and the probe side would recompute it); shuffling (doc_id, bk)
+    // pairs costs almost nothing
+    val cands = banded.as("a").hint("shuffle_hash").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    cands
+      .join(docs.select(col("doc_id").as("da"), col("shingles").as("sa")), Seq("da"))
+      .join(docs.select(col("doc_id").as("db"), col("shingles").as("sb")), Seq("db"))
+  }
+
+  // C2 — MinHash+LSH near-dup candidates, exact Jaccard distance on the
+  // candidate set only (array_intersect of the two shingle sets — no
+  // shingle explosion). Deterministic; approximate candidate generation →
+  // rows-only check, recall asserted against dedupNgram in the spec.
+  /** Repartition the RAW text to core parallelism, THEN shingle: the
+    * corpus arrives in a handful of file-sized partitions, and shingle +
+    * signature work at file-count parallelism starves every core but
+    * four (watched at sf1). Shuffling text (~2 KB/row) instead of the
+    * computed shingle arrays (~5 KB/row) halves the exchange, and the
+    * single exchange is reused by every downstream consumer. */
+  private def shingledDocs(spark: SparkSession, dir: String): DataFrame =
+    withShingles(Relational.table(spark, dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism))
       .select(col("doc_id"), col("shingles"))
-    val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
-      .setNumFeatures(1 << 18).setBinary(true)
-    // persist: approxSimilarityJoin's bucket join would otherwise
-    // re-derive shingles+features per candidate pair through the lineage
-    val feat = tf.transform(docs).persist()
-    feat.count()
-    val mh = new MinHashLSH().setInputCol("features").setOutputCol("sig")
-      .setNumHashTables(8).setSeed(42L)
-    val model = mh.fit(feat)
-    model.approxSimilarityJoin(feat, feat, 0.5, "jaccard_dist")
-      .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
-      .select(col("datasetA.doc_id").as("da"), col("datasetB.doc_id").as("db"),
-        round(col("jaccard_dist"), 4).as("dist"))
+
+  def dedupMinHash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingledDocs(spark, dir)
+    minhashCandidates(docs)
+      .select(col("da"), col("db"), expr(
+        """round(1.0D - size(array_intersect(sa, sb)) * 1.0D /
+          |(size(sa) + size(sb) - size(array_intersect(sa, sb))), 4)""".stripMargin).as("dist"))
+      .filter(col("dist") <= 0.5)
       .orderBy("da", "db")
   }
 
-  // C2e — the composed 100 TB near-dup pipeline: MinHash-LSH candidate
+  // C2e — the composed 100 TB near-dup pipeline: banded-MinHash candidate
   // generation, then EXACT jaccard verification computed per candidate
   // pair (array_intersect on the two shingle sets — no shingle
   // explosion, no O(n²)). Oracle: identical to the exact dedupNgram
-  // result (LSH recall is 1.0 at this threshold, asserted in TierCSpec).
+  // result (candidate recall at J ≥ 0.8 is ≈1 − 3.8e−8 per pair with 16×4
+  // banding; equality asserted by the driver oracle and in TierCSpec).
+  // 1.0D, not 1.0: a bare SQL-string literal parses as DECIMAL(2,1) and
+  // would make j decimal where the exact path (and oracle) is double.
   def dedupNgramScaled(spark: SparkSession, dir: String): DataFrame = {
-    val cands = dedupMinHash(spark, dir).select(col("da"), col("db"))
-    val docs = withShingles(Relational.table(spark, dir, "documents"))
-      .select(col("doc_id"), col("shingles"))
-    cands
-      .join(docs.as("x"), col("da") === col("x.doc_id"))
-      .join(docs.as("y"), col("db") === col("y.doc_id"))
-      // 1.0D, not 1.0: a bare SQL-string literal parses as DECIMAL(2,1)
-      // and would make j decimal where the exact path (and oracle) is double
+    val docs = shingledDocs(spark, dir)
+    minhashCandidates(docs)
       .select(col("da"), col("db"), expr(
-        """round(size(array_intersect(x.shingles, y.shingles)) * 1.0D /
-          |(size(x.shingles) + size(y.shingles) - size(array_intersect(x.shingles, y.shingles))), 4)"""
-          .stripMargin).as("j"))
+        """round(size(array_intersect(sa, sb)) * 1.0D /
+          |(size(sa) + size(sb) - size(array_intersect(sa, sb))), 4)""".stripMargin).as("j"))
       .filter(col("j") >= 0.8)
       .orderBy("da", "db")
   }
@@ -111,7 +156,10 @@ object Similarity {
   // banded 4×16-bit for candidate generation (equi-join, no O(n²)),
   // hamming-verified. Deterministic (xxhash64). Rows-only check.
   def dedupSimHash(spark: SparkSession, dir: String): DataFrame = {
+    // repartition before the hash/vote projections — signature work must
+    // scale with cores, not input file count (see minhashCandidates)
     val docs = Relational.table(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("hashes", expr("transform(split(text, ' '), t -> xxhash64(t))"))
       // per-bit vote: +1/-1 per token occurrence (frequency-weighted)
       .withColumn("votes", expr(
@@ -121,9 +169,14 @@ object Similarity {
       .withColumn("simhash", expr(
         "aggregate(zip_with(votes, sequence(0, 63), (v, i) -> IF(v > 0, shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)"))
       .select(col("doc_id"), col("simhash"))
+    // simhash bound once — the vote/aggregate chain must not be inlined
+    // and recomputed per band (see withShingles)
     val banded = docs.select(col("doc_id"), col("simhash"),
-      explode(expr("transform(sequence(0, 3), b -> named_struct('band', b, 'key', (simhash >> (b * 16)) & 65535))")).as("bk"))
-    val cands = banded.as("a").join(banded.as("b"),
+      explode(expr(
+        """transform(array(simhash), s ->
+          |  transform(sequence(0, 3), b -> named_struct(
+          |    'band', b, 'key', shiftright(s, b * 16) & 65535)))[0]""".stripMargin)).as("bk"))
+    val cands = banded.as("a").hint("shuffle_hash").join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         col("a.simhash").as("sa"), col("b.simhash").as("sb"))
@@ -155,14 +208,29 @@ object Similarity {
       .orderBy("va", "vb")
   }
 
-  /** 64-bit sign-random-projection signature: plane p × dim d entries are
-    * deterministic pseudo-random signs from xxhash64 — no RNG state,
-    * identical on every executor of any cluster. */
+  /** Sign matrix for 64-plane sign-random-projection, packed one 64-bit
+    * word per dimension (bit p = plane p's sign for that dim, 512 dims
+    * max). Data-independent, generated ONCE on the driver from a fixed
+    * seed and shipped as a flat array<bigint> literal — identical on
+    * every executor of any cluster. (The first formulation derived each
+    * sign with a per-row string-keyed xxhash64: 64 × dim hash+concat per
+    * ROW, which the sf1 rehearsal showed dominating the whole dedup —
+    * the packed literal leaves only shift/mask + multiply-add.) */
+  private def srpSignsLit: org.apache.spark.sql.Column = {
+    val rng = new scala.util.Random(42)
+    // SQL array literal: the Spark 4 column API's lit/typedlit reject
+    // Seq literals, an expr parses once into a foldable ArrayType constant
+    expr(Seq.fill(512)(rng.nextLong()).mkString("array(", "L, ", "L)"))
+  }
+
+  /** 64-bit SRP signature; the word array is sliced to the embedding's
+    * dimension (wider embeddings would need a larger master matrix —
+    * guarded in the spec). */
   private val srpSigExpr = expr(
     """aggregate(zip_with(
       |  transform(sequence(0, 63), p -> IF(
-      |    aggregate(zip_with(embedding, sequence(0, size(embedding) - 1),
-      |      (x, d) -> cast(x as double) * IF((xxhash64(concat(cast(p as string), '_', cast(d as string))) & 1) = 1, 1.0D, -1.0D)),
+      |    aggregate(zip_with(embedding, slice(srp_signs, 1, size(embedding)),
+      |      (x, w) -> cast(x as double) * IF((shiftright(w, p) & 1) = 1, 1.0D, -1.0D)),
       |      0D, (acc, v) -> acc + v) > 0D, 1L, 0L)),
       |  sequence(0, 63), (bit, i) -> shiftleft(bit, i)), 0L, (a, x) -> a + x)""".stripMargin)
 
@@ -183,10 +251,18 @@ object Similarity {
         |(x, d) -> cast(x + IF((xxhash64(concat('jit_', cast(d as string), '_', cast(vec_id as string))) & 1) = 1, 0.001D, -0.001D) as float))"""
         .stripMargin).as("embedding"),
       col("label"))
-    val e = base.unionByName(noisy).withColumn("sig", srpSigExpr)
-    val banded = e.select(col("vec_id"), col("embedding"), col("sig"),
-      explode(expr("transform(sequence(0, 3), b -> named_struct('band', b, 'key', (sig >> (b * 16)) & 65535))")).as("bk"))
-    banded.as("a").join(banded.as("b"),
+    val e = base.unionByName(noisy)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("srp_signs", srpSignsLit)
+      .withColumn("sig", srpSigExpr)
+    // sig bound once inside the band transform — otherwise the optimizer
+    // may inline the whole 64-plane projection per band (see withShingles)
+    val banded = e.select(col("vec_id"), col("embedding"),
+      explode(expr(
+        """transform(array(sig), s ->
+          |  transform(sequence(0, 3), b -> named_struct(
+          |    'band', b, 'key', shiftright(s, b * 16) & 65535)))[0]""".stripMargin)).as("bk"))
+    banded.as("a").hint("shuffle_hash").join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
         col("a.embedding").as("ea"), col("b.embedding").as("eb"))
@@ -216,7 +292,7 @@ object Similarity {
   // nprobe=8 nearest cells. At scale the centroid table is tiny and
   // broadcast, the corpus is bucketed by cell, and each query touches
   // nprobe cells instead of the full corpus. Only the 1-row query vector
-  // and the 16 centroids are driver-materialized (O(1), documented
+  // and the k centroids are driver-materialized (O(1), documented
   // exception to the no-collect rule). Approximate → rows-only check;
   // recall vs simTopK asserted in the spec.
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
@@ -224,7 +300,9 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     val e = Relational.table(spark, dir, "embeddings")
       .withColumn("features", array_to_vector(expr("cast(embedding as array<double>)")))
-    val model = new KMeans().setK(16).setSeed(42L).setMaxIter(20)
+    // k ≈ √n cells — see knnJoinIvf; centroid table stays ≤4096 rows
+    val k = math.max(16, math.min(4096, math.sqrt(e.count().toDouble).toInt))
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(20)
       .setFeaturesCol("features").setPredictionCol("cell").fit(e)
     val assigned = model.transform(e)
     val qVec = assigned.filter(col("vec_id") === 0)
@@ -242,7 +320,66 @@ object Similarity {
       .limit(10)
   }
 
+  // C3c — brute-force kNN self-join (oracle-checked): top-3 neighbors for
+  // EVERY vector, the batch retrieval op behind near-dup clustering and
+  // training-data curation. Ranking happens on the ROUNDED similarity so
+  // both engines order identically; vb breaks ties. O(n²) correctness
+  // baseline — the IVF variant below is the scale path.
+  def knnJoin(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val e = Relational.table(spark, dir, "embeddings")
+    val pairs = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        round(cosineExpr("a.embedding", "b.embedding"), 4).as("sim"))
+    val w = Window.partitionBy(col("va")).orderBy(col("sim").desc, col("vb").asc)
+    pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select(col("va"), col("vb"), col("sim"), col("rnk"))
+      .orderBy("va", "rnk")
+  }
+
+  // C3d — IVF kNN join: KMeans coarse quantizer; each vector exact-scores
+  // only the corpus inside its nprobe=8 nearest cells (cell choice per
+  // vector via a broadcast 16-row centroid table — no driver loop).
+  // Work drops from n² to n × nprobe × n/k. Approximate → rows-only
+  // check; recall@3 vs the brute join asserted in the spec.
+  def knnJoinIvf(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.sql.expressions.Window
+    val e = Relational.table(spark, dir, "embeddings")
+      .withColumn("features", array_to_vector(expr("cast(embedding as array<double>)")))
+    // k ≈ √n cells (FAISS sizing rule): with fixed k the per-cell
+    // population — and with it the probe cost — grows linearly with the
+    // corpus, eroding the IVF advantage (observed at sf1: k=16 left only
+    // a 2× reduction over brute force). count() is an O(1)-result job.
+    val k = math.max(16, math.min(4096, math.sqrt(e.count().toDouble).toInt))
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(20)
+      .setFeaturesCol("features").setPredictionCol("cell").fit(e)
+    val assigned = model.transform(e).select(col("vec_id"), col("embedding"), col("cell"))
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
+      .toDF("cand_cell", "centroid") // k rows (≤4096) — broadcast dimension table
+    val cellW = Window.partitionBy(col("vec_id")).orderBy(col("cdist").asc, col("cand_cell").asc)
+    val probes = assigned.crossJoin(broadcast(centroids))
+      .withColumn("cdist", expr(
+        "aggregate(zip_with(embedding, centroid, (x, c) -> (x - c) * (x - c)), 0D, (a, v) -> a + v)"))
+      .withColumn("crnk", row_number().over(cellW)).filter(col("crnk") <= 8)
+      .select(col("vec_id").as("va"), col("embedding").as("ea"), col("cand_cell"))
+    val w = Window.partitionBy(col("va")).orderBy(col("sim").desc, col("vb").asc)
+    probes.join(assigned.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+        col("cell").as("cand_cell")), Seq("cand_cell"))
+      .filter(col("va") =!= col("vb"))
+      .select(col("va"), col("vb"), round(cosineExpr("ea", "eb"), 4).as("sim"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select(col("va"), col("vb"), col("sim"), col("rnk"))
+      .orderBy("va", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c3_knn_join" -> (knnJoin _),
+    "c3_knn_join_ivf" -> (knnJoinIvf _),
     "c2_dedup_ngram" -> (dedupNgram _),
     "c2_dedup_minhash" -> (dedupMinHash _),
     "c2_dedup_ngram_scaled" -> (dedupNgramScaled _),
@@ -290,6 +427,16 @@ object Similarity {
         |WHERE round(cast(list_cosine_similarity(cast(a.embedding as double[]),
         |    cast(b.embedding as double[])) as double), 4) >= 0.45
         |ORDER BY va, vb""".stripMargin,
+    "c3_knn_join" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |    round(cast(list_cosine_similarity(cast(a.embedding as double[]),
+        |      cast(b.embedding as double[])) as double), 4) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT va, vb, sim,
+        |  row_number() OVER (PARTITION BY va ORDER BY sim DESC, vb) AS rnk FROM pairs)
+        |SELECT va, vb, sim, rnk FROM r WHERE rnk <= 3
+        |ORDER BY va, rnk""".stripMargin,
     "c3_sim_topk" ->
       """SELECT vec_id,
         |  round(cast(list_cosine_similarity(cast(embedding as double[]),

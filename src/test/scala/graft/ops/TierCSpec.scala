@@ -59,6 +59,19 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     assert(recall >= 0.5, s"IVF recall $recall below 0.5")
   }
 
+  test("C3 IVF kNN join: high recall@3 vs the brute-force join") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.knnJoin(spark, dir))
+    val approx = pairs(Similarity.knnJoinIvf(spark, dir))
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"IVF kNN-join recall@3 $recall below 0.5")
+    // every vector must still get a full top-3 from its probed cells
+    val counts = Similarity.knnJoinIvf(spark, dir).groupBy("va").count()
+      .select("count").collect().map(_.getLong(0))
+    assert(counts.forall(_ == 3L), "a vector lost neighbors to cell pruning")
+  }
+
   test("C4b language-ID heuristic on crafted samples") {
     import spark.implicits._
     val samples = Seq(
