@@ -33,8 +33,13 @@ object Verify {
     // than burn a watchdog timeout each (e.g. SPARK_GRAFT_SKIP=c2_dedup_ngram)
     val skip = sys.env.getOrElse("SPARK_GRAFT_SKIP", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // SPARK_GRAFT_ONLY=b24_asof_join,b25_range_join → dump just those
+    // (local iteration on a new operator without the full registry)
+    val only = sys.env.getOrElse("SPARK_GRAFT_ONLY", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      if (skip(name)) { System.err.println(s"[verify] $name skipped (SPARK_GRAFT_SKIP)") }
+      if (only.nonEmpty && !only(name)) ()
+      else if (skip(name)) { System.err.println(s"[verify] $name skipped (SPARK_GRAFT_SKIP)") }
       else {
       val t0 = System.nanoTime()
       spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
