@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// pass the forked JVM's stdout/stderr through verbatim: sbt's default
+// LoggedOutput prefixes every line with [info]/[error], which is why the
+// driver could not parse Bench's JSON line out of rounds 1-2 output
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

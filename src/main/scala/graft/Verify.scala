@@ -37,9 +37,16 @@ object Verify {
     // (local iteration on a new operator without the full registry)
     val only = sys.env.getOrElse("SPARK_GRAFT_ONLY", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // names whose missing output is EXPECTED (env-skipped, ONLY-excluded,
+    // watchdog-cancelled) — written to skipped.json so the oracle checker
+    // can distinguish them from a query that crashed before writing
+    val intentionallySkipped = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      if (only.nonEmpty && !only(name)) ()
-      else if (skip(name)) { System.err.println(s"[verify] $name skipped (SPARK_GRAFT_SKIP)") }
+      if (only.nonEmpty && !only(name)) { intentionallySkipped += name }
+      else if (skip(name)) {
+        intentionallySkipped += name
+        System.err.println(s"[verify] $name skipped (SPARK_GRAFT_SKIP)")
+      }
       else {
       val t0 = System.nanoTime()
       spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
@@ -52,6 +59,7 @@ object Verify {
       } catch {
         case _: java.util.concurrent.TimeoutException =>
           spark.sparkContext.cancelJobGroup(name)
+          intentionallySkipped += name
           System.err.println(s"[verify] $name timed out after ${timeoutSec}s, cancelled")
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -73,6 +81,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/skipped.json"),
+      intentionallySkipped.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -340,7 +340,7 @@ object Similarity {
 
   // C3d — IVF kNN join: KMeans coarse quantizer; each vector exact-scores
   // only the corpus inside its nprobe=8 nearest cells (cell choice per
-  // vector via a broadcast 16-row centroid table — no driver loop).
+  // vector via a broadcast k-row (≤4096) centroid table — no driver loop).
   // Work drops from n² to n × nprobe × n/k. Approximate → rows-only
   // check; recall@3 vs the brute join asserted in the spec.
   def knnJoinIvf(spark: SparkSession, dir: String): DataFrame = {

@@ -42,7 +42,10 @@ object Temporal {
     * build payload forward onto each probe row. Build rows sort before
     * probe rows at equal ts, so a build row exactly at probeTs matches
     * (<=, not <). Column names must be disjoint across the two inputs
-    * except for `key`.
+    * except for `key`. The tie column keeps its native type in the sort
+    * (any orderable type — numeric, string, timestamp — works; probe
+    * rows carry a typed NULL that sorts first, and their tie value is
+    * never consumed anyway).
     */
   def asOfJoin(probe: DataFrame, build: DataFrame, key: String,
                probeTs: String, buildTs: String, tieBreak: String): DataFrame = {
@@ -50,18 +53,21 @@ object Temporal {
     val buildCols = build.columns.filter(_ != key)
     val probeType = probe.select(probeCols.map(col): _*).schema
     val buildType = build.select(buildCols.map(col): _*).schema
+    val tieType = build.schema(tieBreak).dataType
+    require(org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(tieType),
+      s"asOfJoin tie-break column '$tieBreak' has unorderable type $tieType")
     val b = build.select(
       col(key).as("_k"), col(buildTs).as("_ts"), lit(0).as("_side"),
-      col(tieBreak).cast("long").as("_tie"),
+      col(tieBreak).as("_tie"),
       struct(buildCols.map(col): _*).as("_payload"),
       lit(null).cast(probeType).as("_probe"))
     val p = probe.select(
       col(key).as("_k"), col(probeTs).as("_ts"), lit(1).as("_side"),
-      lit(0L).as("_tie"),
+      lit(null).cast(tieType).as("_tie"),
       lit(null).cast(buildType).as("_payload"),
       struct(probeCols.map(col): _*).as("_probe"))
     val w = Window.partitionBy("_k")
-      .orderBy(col("_ts").asc, col("_side").asc, col("_tie").asc)
+      .orderBy(col("_ts").asc, col("_side").asc, col("_tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = b.unionByName(p)
       .withColumn("_match", last(col("_payload"), ignoreNulls = true).over(w))
@@ -74,28 +80,59 @@ object Temporal {
 
   // ------------------------------------------------------------ range join
 
-  /** Inner point-in-interval join, binned: matches every (point, interval)
+  /** Point-in-interval join, binned: matches every (point, interval)
     * pair with the same `key` and `lo <= pointTs < hi`. `points` must
     * carry (key, pointTs, ...), `intervals` (key, lo, hi, ...); names
     * otherwise disjoint. `binWidthUs` is the bucketing granularity in
-    * microseconds. Emits points.* ++ intervals.*.
+    * microseconds. Emits intervals.* ++ points.*.
+    *
+    * `joinType` may be "inner" or "left" (intervals are the preserved
+    * side). The match itself always runs as an INNER equi-join on
+    * (key, bin) — a left join over the exploded bins would emit one
+    * null row per unmatched BIN rather than per interval — and "left"
+    * re-attaches the unmatched intervals afterwards via a left-anti
+    * join on a per-row interval id, so each unmatched interval emits
+    * exactly one null-extended row. The anti join shuffles only the
+    * (small) interval side's ids.
     */
   def rangeJoinBins(points: DataFrame, intervals: DataFrame, key: String,
                     pointTs: String, lo: String, hi: String,
                     binWidthUs: Long, joinType: String = "inner"): DataFrame = {
-    val iv = intervals
-      .withColumn("_bin", explode(sequence(
+    require(joinType == "inner" || joinType == "left",
+      s"rangeJoinBins supports joinType inner|left, got '$joinType'")
+    // per-row id so "left" can recover unmatched intervals even when
+    // interval rows are duplicates; deterministic for a deterministic
+    // scan (partition-indexed), and purely internal to this operator
+    val ivTagged = intervals.withColumn("_iid", monotonically_increasing_id())
+    // rename the key/bin columns UNIQUELY per side before joining: both
+    // sides often share lineage (e.g. two filters of the same events
+    // scan), and Spark's self-join dedup re-aliases the right side so a
+    // post-join drop(rightDf(col)) silently no-ops on the re-aliased
+    // attribute — dropping by a unique NAME is deterministic
+    val iv = ivTagged
+      .withColumn("_ibin", explode(sequence(
         expr(s"unix_micros($lo) div ${binWidthUs}L"),
         expr(s"unix_micros($hi) div ${binWidthUs}L"))))
       .withColumnRenamed(key, "_ikey")
-    val pt = points.withColumn("_bin", expr(s"unix_micros($pointTs) div ${binWidthUs}L"))
-    val cond = pt(key) === iv("_ikey") && pt("_bin") === iv("_bin") &&
-      pt(pointTs) >= iv(lo) && pt(pointTs) < iv(hi)
+    val pt = points.withColumnRenamed(key, "_pkey")
+      .withColumn("_pbin", expr(s"unix_micros($pointTs) div ${binWidthUs}L"))
+    val cond = col("_pkey") === col("_ikey") && col("_pbin") === col("_ibin") &&
+      col(pointTs) >= col(lo) && col(pointTs) < col(hi)
     // the point's single bin meets each interval in exactly one of the
-    // interval's exploded bins, so the equi-join emits no duplicates
-    iv.join(pt, cond, joinType)
-      .drop(iv("_bin")).drop(pt("_bin")).drop(pt(key))
+    // interval's exploded bins, so the inner equi-join emits no duplicates
+    val inner = iv.join(pt, cond, "inner")
+      .drop("_ibin", "_pbin", "_pkey")
       .withColumnRenamed("_ikey", key)
+    val matched =
+      if (joinType == "inner") inner
+      else {
+        val pointCols = points.schema.fields.filter(_.name != key)
+        val unmatched = ivTagged
+          .join(inner.select(col("_iid")), Seq("_iid"), "left_anti")
+          .select(col("*") +: pointCols.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+        inner.unionByName(unmatched)
+      }
+    matched.drop("_iid")
   }
 
   // --------------------------------------------------- registered queries

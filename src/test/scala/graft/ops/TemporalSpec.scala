@@ -75,6 +75,45 @@ class TemporalSpec extends AnyFunSuite with SparkTestSession {
     assert(got.toSeq === Seq(1L, 3L))
   }
 
+  test("rangeJoinBins left: one null row per unmatched interval, none for matched") {
+    import spark.implicits._
+    // interval 10 matches two points; interval 11 spans THREE bins and
+    // matches nothing — it must emit exactly ONE null-extended row, not
+    // one per bin (the round-2 advisory bug); interval 12 matches one
+    // point in its middle bin and must emit NO null rows even though its
+    // first/last bins are empty
+    val iv = Seq(
+      (10L, 1L, ts("2024-01-01 00:00:10"), ts("2024-01-01 00:01:10")),
+      (11L, 2L, ts("2024-01-01 02:00:00"), ts("2024-01-01 02:01:30")),
+      (12L, 1L, ts("2024-01-01 03:00:00"), ts("2024-01-01 03:01:30"))
+    ).toDF("iv_id", "user_id", "lo", "hi")
+    val pts = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:10")),
+      (3L, 1L, ts("2024-01-01 00:00:40")),
+      (6L, 1L, ts("2024-01-01 03:00:45"))
+    ).toDF("pt_id", "user_id", "pts")
+    val got = Temporal
+      .rangeJoinBins(pts, iv, "user_id", "pts", "lo", "hi",
+        binWidthUs = 30L * 1000000L, joinType = "left")
+      .select(col("iv_id"), col("pt_id"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSeq.sorted
+    assert(got === Seq(10L -> 1L, 10L -> 3L, 11L -> -1L, 12L -> 6L))
+  }
+
+  test("asOfJoin: non-numeric (string) tie-break orders natively, no silent nulls") {
+    import spark.implicits._
+    val build = Seq(
+      ("a", 1L, ts("2024-01-01 00:00:10")),
+      ("c", 1L, ts("2024-01-01 00:00:10")), // tie on ts → max string wins
+      ("b", 1L, ts("2024-01-01 00:00:10"))
+    ).toDF("tag", "user_id", "bts")
+    val probe = Seq((1L, 1L, ts("2024-01-01 00:00:15"))).toDF("pid", "user_id", "cts")
+    val got = Temporal.asOfJoin(probe, build, "user_id", "cts", "bts", "tag")
+      .select("tag").as[String].collect().toSeq
+    assert(got === Seq("c"))
+  }
+
   test("rangeJoinBins: plans an equi-join, never a nested-loop/cartesian") {
     val ev = Relational.table(spark, "/root/testdata/sf0.001", "events")
     val iv = ev.filter(col("event_type") === "purchase")

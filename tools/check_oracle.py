@@ -12,16 +12,24 @@ if ts_type == "BIGINT":
     con.execute("DROP VIEW events")
     con.execute(f"CREATE VIEW events AS SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) FROM '{sfdir}/events.parquet'")
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+# Verify records which queries it intentionally did not dump (env-skipped,
+# ONLY-excluded, watchdog-cancelled); only THOSE may be skipped here — any
+# other missing output means the query crashed before writing and is a FAIL.
+try:
+    known_skips = set(json.load(open(f"{outdir}/skipped.json")))
+except FileNotFoundError:
+    known_skips = None  # pre-round-3 dump: fall back to skip-on-missing
 fails = []
 skipped = 0
 for name, sql in sorted(oracle.items()):
     try:
-        # a query the Verify watchdog cancelled (the labeled O(n^2)
-        # baselines at large SF) has no output — skip before running its
-        # equally-quadratic oracle SQL
         if not glob.glob(f"{outdir}/{name}/*.parquet"):
-            print(f"SKIP {name} (no spark output — watchdog-cancelled?)")
-            skipped += 1
+            if known_skips is None or name in known_skips:
+                print(f"SKIP {name} (declared skipped by Verify)" if known_skips is not None
+                      else f"SKIP {name} (no spark output — watchdog-cancelled?)")
+                skipped += 1
+            else:
+                fails.append((name, "no spark output and not in skipped.json — query crashed in Verify"))
             continue
         odf = con.execute(sql).fetchdf()
         sdf = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'").fetchdf()
