@@ -33,11 +33,13 @@ object Bench {
     // numbers measure execution rather than first-touch JVM costs
     spark.read.parquet(s"$sfDir/lineitem.parquet").agg(org.apache.spark.sql.functions.count(
       org.apache.spark.sql.functions.lit(1))).write.format("noop").mode("overwrite").save()
-    // min of two runs per query: background-load noise on a shared box
-    // swings single runs ±2×; the min tracks the query's actual cost
+    // min of three runs per query: background-load noise on a shared box
+    // swings single runs ±2× (round-2's driver run read 7.0s total where
+    // an idle box measures 4.8-5.4s); the min tracks the query's actual cost
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = querySet.map { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to 2).map { _ =>
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
