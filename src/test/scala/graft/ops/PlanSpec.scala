@@ -84,6 +84,34 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     check(Pipeline.fingerprint(spark, dir), "fingerprint")
   }
 
+  test("C12: eval grams broadcast — the corpus gram stream never shuffles") {
+    val p = plan(Curation.decontaminate(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"eval grams not broadcast:\n$p")
+    // the streamed (corpus) side — printed between the join line and its
+    // BroadcastExchange build child — must carry no hash exchange: the
+    // exploded corpus grams flow map-side into the join, and the only
+    // hash shuffles sit in the small build subtree and post-join aggs
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    val buildIdx = p.indexOf("BroadcastExchange", joinIdx)
+    assert(joinIdx >= 0 && buildIdx > joinIdx, s"unexpected plan shape:\n$p")
+    val streamedSide = p.substring(joinIdx, buildIdx)
+    assert(!streamedSide.contains("Exchange hashpartitioning"),
+      s"corpus grams shuffle before the broadcast join:\n$p")
+  }
+
+  test("C13: stratified sample is map-only before the presentation sort") {
+    val p = plan(Curation.sampleStratified(spark, dir))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"hash-bucket sampling must not shuffle:\n$p")
+  }
+
+  test("C15: packing windows shuffle once, on the stratum key") {
+    val p = plan(Curation.packSequences(spark, dir))
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected exactly 1 hash exchange (lang window), got $exchanges:\n$p")
+    assert(p.contains("Window"), s"no window operator:\n$p")
+  }
+
   test("B21: bucketed join plans a shuffle-free sort-merge join") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
