@@ -37,10 +37,13 @@ object Verify {
     // (local iteration on a new operator without the full registry)
     val only = sys.env.getOrElse("SPARK_GRAFT_ONLY", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
-    // names whose missing output is EXPECTED (env-skipped, ONLY-excluded,
-    // watchdog-cancelled) — written to skipped.json so the oracle checker
-    // can distinguish them from a query that crashed before writing
+    // names whose missing output is EXPECTED (env-skipped, ONLY-excluded)
+    // — written to skipped.json so the oracle checker can distinguish
+    // them from a query that crashed before writing. Watchdog timeouts
+    // go to cancelled.json instead: a formerly-passing query that starts
+    // hanging must surface as a FAILURE, not a policy skip.
     val intentionallySkipped = scala.collection.mutable.ArrayBuffer[String]()
+    val cancelled = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (only.nonEmpty && !only(name)) { intentionallySkipped += name }
       else if (skip(name)) {
@@ -59,7 +62,7 @@ object Verify {
       } catch {
         case _: java.util.concurrent.TimeoutException =>
           spark.sparkContext.cancelJobGroup(name)
-          intentionallySkipped += name
+          cancelled += name
           System.err.println(s"[verify] $name timed out after ${timeoutSec}s, cancelled")
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -83,6 +86,8 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(Paths.get(s"$outDir/skipped.json"),
       intentionallySkipped.sorted.map(q).mkString("[", ",", "]"))
+    Files.writeString(Paths.get(s"$outDir/cancelled.json"),
+      cancelled.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

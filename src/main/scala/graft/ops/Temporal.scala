@@ -101,9 +101,15 @@ object Temporal {
     require(joinType == "inner" || joinType == "left",
       s"rangeJoinBins supports joinType inner|left, got '$joinType'")
     // per-row id so "left" can recover unmatched intervals even when
-    // interval rows are duplicates; deterministic for a deterministic
-    // scan (partition-indexed), and purely internal to this operator
-    val ivTagged = intervals.withColumn("_iid", monotonically_increasing_id())
+    // interval rows are duplicates; purely internal to this operator.
+    // "left" evaluates ivTagged in TWO branches (inner join + left-anti),
+    // and monotonically_increasing_id is only stable per evaluation — an
+    // intervals input downstream of a shuffle could order its partitions
+    // differently across re-evaluations, silently dropping or duplicating
+    // unmatched intervals. localCheckpoint pins the ids once; the inner
+    // path evaluates once and needs no pin.
+    val ivTagged0 = intervals.withColumn("_iid", monotonically_increasing_id())
+    val ivTagged = if (joinType == "left") ivTagged0.localCheckpoint() else ivTagged0
     // rename the key/bin columns UNIQUELY per side before joining: both
     // sides often share lineage (e.g. two filters of the same events
     // scan), and Spark's self-join dedup re-aliases the right side so a

@@ -6,9 +6,10 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestSession
 
 /** Semantics checks for the curation ops that the sf-scale oracle can't
-  * isolate: 13-gram boundary behavior, clustering transitivity (closure
-  * vs the raw pair list), sampling determinism, and packing boundary
-  * arithmetic. */
+  * isolate: 13-gram boundary behavior, gram-hash collision freedom,
+  * clustering transitivity + loud non-convergence, sampling determinism
+  * and overflow-safety, and packing boundary arithmetic per (lang,
+  * shard) stratum. */
 class CurationSpec extends AnyFunSuite with SparkTestSession {
 
   private val sf = "/root/testdata/sf0.01"
@@ -24,19 +25,38 @@ class CurationSpec extends AnyFunSuite with SparkTestSession {
       (2L, (words.take(12) ++ Seq("zzz")).mkString(" ")),
       (3L, words.take(12).mkString(" "))
     ).toDF("doc_id", "text")
-    docs.createOrReplaceTempView("curation_spec_docs")
     // run the same expression pipeline on the crafted frame via the op's
-    // internals: materialize grams the way decontaminate does
+    // internals: materialize hashed grams the way decontaminate does
     val grams = docs.select(col("doc_id"), explode(expr(
       """transform(array(split(text, ' ')), toks ->
         |  CASE WHEN size(toks) >= 13 THEN
         |    array_distinct(transform(sequence(0, size(toks) - 13),
-        |      i -> concat_ws(' ', slice(toks, i + 1, 13))))
-        |  ELSE array() END)[0]""".stripMargin)).as("gram"))
-    val ev = grams.filter(col("doc_id") % 20 === 0).select("gram").distinct()
-    val flagged = grams.filter(col("doc_id") % 20 =!= 0).join(ev, Seq("gram"))
+        |      i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 13)))))
+        |  ELSE array() END)[0]""".stripMargin)).as("gram_h"))
+    val ev = grams.filter(col("doc_id") % 20 === 0).select("gram_h").distinct()
+    val flagged = grams.filter(col("doc_id") % 20 =!= 0).join(ev, Seq("gram_h"))
       .select("doc_id").distinct().as[Long].collect().sorted
     assert(flagged.toSeq === Seq(1L))
+  }
+
+  test("decontaminate: xxhash64 gram keys are collision-free on the whole corpus") {
+    // the oracle joins on gram STRINGS, the operator on 64-bit hashes;
+    // they agree iff no two distinct grams share a hash — proven exactly
+    // here at test scale (beyond it: ~n²/2⁶⁴, negligible)
+    val grams = Relational.table(spark, sf, "documents")
+      .select(explode(expr(
+        """transform(array(split(text, ' ')), toks ->
+          |  CASE WHEN size(toks) >= 13 THEN
+          |    array_distinct(transform(sequence(0, size(toks) - 13),
+          |      i -> concat_ws(' ', slice(toks, i + 1, 13))))
+          |  ELSE array() END)[0]""".stripMargin)).as("gram"))
+    val counts = grams
+      .agg(count_distinct(col("gram")).as("strings"),
+        count_distinct(xxhash64(col("gram"))).as("hashes"))
+      .head()
+    assert(counts.getLong(0) === counts.getLong(1),
+      s"xxhash64 collision among ${counts.getLong(0)} distinct grams")
+    assert(counts.getLong(0) > 1000, "corpus should carry a real gram population")
   }
 
   test("dedupCluster: labels equal the transitive closure of the pair graph") {
@@ -62,31 +82,81 @@ class CurationSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("clusterPairs: exiting the round cap unconverged throws, not silently mislabels") {
+    import spark.implicits._
+    // a path graph 0-1-2-...-10 has diameter 10: min-label propagation
+    // moves label 0 one hop per round, so a cap of 3 cannot converge
+    val path = (0L until 10L).map(i => (i, i + 1)).toDF("da", "db")
+    val e = intercept[IllegalStateException] {
+      Curation.clusterPairs(spark, path, maxRoundsDefault = 3).collect()
+    }
+    assert(e.getMessage.contains("did not reach a fixpoint"))
+    // with a sufficient cap the same graph converges to one component
+    val labels = Curation.clusterPairs(spark, path, maxRoundsDefault = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 11 && labels.values.forall(_ == 0L))
+  }
+
+  test("clusterPairs: reliable checkpoint knob pins iterations to the checkpoint dir") {
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.conf.set("graft.checkpoint.dir", ckpt)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("da", "db")
+      val labels = Curation.clusterPairs(spark, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      // reliable checkpoints materialized on the configured FS path
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, s"no checkpoint files under $ckpt")
+    } finally spark.conf.unset("graft.checkpoint.dir")
+  }
+
   test("sampleStratified: deterministic across runs, bucket arithmetic holds") {
     val a = Curation.sampleStratified(spark, sf).collect()
     val b = Curation.sampleStratified(spark, sf).collect()
     assert(a.toSeq === b.toSeq)
     a.foreach { r =>
       val (id, lang, bucket) = (r.getLong(0), r.getString(1), r.getLong(2))
-      assert(bucket === math.floorMod(id * 2654435761L, 100L))
+      assert(bucket === ((id % 1000000007L) * 2654435761L / 65536L) % 100L)
       assert(bucket < (if (lang == "en") 10 else 40))
     }
   }
 
-  test("packSequences: per-stratum running offsets and straddle flags") {
+  test("sampleStratified: bucket formula is overflow-free at doc_id near 2^62") {
+    import spark.implicits._
+    // ids past the old formula's ~3.5e9 overflow bound: the mod-prime
+    // reduction keeps the Knuth multiply < 2.66e18 (< 2⁶³−1) for EVERY
+    // long id, so Spark and DuckDB (same integer semantics, no overflow)
+    // agree across the whole id space — no id-range contract needed
+    val huge = Seq((1L << 62) + 12345L, Long.MaxValue - 7L, 3500000000L, 0L)
+    val got = huge.toDF("doc_id")
+      .select(Curation.bucketExpr("doc_id").as("bucket"))
+      .collect().map(_.getLong(0))
+    val want = huge.map(id => ((id % 1000000007L) * 2654435761L / 65536L) % 100L)
+    assert(got.toSeq === want)
+    assert(got.forall(b => b >= 0 && b < 100))
+  }
+
+  test("packSequences: running offsets and straddle flags per (lang, shard) stratum") {
     val rows = Curation.packSequences(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3), r.getBoolean(4)))
-    // recompute the packing per lang in plain Scala
-    val byLang = rows.groupBy(_._2)
-    byLang.foreach { case (_, docs) =>
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getBoolean(5)))
+    // recompute the packing per (lang, shard) in plain Scala
+    val byStratum = rows.groupBy(r => (r._2, r._3))
+    assert(byStratum.size > rows.map(_._2).distinct.length,
+      "sharding must split at least one language across shards")
+    byStratum.foreach { case ((_, shard), docs) =>
       var off = 0L
-      docs.sortBy(_._1).foreach { case (_, _, n, seqId, straddles) =>
+      docs.sortBy(_._1).foreach { case (id, _, _, n, seqId, straddles) =>
+        assert(id / 128L === shard, s"doc $id in wrong shard $shard")
         assert(seqId === off / 512, s"seq_id at offset $off")
         assert(straddles === ((off + n - 1) / 512 != off / 512), s"straddle at offset $off")
         off += n
       }
     }
     // sanity: the pack actually spans multiple sequences
-    assert(rows.map(_._4).distinct.length > 1)
+    assert(rows.map(_._5).distinct.length > 1)
   }
 }

@@ -84,19 +84,24 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     check(Pipeline.fingerprint(spark, dir), "fingerprint")
   }
 
-  test("C12: eval grams broadcast — the corpus gram stream never shuffles") {
+  test("C12: eval gram hashes broadcast — no hash shuffle on the streamed corpus side") {
     val p = plan(Curation.decontaminate(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"eval grams not broadcast:\n$p")
     // the streamed (corpus) side — printed between the join line and its
-    // BroadcastExchange build child — must carry no hash exchange: the
-    // exploded corpus grams flow map-side into the join, and the only
-    // hash shuffles sit in the small build subtree and post-join aggs
+    // BroadcastExchange build child — carries exactly ONE exchange: the
+    // intended round-robin repartition that decouples gram parallelism
+    // from input file count. The exploded corpus grams themselves flow
+    // map-side into the join; hash shuffles sit only in the small build
+    // subtree and the post-join aggregation.
     val joinIdx = p.indexOf("BroadcastHashJoin")
     val buildIdx = p.indexOf("BroadcastExchange", joinIdx)
     assert(joinIdx >= 0 && buildIdx > joinIdx, s"unexpected plan shape:\n$p")
     val streamedSide = p.substring(joinIdx, buildIdx)
-    assert(!streamedSide.contains("Exchange hashpartitioning"),
-      s"corpus grams shuffle before the broadcast join:\n$p")
+    val exchanges = streamedSide.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.size <= 1 && exchanges.forall(_.contains("RoundRobinPartitioning")),
+      s"streamed side must carry only the round-robin repartition, got $exchanges:\n$p")
+    // the join compares 8-byte xxhash64 keys, never the gram strings
+    assert(streamedSide.contains("xxhash64"), s"gram hashing missing from streamed side:\n$p")
   }
 
   test("C13: stratified sample is map-only before the presentation sort") {
@@ -105,10 +110,15 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"hash-bucket sampling must not shuffle:\n$p")
   }
 
-  test("C15: packing windows shuffle once, on the stratum key") {
+  test("C15: packing windows shuffle once, on the composite (lang, shard) key") {
     val p = plan(Curation.packSequences(spark, dir))
-    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(exchanges == 1, s"expected exactly 1 hash exchange (lang window), got $exchanges:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.size == 1,
+      s"expected exactly 1 hash exchange (stratum window), got ${exchanges.size}:\n$p")
+    // the window partitions on BOTH keys — the majority language spreads
+    // across shard sub-strata instead of one task chain
+    assert(exchanges.head.contains("lang") && exchanges.head.contains("shard"),
+      s"window exchange not on (lang, shard): ${exchanges.head}\n$p")
     assert(p.contains("Window"), s"no window operator:\n$p")
   }
 

@@ -13,18 +13,26 @@ if ts_type == "BIGINT":
     con.execute(f"CREATE VIEW events AS SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) FROM '{sfdir}/events.parquet'")
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 # Verify records which queries it intentionally did not dump (env-skipped,
-# ONLY-excluded, watchdog-cancelled); only THOSE may be skipped here — any
-# other missing output means the query crashed before writing and is a FAIL.
+# ONLY-excluded) in skipped.json; only THOSE may be skipped here. Watchdog
+# timeouts land in cancelled.json and are FAILURES — a formerly-passing
+# query that starts hanging must not surface as a policy skip. Any other
+# missing output means the query crashed before writing and is a FAIL.
 try:
     known_skips = set(json.load(open(f"{outdir}/skipped.json")))
 except FileNotFoundError:
     known_skips = None  # pre-round-3 dump: fall back to skip-on-missing
+try:
+    known_cancels = set(json.load(open(f"{outdir}/cancelled.json")))
+except FileNotFoundError:
+    known_cancels = set()
 fails = []
 skipped = 0
 for name, sql in sorted(oracle.items()):
     try:
         if not glob.glob(f"{outdir}/{name}/*.parquet"):
-            if known_skips is None or name in known_skips:
+            if name in known_cancels:
+                fails.append((name, "watchdog TIMEOUT in Verify — query hung, not a policy skip"))
+            elif known_skips is None or name in known_skips:
                 print(f"SKIP {name} (declared skipped by Verify)" if known_skips is not None
                       else f"SKIP {name} (no spark output — watchdog-cancelled?)")
                 skipped += 1
