@@ -7,13 +7,15 @@ import org.apache.spark.sql.functions._
  * Tier C — multimodal columns (SURVEY §2 Tier C / builder contract):
  * image/audio/video as opaque `binary` columns with typed metadata.
  *
- * The decode step is STUBBED (no image/audio libraries in this
- * container): [[decodeStub]] produces a deterministic fake feature
- * vector from the media bytes. Everything around it — the schema, the
- * `Dataset[T]` encoders, the per-partition batched decode shape
- * (batches of [[batchSize]], the same contract a `mapInPandas`/Arrow
- * decode would use), partitioning, and the aggregation — is real and
- * tested. Swapping the stub for a real decoder changes one function.
+ * Images decode FOR REAL (PNG/BMP/GIF/JPEG via `javax.imageio`, pure
+ * JVM): true pixel dimensions and a luminance feature fold. Audio and
+ * video remain STUBBED (no audio/video libraries in this container):
+ * [[decodeBatch]] folds their bytes into a deterministic fake feature
+ * vector. Everything around the stub — the schema, the `Dataset[T]`
+ * encoders, the per-partition batched decode shape (batches of
+ * [[batchSize]], the same contract a `mapInPandas`/Arrow decode would
+ * use), partitioning, and the aggregation — is real and tested.
+ * Swapping the remaining stub for a real decoder changes one function.
  */
 object Multimodal {
 
@@ -25,8 +27,12 @@ object Multimodal {
       doc_id: Long, kind: String, media: Array[Byte],
       width: Int, height: Int, sample_rate: Int)
 
+  /** decoded_w/decoded_h are the REAL pixel dimensions when the media
+    * bytes decoded as an image; −1 when the byte-fold stub handled the
+    * row (audio/video, or bytes that aren't a decodable image). */
   final case class MediaFeatures(
-      doc_id: Long, kind: String, n_bytes: Int, features: Array[Float])
+      doc_id: Long, kind: String, n_bytes: Int,
+      decoded_w: Int, decoded_h: Int, features: Array[Float])
 
   /** Ingest plumbing: attach a deterministic fake media payload + typed
     * metadata to each document (sha256 of the text as the opaque bytes —
@@ -41,23 +47,55 @@ object Multimodal {
       (col("n_chars") % 480 + 16).cast("int").as("height"),
       when(col("doc_id") % 3 === 1, 16000).otherwise(0).as("sample_rate"))
 
-  /** ??? DECODE STUB ??? — stands in for image decode / audio feature
-    * extraction. Deterministic: folds the media bytes into an 8-float
-    * signature. A real implementation would decode `media` with an
-    * imaging/audio library here, one batch per call. */
-  def decodeStub(batch: Seq[MediaDoc]): Seq[MediaFeatures] =
-    batch.map { d =>
+  /** Real image decode for the `image` kind: PNG/BMP/GIF/JPEG through
+    * `javax.imageio` (pure JVM, no external deps — the formats the JDK
+    * ships readers for). Features = an 8-bin luminance fold over the
+    * actual pixels, plus the true width/height. Deterministic. */
+  private def decodeImage(d: MediaDoc): Option[MediaFeatures] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(d.media)))
+      catch { case _: java.io.IOException => None }
+    img.map { im =>
       val feats = new Array[Float](8)
-      d.media.zipWithIndex.foreach { case (b, i) => feats(i % 8) += (b & 0xff) / 255.0f }
-      MediaFeatures(d.doc_id, d.kind, d.media.length, feats)
+      var y = 0
+      while (y < im.getHeight) {
+        var x = 0
+        while (x < im.getWidth) {
+          val rgb = im.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+          feats((x + y) % 8) += lum / 255.0f
+          x += 1
+        }
+        y += 1
+      }
+      MediaFeatures(d.doc_id, d.kind, d.media.length, im.getWidth, im.getHeight, feats)
+    }
+  }
+
+  /** ??? DECODE STUB ??? — audio/video feature extraction (no audio/
+    * video libraries in this container). Deterministic: folds the media
+    * bytes into an 8-float signature, decoded dims = −1. Also the
+    * fallback for image rows whose bytes are not a decodable image. */
+  private def decodeFold(d: MediaDoc): MediaFeatures = {
+    val feats = new Array[Float](8)
+    d.media.zipWithIndex.foreach { case (b, i) => feats(i % 8) += (b & 0xff) / 255.0f }
+    MediaFeatures(d.doc_id, d.kind, d.media.length, -1, -1, feats)
+  }
+
+  /** Batched decode: images decode for real via [[decodeImage]];
+    * audio/video (and undecodable image bytes) fall through to the
+    * byte-fold stub. One batch per call — the Arrow-batch contract. */
+  def decodeBatch(batch: Seq[MediaDoc]): Seq[MediaFeatures] =
+    batch.map { d =>
+      (if (d.kind == "image") decodeImage(d) else None).getOrElse(decodeFold(d))
     }
 
   /** Partition-wise batched decode — the real distribution plumbing:
-    * executors pull [[batchSize]]-row batches through the stub, no
-    * driver involvement, output schema fixed by the encoder. */
+    * executors pull [[batchSize]]-row batches through [[decodeBatch]],
+    * no driver involvement, output schema fixed by the encoder. */
   def decodeFeatures(media: Dataset[MediaDoc]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.grouped(batchSize).flatMap(g => decodeStub(g.toSeq)))
+    media.mapPartitions(_.grouped(batchSize).flatMap(g => decodeBatch(g.toSeq)))
   }
 
   /** Metadata-level resize: pure column transform on the typed metadata
@@ -83,12 +121,13 @@ object Multimodal {
     val media = attachMedia(Relational.table(spark, dir, "documents")).as[MediaDoc]
     decodeFeatures(media)
       .toDF()
-      .select(col("doc_id"), col("kind"), col("n_bytes"),
+      .select(col("doc_id"), col("kind"), col("n_bytes"), col("decoded_w"),
         round(expr("aggregate(features, 0D, (a, x) -> a + cast(x as double))"), 4).as("feat_sum"))
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("feat_sum")), 4).as("total_feat"),
-        max(col("n_bytes")).as("max_bytes"))
+        max(col("n_bytes")).as("max_bytes"),
+        count(when(col("decoded_w") >= 0, 1)).as("n_decoded"))
       .orderBy("kind")
   }
 

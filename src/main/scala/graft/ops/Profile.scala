@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   *  - `profile` computes every statistic in a SINGLE aggregate pass.
   *    The exact distinct counts make Catalyst plan one Expand (one
   *    input row → n_cols rows) feeding a partially-aggregated shuffle —
-  *    still one scan, still map-side combined. At 100 TB swap the exact
-  *    `count_distinct` for `approx_count_distinct` (HLL, same plan
-  *    minus the Expand); the oracle checks the exact form.
+  *    still one scan, still map-side combined. `profileApprox` is the
+  *    100 TB form: `approx_count_distinct` (HLL, same plan minus the
+  *    Expand) — registered as c10_profile_approx, bracket-checked in
+  *    ProfileSpec; the oracle checks the exact form.
   *  - `latestByKey` is `max(struct(ts, tie, payload...))` — an ordinary
   *    partial aggregation (map-side combine, tiny shuffle), NOT a
   *    window sort: row_number() over each key would shuffle and sort
@@ -27,7 +28,22 @@ object Profile {
   /** One profile row per requested column: total rows, nulls, exact
     * distinct count, min/max rendered to strings (timestamps formatted,
     * doubles rounded to 4). */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, c => count_distinct(col(c)))
+
+  /** The 100 TB form: `approx_count_distinct` (HyperLogLog++ at 1%
+    * relative standard deviation — ~10k registers per column, constant
+    * regardless of input size) replaces the exact ndv. The multi-column
+    * exact distinct forces Catalyst to Expand every input row n_cols
+    * times before the shuffle; the HLL sketch aggregates in ONE pass
+    * with no Expand — same single scan, constant-size partial state per
+    * column (asserted in ProfileSpec, bracket-checked ±5% vs the exact
+    * profile — 5σ headroom over the sketch's 1% rsd). */
+  def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, c => approx_count_distinct(col(c), 0.01))
+
+  private def profileWith(df: DataFrame, cols: Seq[String],
+      ndv: String => org.apache.spark.sql.Column): DataFrame = {
     // min/max aggregate on the NATIVE type (never lexicographically on a
     // rendered string), then the extremum is rendered for the output row
     def render(c: org.apache.spark.sql.Column, name: String): org.apache.spark.sql.Column = {
@@ -40,7 +56,7 @@ object Profile {
     val aggs = cols.flatMap { c =>
       Seq(count(lit(1)).as(s"${c}__rows"),
         count(col(c)).as(s"${c}__nonnull"),
-        count_distinct(col(c)).as(s"${c}__ndv"),
+        ndv(c).as(s"${c}__ndv"),
         render(min(col(c)), c).as(s"${c}__min"),
         render(max(col(c)), c).as(s"${c}__max"))
     }
@@ -72,6 +88,13 @@ object Profile {
     profile(Relational.table(spark, dir, "lineitem"),
       Seq("l_orderkey", "l_returnflag", "l_quantity", "l_shipdate"))
 
+  /** C10b — the same profile through the HLL path (rows-only check: the
+    * sketch estimate is not SQL-reproducible in DuckDB; ProfileSpec
+    * brackets it within ±5% of the exact ndv). */
+  def profileLineitemApprox(spark: SparkSession, dir: String): DataFrame =
+    profileApprox(Relational.table(spark, dir, "lineitem"),
+      Seq("l_orderkey", "l_returnflag", "l_quantity", "l_shipdate"))
+
   /** C11 — latest event per user from the events changelog. */
   def latestEvent(spark: SparkSession, dir: String): DataFrame =
     latestByKey(Relational.table(spark, dir, "events"), "user_id", "ts", "event_id")
@@ -82,6 +105,7 @@ object Profile {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c10_profile" -> (profileLineitem _),
+    "c10_profile_approx" -> (profileLineitemApprox _),
     "c11_latest_by_key" -> (latestEvent _))
 
   val oracleSql: Map[String, String] = Map(

@@ -26,6 +26,30 @@ class ProfileSpec extends AnyFunSuite with SparkTestSession {
     assert(rows("t") === ((4L, 1L, 3L, "2024-01-01 00:00:00", "2024-01-03 00:00:00")))
   }
 
+  test("profileApprox: HLL ndv within ±5% of exact; no Expand in the plan") {
+    val exact = Profile.profileLineitem(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approxDf = Profile.profileLineitemApprox(spark, "/root/testdata/sf0.01")
+    val approx = approxDf.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    exact.foreach { case (c, ndv) =>
+      val a = approx(c)
+      assert(math.abs(a - ndv) <= math.max(1L, (ndv * 0.05).toLong),
+        s"$c: approx ndv $a vs exact $ndv outside 5%")
+    }
+    // all other stats are exact and identical between the two paths
+    val e = Profile.profileLineitem(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(4), r.getString(5)))).toMap
+    val ap = approxDf.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(4), r.getString(5)))).toMap
+    assert(e === ap)
+    // the HLL sketch removes the multi-distinct Expand: one pass, no
+    // n_cols-way row multiplication before the shuffle
+    val pExact = Profile.profileLineitem(spark, "/root/testdata/sf0.01")
+      .queryExecution.executedPlan.toString
+    val pApprox = approxDf.queryExecution.executedPlan.toString
+    assert(pExact.contains("Expand"), "exact multi-distinct should plan an Expand")
+    assert(!pApprox.contains("Expand"), s"HLL profile must not Expand:\n$pApprox")
+  }
+
   test("latestByKey: max ts wins, ties broken by greatest tie column") {
     import spark.implicits._
     val df = Seq(
