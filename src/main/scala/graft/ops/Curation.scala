@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
  *  - sampleStratified: a pure map (overflow-free multiplicative-hash
  *    bucket + per-stratum threshold) — no shuffle, no RNG state,
  *    reproducible on any cluster and any partitioning.
- *  - dedupCluster: candidate edges come from the banded-MinHash path
- *    (no O(n²)); label propagation shuffles only (id, label) pairs and
+ *  - dedupCluster: exact duplicates contract to one representative per
+ *    text BEFORE any pairwise work (d-fold duplication would otherwise
+ *    cost d² per clique); candidate edges come from the banded-MinHash
+ *    path (no O(n²)); label propagation shuffles only (id, label) pairs and
  *    converges in O(component diameter) rounds — near-dup clusters are
  *    shallow (dup chains, not long paths), so this beats the constant
  *    factors of large-star/small-star until diameters grow past ~10.
@@ -116,17 +118,35 @@ object Curation {
   // ------------------------------------------- C14 near-dup clustering
 
   /** C14 — near-duplicate clustering: connected components over the
-    * near-dup pair graph (edges = the banded-MinHash → exact-Jaccard
-    * pairs of [[Similarity.dedupNgramScaled]]), labeling every involved
-    * doc with the minimum doc_id reachable through dup edges. This is
-    * the step that turns pairwise dedup into "keep one doc per dup
-    * CLUSTER": pairwise removal of the higher id can drop both b and c
-    * of a chain a~b, b~c while cluster-level removal keeps exactly one.
-    */
-  def dedupCluster(spark: SparkSession, dir: String): DataFrame =
-    clusterPairs(spark, Similarity.dedupNgramScaled(spark, dir).select(col("da"), col("db")))
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    * near-dup pair graph (J ≥ 0.8 on 3-gram shingles), labeling every
+    * involved doc with the minimum doc_id reachable through dup edges.
+    * This is the step that turns pairwise dedup into "keep one doc per
+    * dup CLUSTER": pairwise removal of the higher id can drop both b
+    * and c of a chain a~b, b~c while cluster-level removal keeps
+    * exactly one.
+    *
+    * Exact duplicates are CONTRACTED first ([[Similarity.exactDupGroups]]):
+    * label propagation runs over near-dup edges among unique-text
+    * representatives only, then labels broadcast back onto all group
+    * members. Identical texts are J = 1 pairs, so components are
+    * unchanged — but the pairwise path materializes Θ(d²) edges per
+    * d-copy clique (the sf10 ×100-replicated corpus, 5000 cliques of
+    * 100, holds ~25M edges and timed out at 1800 s) while the
+    * contracted path's graph scales with unique texts (same corpus:
+    * 5000 nodes, seconds). A doc is in the output iff it has a dup
+    * edge: grp_n > 1 (exact dup) or its rep carries a near-dup edge;
+    * the component minimum is the min over reps (every doc_id ≥ its
+    * rep), so cluster ids are identical to the uncontracted result. */
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    val groups = Similarity.exactDupGroups(spark, dir)
+    val repLabels = clusterPairs(spark,
+        Similarity.nearDupRepPairs(spark, dir).select(col("da"), col("db")))
+      .withColumnRenamed("id", "rep")
+    groups.join(repLabels, Seq("rep"), "left")
+      .filter(col("label").isNotNull || col("grp_n") > 1)
+      .select(col("doc_id"), coalesce(col("label"), col("rep")).as("cluster_id"))
       .orderBy("doc_id")
+  }
 
   /** Min-label propagation over DataFrames: labels start as own id; each
     * round takes the min of own and neighbors' labels until a fixpoint.

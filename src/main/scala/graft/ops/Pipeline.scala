@@ -129,17 +129,21 @@ object Pipeline {
   // — each pair independently drops its db side). Every stage is a
   // shuffle-parallel DataFrame program; oracle mirrors it exactly.
   //
-  // Near-dup stage uses the SCALED path (MinHash-LSH candidates → exact
-  // Jaccard verify), whose output is oracle-proven identical to the
-  // exact shingle self-join. The exact join is only a correctness
-  // baseline: the sf1 rehearsal showed its pair-count aggregation going
-  // O(duplicates²) per hot shingle once the corpus carries real
-  // duplicate structure (>19 min at sf1 vs seconds for the LSH path).
+  // Near-dup stage uses the CONTRACTED scaled path (exact-dup
+  // contraction → MinHash-LSH candidates among unique texts → exact
+  // Jaccard verify): after the exact-dedup keepers join only
+  // representatives survive, and a representative loses to a near-dup
+  // iff a LOWER-id representative is within J ≥ 0.8 (J depends only on
+  // text, and every group's min id is its rep) — so rep-level pairs
+  // give the identical survivor set while candidate work scales with
+  // unique texts, not duplication² (the uncontracted path re-verified
+  // >19 min at sf1 on the exact join, and the full-pairs LSH path blew
+  // past 1800 s on the ×100-replicated sf10).
   def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
     val quality = qualityScore(spark, dir).filter(col("quality") >= 0.7)
       .select(col("doc_id"), col("quality"))
     val keepers = dedupExact(spark, dir).select(col("keep_id").as("doc_id"))
-    val nearDupLosers = Similarity.dedupNgramScaled(spark, dir).select(col("db").as("doc_id"))
+    val nearDupLosers = Similarity.nearDupRepPairs(spark, dir).select(col("db").as("doc_id"))
     quality
       .join(keepers, "doc_id") // exact-dup canonical survivors
       .join(nearDupLosers, Seq("doc_id"), "left_anti")

@@ -152,6 +152,49 @@ object Similarity {
       .orderBy("da", "db")
   }
 
+  /** Exact-duplicate contraction map: (doc_id, rep, grp_n) where rep is
+    * the min doc_id among docs with byte-identical text and grp_n the
+    * group size. Grouped on xxhash64(text) so the shuffle carries 8-byte
+    * keys instead of document text (a 64-bit collision would merge two
+    * distinct texts — ~n²/2⁶⁴, the same negligible-odds tradeoff as the
+    * c12 gram hashing). This is the standard first stage of a dedup
+    * pipeline at scale: a crawl corpus is dominated by EXACT duplicates,
+    * and contracting them before any pairwise work turns d-fold
+    * duplication from a d² cost multiplier into a groupBy. */
+  private[ops] def exactDupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val withH = Relational.table(spark, dir, "documents")
+      .select(col("doc_id"), xxhash64(col("text")).as("th"))
+    val groups = withH.groupBy("th")
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("grp_n"))
+    withH.join(groups, "th").select(col("doc_id"), col("rep"), col("grp_n"))
+  }
+
+  /** Near-dup pairs among exact-duplicate REPRESENTATIVES only — what
+    * the clustering/cleaning consumers (c14, c8) actually need. Since
+    * Jaccard depends only on text, J(a, b) = J(rep(a), rep(b)) and
+    * identical texts are J = 1 pairs, so rep-level pairs plus the
+    * contraction map carry the complete component structure of the full
+    * pairwise graph while candidate generation scales with UNIQUE
+    * texts: on a corpus where every doc has d copies, the full path's
+    * band joins blow up ~d² per clique (the sf10 ×100 rehearsal put
+    * c14 past 1800 s); this path is duplication-invariant.
+    * `c2_dedup_ngram_scaled` keeps the full-pairs contract (its oracle
+    * is the exact pairwise list); this is the composition entry point. */
+  def nearDupRepPairs(spark: SparkSession, dir: String): DataFrame = {
+    val reps = exactDupGroups(spark, dir)
+      .filter(col("doc_id") === col("rep")).select(col("doc_id"))
+    val docs = withShingles(
+      Relational.table(spark, dir, "documents")
+        .join(reps, "doc_id")
+        .repartition(spark.sparkContext.defaultParallelism))
+      .select(col("doc_id"), col("shingles"))
+    minhashCandidates(docs)
+      .select(col("da"), col("db"), expr(
+        """round(size(array_intersect(sa, sb)) * 1.0D /
+          |(size(sa) + size(sb) - size(array_intersect(sa, sb))), 4)""".stripMargin).as("j"))
+      .filter(col("j") >= 0.8)
+  }
+
   // C2c — SimHash near-dup: 64-bit frequency-weighted token simhash,
   // banded 4×16-bit for candidate generation (equi-join, no O(n²)),
   // hamming-verified. Deterministic (xxhash64). Rows-only check.

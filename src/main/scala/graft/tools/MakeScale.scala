@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
  * copied once. Fact tables are written multi-file so scans are
  * multi-row-group, unlike the single-row-group testdata.
  *
- * Usage: runMain graft.tools.MakeScale [srcDir] [dstDir] [copies]
+ * Usage: runMain graft.tools.MakeScale [srcDir] [dstDir] [copies] [tables]
+ * `tables` (optional, comma-separated) restricts generation — a
+ * documents-only sf10 rehearsal need not materialize 60M lineitem rows.
  */
 object MakeScale {
 
@@ -40,6 +42,9 @@ object MakeScale {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    val only: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -50,7 +55,7 @@ object MakeScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    keyCols.foreach { case (name, keys) =>
+    keyCols.filter(t => only.isEmpty || only(t._1)).foreach { case (name, keys) =>
       val df = spark.read.parquet(s"$src/$name.parquet")
       val out =
         if (keys.isEmpty) df
