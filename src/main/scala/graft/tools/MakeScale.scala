@@ -12,9 +12,25 @@ import org.apache.spark.sql.functions._
  * copied once. Fact tables are written multi-file so scans are
  * multi-row-group, unlike the single-row-group testdata.
  *
- * Usage: runMain graft.tools.MakeScale [srcDir] [dstDir] [copies] [tables]
+ * Usage: runMain graft.tools.MakeScale [srcDir] [dstDir] [copies] [tables] [dupCap]
  * `tables` (optional, comma-separated) restricts generation — a
  * documents-only sf10 rehearsal need not materialize 60M lineitem rows.
+ *
+ * `dupCap` (optional, 0 = off) fixes the DUPLICATE-CLIQUE SIZE while the
+ * corpus scales: copies 0..dupCap-1 stay verbatim (each text/vector
+ * forms a dupCap-clique, like the sf1 rehearsal's ×10) and copies ≥
+ * dupCap are made DISSIMILAR — documents keep every 4th token and
+ * replace the rest with copy-unique junk (no 3 consecutive original
+ * tokens survive, so the perturbed copy shares ZERO 3-gram shingles
+ * with anything — near-dup Jaccard ≈ 0, and no spurious LSH candidates
+ * from a mid-similarity tail), embeddings get
+ * a copy-specific pseudo-random offset at the corpus RMS norm (cosine
+ * between perturbed copies ≈ 0.5, far under the 0.99 near-dup bar,
+ * while each copy's planted +100000 jitter pairs survive intact since
+ * both sides shift by the same offset). Without a cap, ×N replication
+ * multiplies every pairwise op's OUTPUT by N² (C(N,2) pairs per clique)
+ * — a workload artifact that swamps the scaling signal the rehearsal is
+ * after.
  */
 object MakeScale {
 
@@ -45,6 +61,7 @@ object MakeScale {
     val only: Set[String] =
       if (args.length > 3) args(3).split(",").map(_.trim).filter(_.nonEmpty).toSet
       else Set.empty
+    val dupCap = if (args.length > 4) args(4).toInt else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -55,6 +72,34 @@ object MakeScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // copy-specific embedding offset at the corpus RMS norm (computed
+    // lazily, once): deterministic from the copy index
+    lazy val (embDim, embRms) = {
+      val e = spark.read.parquet(s"$src/embeddings.parquet")
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      val rms = math.sqrt(e.select(
+        avg(expr("aggregate(embedding, 0D, (a, x) -> a + cast(x as double) * x)")))
+        .head().getDouble(0))
+      (dim, rms)
+    }
+    def perturb(name: String, d: DataFrame, i: Int): DataFrame =
+      if (dupCap <= 0 || i < dupCap) d
+      else name match {
+        case "documents" =>
+          d.withColumn("text", expr(
+            s"""array_join(transform(split(text, ' '),
+               |  (t, ix) -> IF(ix % 4 = 0, t, concat('u${i}x', ix))), ' ')""".stripMargin))
+            .withColumn("n_chars", length(col("text")))
+        case "embeddings" =>
+          val rng = new scala.util.Random(i)
+          val raw = Array.fill(embDim)(rng.nextGaussian())
+          val norm = math.sqrt(raw.map(x => x * x).sum)
+          val off = raw.map(x => x / norm * embRms)
+          d.withColumn("embedding", expr(
+            s"""zip_with(embedding, ${off.mkString("array(", "D, ", "D)")},
+               |  (x, o) -> cast(x + o as float))""".stripMargin))
+        case _ => d
+      }
     keyCols.filter(t => only.isEmpty || only(t._1)).foreach { case (name, keys) =>
       val df = spark.read.parquet(s"$src/$name.parquet")
       val out =
@@ -65,9 +110,9 @@ object MakeScale {
             k -> (df.agg(max(col(k))).head().getLong(0) + 1L)
           }
           (0 until copies).map { i =>
-            strides.foldLeft(df) { case (d, (k, stride)) =>
+            perturb(name, strides.foldLeft(df) { case (d, (k, stride)) =>
               d.withColumn(k, col(k) + lit(i * stride))
-            }
+            }, i)
           }.reduce(_.unionAll(_))
         }
       out.repartition(filesFor(name, copies))
