@@ -235,13 +235,145 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------- C16 PII redaction
+
+  /** PII patterns, written without backslashes so the SAME pattern text is
+    * a valid Scala string AND a valid DuckDB single-quoted literal (SQL
+    * standard strings don't process backslash escapes; Scala ones do —
+    * `[.]`/`[0-9]` classes sidestep the divergence). All three are plain
+    * greedy constructs with identical leftmost-first semantics in Java
+    * regex (Spark) and RE2 (DuckDB). */
+  private val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+  private val ipRe    = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+  private val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Deterministic PII injection: the synthetic corpus carries no real
+    * PII, so each doc gets an email/IP/phone derived from its own doc_id
+    * appended — identical text in the oracle — making the redaction
+    * counts non-trivially non-zero and the scrub observable. */
+  private val injectSql =
+    """concat(text, ' contact user', cast(doc_id as string),
+      |  '@example.com from 10.', cast(doc_id % 256 as string), '.0.99 call 555-',
+      |  lpad(cast(doc_id % 1000 as string), 3, '0'), '-',
+      |  lpad(cast(doc_id % 10000 as string), 4, '0'))""".stripMargin
+
+  /** Counts + scrub over any `textCol`: appends n_email/n_ip/n_phone
+    * (counted on the pre-redaction text) and `red` (email → IP → phone
+    * scrub order, mirrored in the oracle). Spec entry point. */
+  private[graft] def piiStats(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_email", size(expr(s"regexp_extract_all($textCol, '$emailRe', 0)")))
+      .withColumn("n_ip", size(expr(s"regexp_extract_all($textCol, '$ipRe', 0)")))
+      .withColumn("n_phone", size(expr(s"regexp_extract_all($textCol, '$phoneRe', 0)")))
+      .withColumn("red",
+        regexp_replace(regexp_replace(regexp_replace(col(textCol),
+          emailRe, "<EMAIL>"), ipRe, "<IP>"), phoneRe, "<PHONE>"))
+
+  /** C16 — PII redaction: count and scrub emails, IPv4 addresses, and
+    * phone numbers from document text (the compliance pass every crawl
+    * corpus runs before training). Pure per-row regex map — no shuffle,
+    * no UDF, full codegen; at 100 TB this runs at scan speed. The output
+    * carries md5(redacted) so the hash compare proves byte-identical
+    * scrubbed text without shipping it. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    piiStats(
+      Relational.table(spark, dir, "documents").withColumn("t2", expr(injectSql)), "t2")
+      .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
+        md5(col("red")).as("red_md5"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------- C17 repetition quality
+
+  /** Gopher-style repetition thresholds: a doc passes when at most 60% of
+    * its tokens are repeats and no single bigram exceeds 10% of bigram
+    * slots (chosen to split the synthetic corpus ~63/37 so both verdicts
+    * are exercised; production pipelines tune per corpus). */
+  private val dupTokMax = 0.6
+  private val topBigramMax = 0.1
+
+  /** C17 — repetition-based quality filtering (the Gopher/C4 rule family):
+    * duplicate-token ratio, most-frequent-token fraction, and
+    * most-frequent-bigram fraction, plus the keep/drop verdict. All three
+    * stats compute inside ONE nested higher-order expression — the token
+    * array and bigram array are lambda-bound so the optimizer cannot
+    * inline a `split` per distinct token (the CollapseProject re-split
+    * trap, see [[Pipeline.fingerprint]]); per-row cost is O(distinct ×
+    * tokens) with zero shuffle and no UDFs. */
+  def qualityRepetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionStats(Relational.table(spark, dir, "documents"))
+      .orderBy("doc_id")
+
+  /** Repetition stats + verdict over any frame with doc_id/text columns
+    * (spec entry point). */
+  private[graft] def repetitionStats(df: DataFrame): DataFrame =
+    df.withColumn("m", expr(
+        """transform(array(split(text, ' ')), toks ->
+          |  transform(array(CASE WHEN size(toks) >= 2
+          |      THEN transform(sequence(0, size(toks) - 2),
+          |        i -> concat_ws(' ', toks[i], toks[i+1]))
+          |      ELSE array() END), bg ->
+          |    named_struct(
+          |      'n', size(toks),
+          |      'uniq', size(array_distinct(toks)),
+          |      'top_tok', array_max(transform(array_distinct(toks),
+          |        t -> size(filter(toks, x -> x = t)))),
+          |      'top_bg', CASE WHEN size(bg) = 0 THEN 0
+          |        ELSE array_max(transform(array_distinct(bg),
+          |          g -> size(filter(bg, x -> x = g)))) END))[0])[0]""".stripMargin))
+      .select(col("doc_id"),
+        round(lit(1.0) - col("m.uniq") * lit(1.0) / col("m.n"), 4).as("dup_tok_ratio"),
+        round(col("m.top_tok") * lit(1.0) / col("m.n"), 4).as("top_tok_frac"),
+        round(col("m.top_bg") * lit(1.0) / (col("m.n") - 1), 4).as("top_bigram_frac"))
+      .withColumn("keep",
+        col("dup_tok_ratio") <= dupTokMax && col("top_bigram_frac") <= topBigramMax)
+
+  // --------------------------------------------- C18 mixture weighting
+
+  /** Token budget the mixture is solved for (the training-run size). */
+  private val mixBudget = 100000L
+
+  /** C18 — data-mixture weighting: per (lang, source) stratum, allocate a
+    * fixed token budget by temperature-α=0.5 sampling (share ∝ √tokens —
+    * the standard multilingual rebalance: upweights tail strata without
+    * letting the head dominate) and emit each stratum's sample rate
+    * (alloc capped at its size) and epochs (uncapped oversampling
+    * factor). The √token scores are scaled to exact longs before the
+    * global sum (the [[Relational.moneySum]] doctrine) so the normalizer
+    * is order-independent and engine-identical. The all-strata window is
+    * a single partition by design: the STRATA table is the aggregate
+    * (thousands of rows at 100 TB), not the corpus. */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame =
+    mixWeightsOn(Relational.table(spark, dir, "documents"))
+
+  /** Mixture solve over any frame with lang/source/text columns (spec
+    * entry point). */
+  private[graft] def mixWeightsOn(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    docs
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).as("n_tokens"))
+      .withColumn("sqs", expr("cast(round(sqrt(n_tokens) * 1000000, 0) as bigint)"))
+      .withColumn("z", sum(col("sqs")).over(w))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        round(col("sqs") * lit(1.0) / col("z"), 4).as("share"),
+        round(least(lit(1.0),
+          lit(mixBudget) * (col("sqs") * lit(1.0) / col("z")) / col("n_tokens")), 4)
+          .as("sample_rate"),
+        round(lit(mixBudget) * (col("sqs") * lit(1.0) / col("z")) / col("n_tokens"), 4)
+          .as("epochs"))
+      .orderBy("lang", "source")
+  }
+
   // --------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c12_decontaminate" -> (decontaminate _),
     "c13_sample_stratified" -> (sampleStratified _),
     "c14_dedup_cluster" -> (dedupCluster _),
-    "c15_pack_sequences" -> (packSequences _))
+    "c15_pack_sequences" -> (packSequences _),
+    "c16_pii_redact" -> (piiRedact _),
+    "c17_quality_repetition" -> (qualityRepetition _),
+    "c18_mix_weights" -> (mixWeights _))
 
   val oracleSql: Map[String, String] = Map(
     // the oracle joins on the gram STRINGS; equality with the hashed
@@ -295,5 +427,54 @@ object Curation {
          |SELECT doc_id, lang, shard, n_tokens,
          |  CAST((end_off - n_tokens) // $packBudget AS BIGINT) AS seq_id,
          |  ((end_off - 1) // $packBudget) != ((end_off - n_tokens) // $packBudget) AS straddles
-         |FROM o ORDER BY doc_id""".stripMargin)
+         |FROM o ORDER BY doc_id""".stripMargin,
+    // injection + scrub mirrored verbatim; patterns are backslash-free so
+    // the same literal text is valid in both engines
+    "c16_pii_redact" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  concat(text, ' contact user', cast(doc_id as varchar),
+         |    '@example.com from 10.', cast(doc_id % 256 as varchar), '.0.99 call 555-',
+         |    lpad(cast(doc_id % 1000 as varchar), 3, '0'), '-',
+         |    lpad(cast(doc_id % 10000 as varchar), 4, '0')) AS t2
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(t2, '$emailRe')) AS n_email,
+         |  len(regexp_extract_all(t2, '$ipRe')) AS n_ip,
+         |  len(regexp_extract_all(t2, '$phoneRe')) AS n_phone,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(t2,
+         |    '$emailRe', '<EMAIL>', 'g'), '$ipRe', '<IP>', 'g'),
+         |    '$phoneRe', '<PHONE>', 'g')) AS red_md5
+         |FROM t ORDER BY doc_id""".stripMargin,
+    // same stats via 1-based list ops; keep compares the ROUNDED columns
+    // in both engines so threshold ties cannot diverge
+    "c17_quality_repetition" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |b AS (SELECT doc_id, toks, len(toks) AS n, len(list_distinct(toks)) AS uniq,
+         |  CASE WHEN len(toks) >= 2 THEN list_transform(generate_series(1, len(toks) - 1),
+         |    i -> concat_ws(' ', toks[i], toks[i+1])) ELSE [] END AS bg FROM t),
+         |m AS (SELECT doc_id, n, uniq,
+         |  list_max(list_transform(list_distinct(toks), tk -> len(list_filter(toks, x -> x = tk)))) AS top_tok,
+         |  CASE WHEN len(bg) = 0 THEN 0
+         |    ELSE list_max(list_transform(list_distinct(bg), g -> len(list_filter(bg, x -> x = g)))) END AS top_bg
+         |  FROM b),
+         |r AS (SELECT doc_id,
+         |  round(1.0 - uniq * 1.0 / n, 4) AS dup_tok_ratio,
+         |  round(top_tok * 1.0 / n, 4) AS top_tok_frac,
+         |  round(top_bg * 1.0 / (n - 1), 4) AS top_bigram_frac FROM m)
+         |SELECT doc_id, dup_tok_ratio, top_tok_frac, top_bigram_frac,
+         |  dup_tok_ratio <= $dupTokMax AND top_bigram_frac <= $topBigramMax AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
+    // √token scores scaled to exact longs before the global sum — the
+    // normalizer is order-independent, so shares match bit-for-bit
+    "c18_mix_weights" ->
+      s"""WITH s AS (SELECT lang, source, count(*) AS n_docs,
+         |  cast(sum(len(string_split(text, ' '))) as bigint) AS n_tokens
+         |  FROM documents GROUP BY 1, 2),
+         |t AS (SELECT *, cast(round(sqrt(n_tokens) * 1000000, 0) as bigint) AS sqs FROM s),
+         |z AS (SELECT *, sum(sqs) OVER () AS z FROM t)
+         |SELECT lang, source, n_docs, n_tokens,
+         |  round(sqs * 1.0 / z, 4) AS share,
+         |  round(least(1.0, $mixBudget * (sqs * 1.0 / z) / n_tokens), 4) AS sample_rate,
+         |  round($mixBudget * (sqs * 1.0 / z) / n_tokens, 4) AS epochs
+         |FROM z ORDER BY lang, source""".stripMargin)
 }

@@ -327,6 +327,44 @@ object Relational {
       .select(col("event_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
       .orderBy("event_id")
 
+  // B26 — stream-stream interval join: clicks ⋈ views per user, view
+  // within 24 h before the click, over the same 4-file micro-batch
+  // replay as B16 (two independent file-source streams on the staged
+  // slices). Watermarks on BOTH sides + the time-range condition are
+  // what make this bounded: Spark derives each side's state-retention
+  // horizon from the interval (a view is droppable once the watermark
+  // passes view_ts + 24 h), so state is O(join window), not O(stream) —
+  // the property that lets the same program run forever on an unbounded
+  // feed. Inner joins emit on match (not on watermark close), so the
+  // replay's output is the complete join — the oracle is the plain batch
+  // join. At 100 TB both sides shuffle on user_id once; no other
+  // exchange exists in the continuous plan.
+  def eventsStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val stage = stageEventFiles(spark, ev, s"graft_b26_stage_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    def side(kind: String, idAs: String, tsAs: String, userAs: String) =
+      spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .filter(col("event_type") === kind)
+        .select(col("event_id").as(idAs), col("user_id").as(userAs), col("ts").as(tsAs))
+        .withWatermark(tsAs, "1 hour")
+    val clicks = side("click", "click_id", "click_ts", "user_id")
+    val views = side("view", "view_id", "view_ts", "v_user")
+    val sinkName = "graft_b26_sink"
+    val q = clicks.join(views,
+        col("user_id") === col("v_user") &&
+          col("view_ts") >= col("click_ts") - expr("INTERVAL 24 HOURS") &&
+          col("view_ts") <= col("click_ts"))
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        expr("(unix_micros(click_ts) - unix_micros(view_ts)) div 60000000").as("lag_min"))
+      .writeStream.queryName(sinkName).outputMode("append").format("memory")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName).orderBy("click_id", "view_id")
+  }
+
   /** Query registry: op id → function (SparkSession, sfDir) → DataFrame. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b1_scan" -> (scanParquet _),
@@ -351,7 +389,8 @@ object Relational {
     "b15_events_window" -> (eventsWindowBatch _),
     "b16_events_stream" -> (eventsStream _),
     "b17_events_session" -> (eventsSession _),
-    "b18_json_props" -> (jsonProps _))
+    "b18_json_props" -> (jsonProps _),
+    "b26_stream_join" -> (eventsStreamJoin _))
 
   /** DuckDB oracle SQL, value-identical and column-name-identical to the
     * Spark results (SURVEY §2.4 determinism rules). */
@@ -508,5 +547,14 @@ object Relational {
         |ORDER BY user_id, session_start, n_events""".stripMargin,
     "b18_json_props" ->
       """SELECT event_id, cast(json_extract(props, '$.k') as int) AS k
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+    // inner stream-stream joins emit every match regardless of watermark,
+    // so the streaming replay's output equals the batch join
+    "b26_stream_join" ->
+      """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+        |  (epoch_us(c.ts) - epoch_us(v.ts)) // 60000000 AS lag_min
+        |FROM events c JOIN events v ON c.user_id = v.user_id
+        |  AND c.event_type = 'click' AND v.event_type = 'view'
+        |  AND v.ts >= c.ts - INTERVAL 24 HOUR AND v.ts <= c.ts
+        |ORDER BY click_id, view_id""".stripMargin)
 }

@@ -159,4 +159,86 @@ class CurationSpec extends AnyFunSuite with SparkTestSession {
     // sanity: the pack actually spans multiple sequences
     assert(rows.map(_._5).distinct.length > 1)
   }
+
+  test("piiStats: crafted PII is counted and scrubbed exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a.b+c_1@mail-host.co.uk and 10.0.0.1 then 555-123-4567 done"),
+      (2L, "no pii here at all"),
+      (3L, "two mails x@y.io z@w.org one ip 192.168.001.007")
+    ).toDF("doc_id", "text")
+    val got = Curation.piiStats(docs, "text")
+      .select("doc_id", "n_email", "n_ip", "n_phone", "red")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+      .sortBy(_._1)
+    assert(got(0) === ((1L, 1, 1, 1, "mail <EMAIL> and <IP> then <PHONE> done")))
+    assert(got(1) === ((2L, 0, 0, 0, "no pii here at all")))
+    assert(got(2) === ((3L, 2, 1, 0, "two mails <EMAIL> <EMAIL> one ip <IP>")))
+  }
+
+  test("piiRedact: every injected corpus row carries exactly one of each PII kind") {
+    // the synthetic corpus has no native PII and the injection adds one
+    // email, one IP, one phone per doc — any other count means a pattern
+    // over- or under-matches against real document text
+    val bad = Curation.piiRedact(spark, sf)
+      .filter(col("n_email") =!= 1 || col("n_ip") =!= 1 || col("n_phone") =!= 1)
+      .count()
+    assert(bad === 0)
+  }
+
+  test("repetitionStats: hand-computed ratios and boundary verdicts") {
+    import spark.implicits._
+    val docs = Seq(
+      // n=5, uniq=2, top_tok=4; bigrams "a a"×3 + "a b" → top_bg 3/4
+      (1L, "a a a a b"),
+      // 21 fully distinct tokens → 20 distinct bigrams
+      (2L, (1 to 21).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Curation.repetitionStats(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+      .sortBy(_._1)
+    // dup_tok_ratio lands EXACTLY on the 0.6 threshold (kept — <=) but the
+    // 0.75 bigram fraction fails the verdict
+    assert(got(0) === ((1L, 0.6, 0.8, 0.75, false)))
+    assert(got(1) === ((2L, 0.0, 0.0476, 0.05, true)))
+  }
+
+  test("qualityRepetition: thresholds split the corpus — both verdicts occur") {
+    val verdicts = Curation.qualityRepetition(spark, sf)
+      .groupBy("keep").count().collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(verdicts.getOrElse(true, 0L) > 0 && verdicts.getOrElse(false, 0L) > 0,
+      s"degenerate threshold split: $verdicts")
+  }
+
+  test("mixWeightsOn: √-temperature shares and epochs on crafted strata") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "srcA", (1 to 100).map(_ => "t").mkString(" ")),
+      ("en", "srcB", (1 to 400).map(_ => "t").mkString(" "))
+    ).toDF("lang", "source", "text")
+    val bySrc = Curation.mixWeightsOn(docs).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6))).toMap
+    // √ scores 10 : 20 → shares 1/3 : 2/3; the budget dwarfs both strata
+    // so sample_rate caps at 1 and epochs is the uncapped oversampling
+    assert(bySrc("srcA") === ((1L, 100L, 0.3333, 1.0, 333.3333)))
+    assert(bySrc("srcB") === ((1L, 400L, 0.6667, 1.0, 166.6667)))
+  }
+
+  test("mixWeights: shares sum to 1 and epochs fall as strata grow") {
+    val rows = Curation.mixWeights(spark, sf).collect()
+      .map(r => (r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    val shareSum = rows.map(_._2).sum
+    assert(math.abs(shareSum - 1.0) < 0.01, s"shares sum to $shareSum")
+    rows.foreach { case (_, _, rate, epochs) =>
+      assert(rate === math.min(1.0, epochs), "sample_rate must be the capped epochs")
+    }
+    // √-temperature property: a strictly larger stratum never gets MORE epochs
+    rows.sortBy(_._1).sliding(2).foreach {
+      case Array((na, _, _, ea), (nb, _, _, eb)) if na < nb =>
+        assert(eb <= ea + 1e-9, s"epochs must fall with stratum size: $na→$ea vs $nb→$eb")
+      case _ =>
+    }
+  }
 }

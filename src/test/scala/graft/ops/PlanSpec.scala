@@ -82,6 +82,7 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     check(Similarity.dedupNgram(spark, dir), "dedupNgram")
     check(Similarity.dedupNgramScaled(spark, dir), "dedupNgramScaled")
     check(Pipeline.fingerprint(spark, dir), "fingerprint")
+    check(Curation.qualityRepetition(spark, dir), "qualityRepetition")
   }
 
   test("C12: eval gram hashes broadcast — no hash shuffle on the streamed corpus side") {
@@ -108,6 +109,31 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     val p = plan(Curation.sampleStratified(spark, dir))
     assert(!p.contains("Exchange hashpartitioning"),
       s"hash-bucket sampling must not shuffle:\n$p")
+  }
+
+  test("C16/C17: PII scrub and repetition stats are map-only before the presentation sort") {
+    // both are per-row expression pipelines: at 100 TB they run at scan
+    // speed iff no hash exchange sneaks in before the output ordering
+    for ((name, df) <- Seq(
+        "piiRedact" -> Curation.piiRedact(spark, dir),
+        "qualityRepetition" -> Curation.qualityRepetition(spark, dir))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$name must not hash-shuffle:\n$p")
+    }
+  }
+
+  test("C18: the mixture window runs over the STRATA aggregate, not the corpus") {
+    val p = plan(Curation.mixWeights(spark, dir))
+    // corpus rows hash-shuffle once into the (lang, source) aggregate;
+    // the single-partition window sits above the aggregated strata
+    // plans print root-first: the window consuming the aggregate means
+    // Window appears above the first HashAggregate
+    val aggIdx = p.indexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && winIdx < aggIdx,
+      s"window must consume the aggregate:\n$p")
+    assert(p.contains("SinglePartition"), s"strata window should be single-partition:\n$p")
   }
 
   test("C15: packing windows shuffle once, on the composite (lang, shard) key") {

@@ -62,4 +62,31 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(got == Set((h12, 2L)),
       s"expected exactly the closed [12:00,13:00) window with the late row dropped, got $got")
   }
+
+  /** B26: an inner stream-stream interval join emits on match, not on
+    * watermark close — the micro-batch replay must produce the COMPLETE
+    * batch join, including pairs whose sides arrive in different
+    * micro-batches (state retention derived from the interval bound). */
+  test("stream-stream interval join equals the batch join exactly") {
+    import org.apache.spark.sql.functions._
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val stream = Relational.eventsStreamJoin(spark, dir).collect().map(key).toSet
+    val ev = Relational.events(spark, dir)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vu"), col("ts").as("vts"))
+    val batch = c.join(v, col("user_id") === col("vu") &&
+        col("vts") >= col("cts") - expr("INTERVAL 24 HOURS") && col("vts") <= col("cts"))
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        expr("(unix_micros(cts) - unix_micros(vts)) div 60000000").as("lag_min"))
+      .collect().map(key).toSet
+    assert(batch.nonEmpty, "degenerate fixture: batch join is empty")
+    assert(stream === batch,
+      s"stream/batch divergence: missing=${(batch -- stream).take(3)} extra=${(stream -- batch).take(3)}")
+    // cross-batch pairs exist (sides more than one staged slice apart
+    // would be lost without retained state) — prove the join exercised state
+    assert(stream.exists(_._4 > 0), "no pair with a view strictly before its click")
+  }
 }
