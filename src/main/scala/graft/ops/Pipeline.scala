@@ -176,7 +176,23 @@ object Pipeline {
     spark.table(sinkName).orderBy("user_id", "event_type")
   }
 
+  // C20 — corpus vocabulary: top-100 tokens by frequency (the vocab /
+  // tokenizer-training primitive). explode fans the corpus into token
+  // rows, but map-side partial aggregation collapses each partition to
+  // its distinct-token counts before the shuffle — the exchange carries
+  // vocab-sized partials, not the corpus — and the limit plans
+  // TakeOrderedAndProject, never a global sort (pinned in PlanSpec).
+  // Deterministic tie-break on the token itself.
+  def vocabTopK(spark: SparkSession, dir: String): DataFrame =
+    Relational.table(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(100)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c20_vocab_topk" -> (vocabTopK _),
     "c8_clean_corpus" -> (cleanCorpus _),
     "c9_dedup_stream" -> (dedupStream _),
     "c1_dedup_exact" -> (dedupExact _),
@@ -188,6 +204,10 @@ object Pipeline {
     "c5_multimodal" -> (multimodalStruct _))
 
   val oracleSql: Map[String, String] = Map(
+    "c20_vocab_topk" ->
+      """SELECT tok, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 100""".stripMargin,
     "c8_clean_corpus" ->
       s"""WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
          |m AS (SELECT doc_id, text, len(toks) AS n_tokens,

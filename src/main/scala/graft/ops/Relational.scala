@@ -365,6 +365,30 @@ object Relational {
     spark.table(sinkName).orderBy("click_id", "view_id")
   }
 
+  // B27 — stream-static enrichment: each micro-batch of the events
+  // stream joins the static customer dimension. Stateless — no state
+  // store, no watermark needed; the static side broadcasts into every
+  // batch (the dimension-enrichment pattern of a production feed). At
+  // 100 TB the stream side never shuffles for this join; only the
+  // fixed-size dim moves. Output equals the batch join exactly.
+  def eventsStreamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val stage = stageEventFiles(spark, ev, s"graft_b27_stage_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val dim = table(spark, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    val sinkName = "graft_b27_sink"
+    val q = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_mktsegment").as("segment"),
+        round(col("value"), 4).as("value"))
+      .writeStream.queryName(sinkName).outputMode("append").format("memory")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName).orderBy("event_id")
+  }
+
   /** Query registry: op id → function (SparkSession, sfDir) → DataFrame. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "b1_scan" -> (scanParquet _),
@@ -390,7 +414,8 @@ object Relational {
     "b16_events_stream" -> (eventsStream _),
     "b17_events_session" -> (eventsSession _),
     "b18_json_props" -> (jsonProps _),
-    "b26_stream_join" -> (eventsStreamJoin _))
+    "b26_stream_join" -> (eventsStreamJoin _),
+    "b27_stream_enrich" -> (eventsStreamEnrich _))
 
   /** DuckDB oracle SQL, value-identical and column-name-identical to the
     * Spark results (SURVEY §2.4 determinism rules). */
@@ -556,5 +581,10 @@ object Relational {
         |FROM events c JOIN events v ON c.user_id = v.user_id
         |  AND c.event_type = 'click' AND v.event_type = 'view'
         |  AND v.ts >= c.ts - INTERVAL 24 HOUR AND v.ts <= c.ts
-        |ORDER BY click_id, view_id""".stripMargin)
+        |ORDER BY click_id, view_id""".stripMargin,
+    // stateless per-batch join against the static dim ≡ the batch join
+    "b27_stream_enrich" ->
+      """SELECT event_id, user_id, c_mktsegment AS segment, round(value, 4) AS value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |ORDER BY event_id""".stripMargin)
 }

@@ -239,6 +239,23 @@ object Similarity {
   private def cosineExpr(a: String, b: String): org.apache.spark.sql.Column =
     expr(s"graft_cosine($a, $b)")
 
+  /** C19 — per-label embedding centroid, dimension-wise: the cluster-
+    * statistics primitive behind domain mixing, IVF seeding, and drift
+    * monitoring. posexplode fans each vector into (pos, value) rows, but
+    * the map-side partial aggregate collapses them to labels×dims partials
+    * per partition BEFORE the shuffle — at 100 TB the exchange carries
+    * kilobytes, not the corpus (pinned in PlanSpec). Sums use the exact
+    * scaled-long doctrine so the per-dimension means are order-independent
+    * and engine-identical. */
+  def groupCentroid(spark: SparkSession, dir: String): DataFrame =
+    Relational.table(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos").cast("long").as("pos"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(expr("cast(round(cast(v as double) * 1000000, 0) as bigint)"))
+          / 1000000.0 / count(lit(1)), 4).as("mval"))
+      .orderBy("label", "pos")
+
   // C2d — exact embedding-cosine near-dup pairs (oracle-checked).
   // O(n²) baseline; the LSH variant below is the scale path.
   def dedupCosine(spark: SparkSession, dir: String): DataFrame = {
@@ -401,20 +418,46 @@ object Similarity {
       .setFeaturesCol("features").setPredictionCol("cell").fit(e)
     val assigned = model.transform(e).select(col("vec_id"), col("embedding"), col("cell"))
     import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
-      .toDF("cand_cell", "centroid") // k rows (≤4096) — broadcast dimension table
-    val cellW = Window.partitionBy(col("vec_id")).orderBy(col("cdist").asc, col("cand_cell").asc)
-    val probes = assigned.crossJoin(broadcast(centroids))
-      .withColumn("cdist", expr(
-        "aggregate(zip_with(embedding, centroid, (x, c) -> (x - c) * (x - c)), 0D, (a, v) -> a + v)"))
-      .withColumn("crnk", row_number().over(cellW)).filter(col("crnk") <= 8)
-      .select(col("vec_id").as("va"), col("embedding").as("ea"), col("cand_cell"))
-    val w = Window.partitionBy(col("va")).orderBy(col("sim").desc, col("vb").asc)
-    probes.join(assigned.select(col("vec_id").as("vb"), col("embedding").as("eb"),
-        col("cell").as("cand_cell")), Seq("cand_cell"))
+    // probe-cell choice is MAP-SIDE: the k-row centroid table rides along
+    // as ONE broadcast row holding array<struct<cell, centroid>>, and each
+    // vector sorts its own k distances inside a higher-order expression.
+    // The previous shape (crossJoin to n×k rows + row_number window)
+    // shuffled and sorted n×k rows — 354M at sf10, 500+ s of the sweep;
+    // map-side selection removes that exchange entirely (same flops, no
+    // data movement), which is the shape that survives 100 TB. Ties on
+    // distance break by cell id via the struct sort order, identical to
+    // the window's (cdist, cand_cell) ordering.
+    val centDf = Seq(Tuple1(model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq)).toDF("cents")
+    val probes = assigned.crossJoin(broadcast(centDf))
+      .withColumn("probe_cells", expr(
+        """transform(slice(array_sort(transform(cents, s ->
+          |  named_struct(
+          |    'd', aggregate(zip_with(embedding, s._2, (x, c) -> (x - c) * (x - c)), 0D, (a, v) -> a + v),
+          |    'cell', s._1))), 1, 8), p -> p.cell)""".stripMargin))
+      .select(col("vec_id").as("va"), col("embedding").as("ea"),
+        explode(col("probe_cells")).as("cand_cell"))
+    // per-cell equi-join: force shuffle-hash with the corpus (n rows, the
+    // smaller side — probes carry n×nprobe) as the hinted build, so
+    // neither side pays a sort (the band-join doctrine)
+    val scored = probes.join(assigned.select(col("vec_id").as("vb"),
+        col("embedding").as("eb"), col("cell").as("cand_cell")).hint("shuffle_hash"),
+        Seq("cand_cell"))
       .filter(col("va") =!= col("vb"))
-      .select(col("va"), col("vb"), round(cosineExpr("ea", "eb"), 4).as("sim"))
+      .select(col("cand_cell"), col("va"), col("vb"),
+        round(cosineExpr("ea", "eb"), 4).as("sim"))
+    // two-stage top-k: the global top-3 ⊆ the union of per-cell top-3s
+    // (every candidate lives in exactly one probed cell), and the
+    // per-cell window's (cand_cell, va) clustering is already satisfied
+    // by the join's hashpartitioning(cand_cell) — a LOCAL sort, no
+    // exchange. This shrinks the global window's input from
+    // n·nprobe·cellpop scored pairs (≈2.8e9 at sf10 — the 335 s
+    // bottleneck) to n·nprobe·3.
+    val wc = Window.partitionBy(col("cand_cell"), col("va"))
+      .orderBy(col("sim").desc, col("vb").asc)
+    val w = Window.partitionBy(col("va")).orderBy(col("sim").desc, col("vb").asc)
+    scored
+      .withColumn("crk", row_number().over(wc)).filter(col("crk") <= 3)
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
       .select(col("va"), col("vb"), col("sim"), col("rnk"))
       .orderBy("va", "rnk")
@@ -430,7 +473,8 @@ object Similarity {
     "c2_dedup_cosine" -> (dedupCosine _),
     "c2_dedup_cosine_lsh" -> (dedupCosineLsh _),
     "c3_sim_topk" -> (simTopK _),
-    "c3_ann_ivf" -> (annIvf _))
+    "c3_ann_ivf" -> (annIvf _),
+    "c19_group_centroid" -> (groupCentroid _))
 
   val oracleSql: Map[String, String] = Map(
     "c2_dedup_ngram" ->
@@ -485,5 +529,14 @@ object Similarity {
         |  round(cast(list_cosine_similarity(cast(embedding as double[]),
         |    (SELECT cast(embedding as double[]) FROM embeddings WHERE vec_id = 0)) as double), 4) AS sim
         |FROM embeddings WHERE vec_id <> 0
-        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    // zipped unnests pair each value with its 0-based position; scaled-long
+    // sums keep the mean order-independent across engines
+    "c19_group_centroid" ->
+      """WITH x AS (SELECT label, unnest(cast(embedding as double[])) AS v,
+        |  unnest(generate_series(0, len(embedding) - 1)) AS pos FROM embeddings)
+        |SELECT label, pos, count(*) AS n,
+        |  round(cast(sum(cast(round(v * 1000000, 0) as bigint)) as bigint)
+        |    / 1000000.0 / count(*), 4) AS mval
+        |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin)
 }

@@ -111,6 +111,26 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"hash-bucket sampling must not shuffle:\n$p")
   }
 
+  test("C3d: per-cell pre-top-k reuses the probe join's partitioning — no extra exchange") {
+    // expected hash exchanges: probes→join(cand_cell), corpus→join(cand_cell),
+    // global top-3 window (va). The per-cell (cand_cell, va) window must ride
+    // the join's hashpartitioning(cand_cell) with only a local sort — a 4th
+    // exchange means the 2.8e9-row pre-top-k shuffle came back (sf10 finding).
+    val p = plan(Similarity.knnJoinIvf(spark, dir))
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 3, s"expected 3 hash exchanges, got $hashEx:\n$p")
+  }
+
+  test("C19/C20: exploded aggregates partial-combine map-side; vocab top-k never global-sorts") {
+    // explode fans the corpus out, but the shuffle must carry only
+    // (group, partial) rows — partial aggregation below the exchange
+    val pc = plan(Similarity.groupCentroid(spark, dir))
+    assert(pc.contains("partial"), s"centroid agg lost map-side combine:\n$pc")
+    val pv = plan(Pipeline.vocabTopK(spark, dir))
+    assert(pv.contains("partial"), s"vocab agg lost map-side combine:\n$pv")
+    assert(pv.contains("TakeOrderedAndProject"), s"vocab top-k fully sorts:\n$pv")
+  }
+
   test("C16/C17: PII scrub and repetition stats are map-only before the presentation sort") {
     // both are per-row expression pipelines: at 100 TB they run at scan
     // speed iff no hash exchange sneaks in before the output ordering

@@ -89,4 +89,21 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     // would be lost without retained state) — prove the join exercised state
     assert(stream.exists(_._4 > 0), "no pair with a view strictly before its click")
   }
+
+  /** B27: stream-static enrichment is stateless — every micro-batch joins
+    * the full static dim, so the replay equals the batch join with no
+    * watermark and no state store involved. */
+  test("stream-static enrichment join equals the batch join exactly") {
+    import org.apache.spark.sql.functions._
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))
+    val stream = Relational.eventsStreamEnrich(spark, dir).collect().map(key).toSet
+    val batch = Relational.events(spark, dir)
+      .join(Relational.table(spark, dir, "customer"), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_mktsegment").as("segment"),
+        round(col("value"), 4).as("value"))
+      .collect().map(key).toSet
+    assert(batch.nonEmpty && stream === batch,
+      s"missing=${(batch -- stream).take(3)} extra=${(stream -- batch).take(3)}")
+  }
 }
