@@ -326,6 +326,33 @@ object Curation {
       .withColumn("keep",
         col("dup_tok_ratio") <= dupTokMax && col("top_bigram_frac") <= topBigramMax)
 
+  // ------------------------------------------ C21 streaming curation
+
+  /** C21 — the SAME repetition-quality pipeline as c17, run unmodified
+    * over a micro-batch replay of the corpus (4 doc_id-range slices,
+    * one per trigger). [[repetitionStats]] is a stateless per-row map,
+    * so it is batch/stream-unified by construction: no watermark, no
+    * state store, and the streaming output equals the batch result
+    * row-for-row — the property that lets one curation codebase serve
+    * both the backfill (batch over the lake) and the live feed
+    * (readStream over the landing bucket) at 100 TB. Oracle: identical
+    * SQL to c17. */
+  def qualityStream(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.table(spark, dir, "documents")
+    val stage = Relational.stageSlices(spark, docs, col("doc_id"),
+      s"graft_c21_stage_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val sinkName = "graft_c21_sink"
+    val q = repetitionStats(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stage))
+      .writeStream.queryName(sinkName).outputMode("append").format("memory")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName).orderBy("doc_id")
+  }
+
   // --------------------------------------------- C18 mixture weighting
 
   /** Token budget the mixture is solved for (the training-run size). */
@@ -373,7 +400,8 @@ object Curation {
     "c15_pack_sequences" -> (packSequences _),
     "c16_pii_redact" -> (piiRedact _),
     "c17_quality_repetition" -> (qualityRepetition _),
-    "c18_mix_weights" -> (mixWeights _))
+    "c18_mix_weights" -> (mixWeights _),
+    "c21_quality_stream" -> (qualityStream _))
 
   val oracleSql: Map[String, String] = Map(
     // the oracle joins on the gram STRINGS; equality with the hashed
@@ -447,7 +475,25 @@ object Curation {
          |FROM t ORDER BY doc_id""".stripMargin,
     // same stats via 1-based list ops; keep compares the ROUNDED columns
     // in both engines so threshold ties cannot diverge
-    "c17_quality_repetition" ->
+    "c17_quality_repetition" -> repetitionOracle,
+    // the stream is a replay of the same corpus through the same
+    // stateless pipeline — identical oracle
+    "c21_quality_stream" -> repetitionOracle,
+    // √token scores scaled to exact longs before the global sum — the
+    // normalizer is order-independent, so shares match bit-for-bit
+    "c18_mix_weights" ->
+      s"""WITH s AS (SELECT lang, source, count(*) AS n_docs,
+         |  cast(sum(len(string_split(text, ' '))) as bigint) AS n_tokens
+         |  FROM documents GROUP BY 1, 2),
+         |t AS (SELECT *, cast(round(sqrt(n_tokens) * 1000000, 0) as bigint) AS sqs FROM s),
+         |z AS (SELECT *, sum(sqs) OVER () AS z FROM t)
+         |SELECT lang, source, n_docs, n_tokens,
+         |  round(sqs * 1.0 / z, 4) AS share,
+         |  round(least(1.0, $mixBudget * (sqs * 1.0 / z) / n_tokens), 4) AS sample_rate,
+         |  round($mixBudget * (sqs * 1.0 / z) / n_tokens, 4) AS epochs
+         |FROM z ORDER BY lang, source""".stripMargin)
+
+  private lazy val repetitionOracle: String =
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |b AS (SELECT doc_id, toks, len(toks) AS n, len(list_distinct(toks)) AS uniq,
          |  CASE WHEN len(toks) >= 2 THEN list_transform(generate_series(1, len(toks) - 1),
@@ -463,18 +509,5 @@ object Curation {
          |  round(top_bg * 1.0 / (n - 1), 4) AS top_bigram_frac FROM m)
          |SELECT doc_id, dup_tok_ratio, top_tok_frac, top_bigram_frac,
          |  dup_tok_ratio <= $dupTokMax AND top_bigram_frac <= $topBigramMax AS keep
-         |FROM r ORDER BY doc_id""".stripMargin,
-    // √token scores scaled to exact longs before the global sum — the
-    // normalizer is order-independent, so shares match bit-for-bit
-    "c18_mix_weights" ->
-      s"""WITH s AS (SELECT lang, source, count(*) AS n_docs,
-         |  cast(sum(len(string_split(text, ' '))) as bigint) AS n_tokens
-         |  FROM documents GROUP BY 1, 2),
-         |t AS (SELECT *, cast(round(sqrt(n_tokens) * 1000000, 0) as bigint) AS sqs FROM s),
-         |z AS (SELECT *, sum(sqs) OVER () AS z FROM t)
-         |SELECT lang, source, n_docs, n_tokens,
-         |  round(sqs * 1.0 / z, 4) AS share,
-         |  round(least(1.0, $mixBudget * (sqs * 1.0 / z) / n_tokens), 4) AS sample_rate,
-         |  round($mixBudget * (sqs * 1.0 / z) / n_tokens, 4) AS epochs
-         |FROM z ORDER BY lang, source""".stripMargin)
+         |FROM r ORDER BY doc_id""".stripMargin
 }

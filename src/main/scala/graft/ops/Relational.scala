@@ -283,7 +283,13 @@ object Relational {
     * so the file source replays them oldest-first — a faithful stand-in
     * for files landing over time. Replay harness only (bounded passes
     * over one table); production streams read their real file feed. */
-  private[ops] def stageEventFiles(spark: SparkSession, ev: DataFrame, name: String, n: Int = 4): String = {
+  private[ops] def stageEventFiles(spark: SparkSession, ev: DataFrame, name: String, n: Int = 4): String =
+    stageSlices(spark, ev, unix_micros(col("ts")), name, n)
+
+  /** Generalized replay stager: slice any frame into `n` single-file
+    * parquet slices by the range of a long-valued ordering column. */
+  private[ops] def stageSlices(spark: SparkSession, ev: DataFrame, ord: org.apache.spark.sql.Column,
+      name: String, n: Int = 4): String = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val stage = Paths.get(System.getProperty("java.io.tmpdir"), name)
@@ -292,13 +298,13 @@ object Relational {
         .iterator().asScala.foreach(Files.delete)
     }
     Files.createDirectories(stage)
-    val b = ev.agg(min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi")).head()
+    val b = ev.agg(min(ord).as("lo"), max(ord).as("hi")).head()
     val (lo, hi) = (b.getLong(0), b.getLong(1))
     val step = math.max(1L, (hi - lo) / n + 1)
     (0 until n).foreach { i =>
       val hiBound = if (i == n - 1) hi + 1 else lo + (i + 1) * step
       val tmp = stage.resolve(s"tmp$i")
-      ev.filter(unix_micros(col("ts")) >= lo + i * step && unix_micros(col("ts")) < hiBound)
+      ev.filter(ord >= lo + i * step && ord < hiBound)
         .coalesce(1).write.parquet(tmp.toString)
       val part = Files.list(tmp).iterator().asScala
         .find(_.getFileName.toString.endsWith(".parquet")).get

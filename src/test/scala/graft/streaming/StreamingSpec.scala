@@ -106,4 +106,17 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(batch.nonEmpty && stream === batch,
       s"missing=${(batch -- stream).take(3)} extra=${(stream -- batch).take(3)}")
   }
+
+  /** C21: a stateless curation pipeline (repetitionStats) is
+    * batch/stream-unified — the replay output equals the batch operator
+    * row-for-row. */
+  test("streaming repetition-quality equals the batch operator exactly") {
+    import graft.ops.Curation
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))
+    val stream = Curation.qualityStream(spark, dir).collect().map(key).toSet
+    val batch = Curation.qualityRepetition(spark, dir).collect().map(key).toSet
+    assert(batch.nonEmpty && stream === batch,
+      s"missing=${(batch -- stream).take(3)} extra=${(stream -- batch).take(3)}")
+  }
 }
