@@ -148,9 +148,14 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  /** Min-label propagation over DataFrames: labels start as own id; each
-    * round takes the min of own and neighbors' labels until a fixpoint.
-    * Rounds = component diameter (shallow for dup clusters). The edge
+  /** Min-label propagation with pointer-jumping over DataFrames: labels
+    * start as own id; each round takes the min of (a) own label, (b)
+    * neighbors' labels, and (c) the label of one's label — the
+    * hash-to-min shortcut of the MapReduce connected-components
+    * literature. The shortcut doubles the effective propagation distance
+    * per round, so convergence is O(log diameter) rounds instead of
+    * O(diameter) — a 100-hop adversarial dup chain converges in ~8
+    * rounds (spec-proven), where plain propagation needs 100. The edge
     * set is computed ONCE and persisted — only (id, label) pairs move
     * per round — and each round checkpoints to keep the plan flat (an
     * unbounded iterative lineage re-executes the LSH pipeline every
@@ -185,7 +190,11 @@ object Curation {
     while (!converged && rounds < maxRounds) {
       val fromNeighbors = edges.join(labels, edges("da") === labels("id"))
         .select(edges("db").as("id"), col("label"))
-      val next = pin(labels.unionByName(fromNeighbors)
+      // pointer-jumping: adopt the label of one's label (both are ids in
+      // the same component, so the invariant holds; the min can only fall)
+      val viaLabel = labels.as("x").join(labels.as("y"), col("x.label") === col("y.id"))
+        .select(col("x.id").as("id"), col("y.label").as("label"))
+      val next = pin(labels.unionByName(fromNeighbors).unionByName(viaLabel)
         .groupBy("id").agg(min("label").as("label")))
       converged = next.join(labels.withColumnRenamed("label", "prev"), "id")
         .filter(col("label") =!= col("prev")).isEmpty

@@ -84,17 +84,26 @@ class CurationSpec extends AnyFunSuite with SparkTestSession {
 
   test("clusterPairs: exiting the round cap unconverged throws, not silently mislabels") {
     import spark.implicits._
-    // a path graph 0-1-2-...-10 has diameter 10: min-label propagation
-    // moves label 0 one hop per round, so a cap of 3 cannot converge
-    val path = (0L until 10L).map(i => (i, i + 1)).toDF("da", "db")
+    // a path graph 0-1-...-300 has diameter 300; even with pointer-
+    // jumping (O(log d) rounds) a cap of 2 cannot converge
+    val path = (0L until 300L).map(i => (i, i + 1)).toDF("da", "db")
     val e = intercept[IllegalStateException] {
-      Curation.clusterPairs(spark, path, maxRoundsDefault = 3).collect()
+      Curation.clusterPairs(spark, path, maxRoundsDefault = 2).collect()
     }
     assert(e.getMessage.contains("did not reach a fixpoint"))
-    // with a sufficient cap the same graph converges to one component
-    val labels = Curation.clusterPairs(spark, path, maxRoundsDefault = 12)
+  }
+
+  test("clusterPairs: pointer-jumping converges a 100-hop chain in O(log d) rounds") {
+    import spark.implicits._
+    // plain min-label propagation moves label 0 ONE hop per round — a
+    // diameter-100 path would need ~100 rounds and throw under a cap of
+    // 10. The label-of-label shortcut doubles reach per round, so ~8
+    // rounds suffice; converging under the tight cap proves the
+    // shortcut is active (the adversarial-chain scale concern)
+    val path = (0L until 100L).map(i => (i, i + 1)).toDF("da", "db")
+    val labels = Curation.clusterPairs(spark, path, maxRoundsDefault = 10)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels.size === 11 && labels.values.forall(_ == 0L))
+    assert(labels.size === 101 && labels.values.forall(_ == 0L))
   }
 
   test("clusterPairs: reliable checkpoint knob pins iterations to the checkpoint dir") {
