@@ -26,12 +26,12 @@ import org.apache.spark.sql.functions._
  *  - dedupCluster: exact duplicates contract to one representative per
  *    text BEFORE any pairwise work (d-fold duplication would otherwise
  *    cost d² per clique); candidate edges come from the banded-MinHash
- *    path (no O(n²)); label propagation shuffles only (id, label) pairs and
- *    converges in O(component diameter) rounds — near-dup clusters are
- *    shallow (dup chains, not long paths), so this beats the constant
- *    factors of large-star/small-star until diameters grow past ~10.
- *    Each round checkpoints to truncate lineage; exiting the round cap
- *    unconverged THROWS (a silent exit would return wrong labels).
+ *    path (no O(n²)); label propagation shuffles only (id, label) pairs
+ *    and, with the pointer-jumping shortcut, converges in
+ *    O(log component diameter) rounds — even adversarial dup chains
+ *    resolve in a handful of rounds. Each round checkpoints to truncate
+ *    lineage; exiting the round cap unconverged THROWS (a silent exit
+ *    would return wrong labels).
  *  - packSequences: one window per (lang, shard) stratum — shard is a
  *    deterministic doc_id range bucket, so the majority language never
  *    lands on a single task chain; packing is embarrassingly parallel
@@ -260,7 +260,7 @@ object Curation {
     * PII, so each doc gets an email/IP/phone derived from its own doc_id
     * appended — identical text in the oracle — making the redaction
     * counts non-trivially non-zero and the scrub observable. */
-  private val injectSql =
+  private[graft] val injectSql =
     """concat(text, ' contact user', cast(doc_id as string),
       |  '@example.com from 10.', cast(doc_id % 256 as string), '.0.99 call 555-',
       |  lpad(cast(doc_id % 1000 as string), 3, '0'), '-',

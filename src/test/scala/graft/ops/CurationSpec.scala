@@ -186,6 +186,18 @@ class CurationSpec extends AnyFunSuite with SparkTestSession {
     assert(got(2) === ((3L, 2, 1, 0, "two mails <EMAIL> <EMAIL> one ip <IP>")))
   }
 
+  test("piiStats: scrubbing is idempotent — a redacted corpus contains no PII") {
+    // re-running the scrub over its own output must find nothing: the
+    // replacement tokens cannot themselves match any pattern
+    val once = Curation.piiStats(
+      Relational.table(spark, sf, "documents")
+        .withColumn("t2", expr(Curation.injectSql)), "t2")
+      .select(col("doc_id"), col("red").as("text1"))
+    val twice = Curation.piiStats(once, "text1")
+    val dirty = twice.filter(col("n_email") > 0 || col("n_ip") > 0 || col("n_phone") > 0).count()
+    assert(dirty === 0)
+  }
+
   test("piiRedact: every injected corpus row carries exactly one of each PII kind") {
     // the synthetic corpus has no native PII and the injection adds one
     // email, one IP, one phone per doc — any other count means a pattern
