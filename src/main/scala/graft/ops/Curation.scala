@@ -331,7 +331,11 @@ object Curation {
       .select(col("doc_id"),
         round(lit(1.0) - col("m.uniq") * lit(1.0) / col("m.n"), 4).as("dup_tok_ratio"),
         round(col("m.top_tok") * lit(1.0) / col("m.n"), 4).as("top_tok_frac"),
-        round(col("m.top_bg") * lit(1.0) / (col("m.n") - 1), 4).as("top_bigram_frac"))
+        // n = 1 has zero bigram slots — guard the division (ANSI mode
+        // throws DIVIDE_BY_ZERO; single-token docs are routine in a crawl)
+        when(col("m.n") > 1,
+          round(col("m.top_bg") * lit(1.0) / (col("m.n") - 1), 4))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
       .withColumn("keep",
         col("dup_tok_ratio") <= dupTokMax && col("top_bigram_frac") <= topBigramMax)
 
@@ -350,16 +354,13 @@ object Curation {
     val docs = Relational.table(spark, dir, "documents")
     val stage = Relational.stageSlices(spark, docs, col("doc_id"),
       s"graft_c21_stage_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-    val sinkName = "graft_c21_sink"
-    val q = repetitionStats(
+    Relational.replayToMemory(spark,
+      repetitionStats(
         spark.readStream.schema(docs.schema)
           .option("maxFilesPerTrigger", "1")
-          .parquet(stage))
-      .writeStream.queryName(sinkName).outputMode("append").format("memory")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(sinkName).orderBy("doc_id")
+          .parquet(stage)),
+      "graft_c21_sink")
+      .orderBy("doc_id")
   }
 
   // --------------------------------------------- C18 mixture weighting
@@ -515,7 +516,8 @@ object Curation {
          |r AS (SELECT doc_id,
          |  round(1.0 - uniq * 1.0 / n, 4) AS dup_tok_ratio,
          |  round(top_tok * 1.0 / n, 4) AS top_tok_frac,
-         |  round(top_bg * 1.0 / (n - 1), 4) AS top_bigram_frac FROM m)
+         |  CASE WHEN n > 1 THEN round(top_bg * 1.0 / (n - 1), 4)
+         |       ELSE 0.0 END AS top_bigram_frac FROM m)
          |SELECT doc_id, dup_tok_ratio, top_tok_frac, top_bigram_frac,
          |  dup_tok_ratio <= $dupTokMax AND top_bigram_frac <= $topBigramMax AS keep
          |FROM r ORDER BY doc_id""".stripMargin

@@ -163,17 +163,14 @@ object Pipeline {
     val ev = Relational.events(spark, dir)
     val stage = Relational.stageEventFiles(spark, ev,
       s"graft_c9_stage_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-    val sinkName = "graft_c9_sink"
-    val q = spark.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(stage)
-      .select(col("user_id"), col("event_type"))
-      .dropDuplicates("user_id", "event_type")
-      .writeStream.queryName(sinkName).outputMode("append").format("memory")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(sinkName).orderBy("user_id", "event_type")
+    Relational.replayToMemory(spark,
+      spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type"),
+      "graft_c9_sink")
+      .orderBy("user_id", "event_type")
   }
 
   // C20 — corpus vocabulary: top-100 tokens by frequency (the vocab /

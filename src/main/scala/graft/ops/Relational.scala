@@ -262,18 +262,14 @@ object Relational {
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
     val stage = stageEventFiles(spark, ev, s"graft_b16_stage_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-    val sinkName = "graft_b16_sink"
-    val q = spark.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(stage)
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "1 hour").as("w"))
-      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("sum_value"))
-      .writeStream.queryName(sinkName).outputMode("append").format("memory")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(sinkName)
+    replayToMemory(spark,
+      spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("sum_value")),
+      "graft_b16_sink")
       .select(date_format(col("w.start"), ts_fmt).as("bucket"), col("n_events"), col("sum_value"))
       .orderBy("bucket")
   }
@@ -285,6 +281,18 @@ object Relational {
     * over one table); production streams read their real file feed. */
   private[ops] def stageEventFiles(spark: SparkSession, ev: DataFrame, name: String, n: Int = 4): String =
     stageSlices(spark, ev, unix_micros(col("ts")), name, n)
+
+  /** Run a streaming frame through an AvailableNow micro-batch replay
+    * into a named in-memory sink and return the sink table — the shared
+    * harness tail of every replay op (b16/b26/b27/c9/c21). */
+  private[graft] def replayToMemory(spark: SparkSession, streamed: DataFrame,
+      sinkName: String): DataFrame = {
+    val q = streamed.writeStream.queryName(sinkName).outputMode("append").format("memory")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+  }
 
   /** Generalized replay stager: slice any frame into `n` single-file
     * parquet slices by the range of a long-valued ordering column. */
@@ -357,18 +365,15 @@ object Relational {
         .withWatermark(tsAs, "1 hour")
     val clicks = side("click", "click_id", "click_ts", "user_id")
     val views = side("view", "view_id", "view_ts", "v_user")
-    val sinkName = "graft_b26_sink"
-    val q = clicks.join(views,
-        col("user_id") === col("v_user") &&
-          col("view_ts") >= col("click_ts") - expr("INTERVAL 24 HOURS") &&
-          col("view_ts") <= col("click_ts"))
-      .select(col("click_id"), col("view_id"), col("user_id"),
-        expr("(unix_micros(click_ts) - unix_micros(view_ts)) div 60000000").as("lag_min"))
-      .writeStream.queryName(sinkName).outputMode("append").format("memory")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(sinkName).orderBy("click_id", "view_id")
+    replayToMemory(spark,
+      clicks.join(views,
+          col("user_id") === col("v_user") &&
+            col("view_ts") >= col("click_ts") - expr("INTERVAL 24 HOURS") &&
+            col("view_ts") <= col("click_ts"))
+        .select(col("click_id"), col("view_id"), col("user_id"),
+          expr("(unix_micros(click_ts) - unix_micros(view_ts)) div 60000000").as("lag_min")),
+      "graft_b26_sink")
+      .orderBy("click_id", "view_id")
   }
 
   // B27 — stream-static enrichment: each micro-batch of the events
@@ -381,18 +386,15 @@ object Relational {
     val ev = events(spark, dir)
     val stage = stageEventFiles(spark, ev, s"graft_b27_stage_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     val dim = table(spark, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
-    val sinkName = "graft_b27_sink"
-    val q = spark.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(stage)
-      .join(broadcast(dim), col("user_id") === col("c_custkey"))
-      .select(col("event_id"), col("user_id"), col("c_mktsegment").as("segment"),
-        round(col("value"), 4).as("value"))
-      .writeStream.queryName(sinkName).outputMode("append").format("memory")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(sinkName).orderBy("event_id")
+    replayToMemory(spark,
+      spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("c_mktsegment").as("segment"),
+          round(col("value"), 4).as("value")),
+      "graft_b27_sink")
+      .orderBy("event_id")
   }
 
   /** Query registry: op id → function (SparkSession, sfDir) → DataFrame. */

@@ -85,9 +85,19 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(batch.nonEmpty, "degenerate fixture: batch join is empty")
     assert(stream === batch,
       s"stream/batch divergence: missing=${(batch -- stream).take(3)} extra=${(stream -- batch).take(3)}")
-    // cross-batch pairs exist (sides more than one staged slice apart
-    // would be lost without retained state) — prove the join exercised state
-    assert(stream.exists(_._4 > 0), "no pair with a view strictly before its click")
+    // prove the join exercised cross-batch STATE: at least one matched
+    // pair's view and click must land in different staged slices (a
+    // regression that dropped join state between micro-batches would
+    // still pass a same-slice-only check)
+    val ts = Relational.events(spark, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (lo, hi) = (ts.values.min, ts.values.max)
+    val step = math.max(1L, (hi - lo) / 4 + 1)
+    def slice(us: Long) = math.min(((us - lo) / step).toInt, 3)
+    assert(stream.exists { case (clickId, viewId, _, _) =>
+      slice(ts(clickId)) != slice(ts(viewId))
+    }, "no matched pair straddles a micro-batch boundary — state retention unexercised")
   }
 
   /** B27: stream-static enrichment is stateless — every micro-batch joins
