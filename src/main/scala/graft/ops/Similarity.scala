@@ -252,8 +252,11 @@ object Similarity {
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos").cast("long").as("pos"))
       .agg(count(lit(1)).as("n"),
-        round(sum(expr("cast(round(cast(v as double) * 1000000, 0) as bigint)"))
-          / 1000000.0 / count(lit(1)), 4).as("mval"))
+        // + 0.0 normalizes IEEE -0.0 (a signed mean rounding to zero) to
+        // +0.0 — DuckDB's round already returns +0.0, and the hash compare
+        // distinguishes the two (caught at sf0.1)
+        (round(sum(expr("cast(round(cast(v as double) * 1000000, 0) as bigint)"))
+          / 1000000.0 / count(lit(1)), 4) + lit(0.0)).as("mval"))
       .orderBy("label", "pos")
 
   // C2d — exact embedding-cosine near-dup pairs (oracle-checked).
@@ -537,6 +540,6 @@ object Similarity {
         |  unnest(generate_series(0, len(embedding) - 1)) AS pos FROM embeddings)
         |SELECT label, pos, count(*) AS n,
         |  round(cast(sum(cast(round(v * 1000000, 0) as bigint)) as bigint)
-        |    / 1000000.0 / count(*), 4) AS mval
+        |    / 1000000.0 / count(*), 4) + 0.0 AS mval
         |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin)
 }
