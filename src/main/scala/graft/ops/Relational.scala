@@ -376,6 +376,39 @@ object Relational {
       .orderBy("click_id", "view_id")
   }
 
+  // B28 — stream-stream LEFT OUTER interval join: same pair condition as
+  // B26, but a click with NO qualifying view emits a null row once the
+  // watermark proves no future view can match (view_ts ≤ click_ts, so a
+  // click is decidable when the watermark passes click_ts). Matched
+  // pairs emit eagerly like the inner join; null rows are the
+  // watermark-gated remainder — the append-mode finalization contract,
+  // same doctrine as B16's window emission. The oracle mirrors it
+  // exactly: batch left join, minus null rows for clicks the final
+  // watermark (max ts − 1 h) has not yet decided.
+  def eventsStreamJoinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val stage = stageEventFiles(spark, ev, s"graft_b28_stage_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    def side(kind: String, idAs: String, tsAs: String, userAs: String) =
+      spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .filter(col("event_type") === kind)
+        .select(col("event_id").as(idAs), col("user_id").as(userAs), col("ts").as(tsAs))
+        .withWatermark(tsAs, "1 hour")
+    val clicks = side("click", "click_id", "click_ts", "user_id")
+    val views = side("view", "view_id", "view_ts", "v_user")
+    replayToMemory(spark,
+      clicks.join(views,
+          col("user_id") === col("v_user") &&
+            col("view_ts") >= col("click_ts") - expr("INTERVAL 24 HOURS") &&
+            col("view_ts") <= col("click_ts"),
+          "left_outer")
+        .select(col("click_id"), col("view_id"), col("user_id"),
+          expr("(unix_micros(click_ts) - unix_micros(view_ts)) div 60000000").as("lag_min")),
+      "graft_b28_sink")
+      .orderBy("click_id", "view_id")
+  }
+
   // B27 — stream-static enrichment: each micro-batch of the events
   // stream joins the static customer dimension. Stateless — no state
   // store, no watermark needed; the static side broadcasts into every
@@ -423,7 +456,8 @@ object Relational {
     "b17_events_session" -> (eventsSession _),
     "b18_json_props" -> (jsonProps _),
     "b26_stream_join" -> (eventsStreamJoin _),
-    "b27_stream_enrich" -> (eventsStreamEnrich _))
+    "b27_stream_enrich" -> (eventsStreamEnrich _),
+    "b28_stream_join_outer" -> (eventsStreamJoinOuter _))
 
   /** DuckDB oracle SQL, value-identical and column-name-identical to the
     * Spark results (SURVEY §2.4 determinism rules). */
@@ -594,5 +628,25 @@ object Relational {
     "b27_stream_enrich" ->
       """SELECT event_id, user_id, c_mktsegment AS segment, round(value, 4) AS value
         |FROM events JOIN customer ON user_id = c_custkey
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+    // left-outer append semantics: matched pairs emit eagerly (= batch
+    // join); a null row emits only for clicks the final watermark
+    // (min of the two sides' max event time − 1 h) has decided — a click
+    // is decidable once the watermark passes click_ts since views never
+    // arrive after it (view_ts ≤ click_ts bound). NULLS FIRST mirrors
+    // Spark's ascending null ordering.
+    "b28_stream_join_outer" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |f AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM v))
+        |         - INTERVAL 1 HOUR AS wm),
+        |m AS (SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+        |    (epoch_us(c.ts) - epoch_us(v.ts)) // 60000000 AS lag_min
+        |  FROM c JOIN v ON c.user_id = v.user_id
+        |  AND v.ts >= c.ts - INTERVAL 24 HOUR AND v.ts <= c.ts)
+        |SELECT * FROM m
+        |UNION ALL
+        |SELECT c.event_id, cast(NULL as bigint), c.user_id, cast(NULL as bigint)
+        |FROM c, f WHERE c.ts < wm AND c.event_id NOT IN (SELECT click_id FROM m)
+        |ORDER BY click_id, view_id NULLS FIRST""".stripMargin)
 }

@@ -100,6 +100,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     }, "no matched pair straddles a micro-batch boundary — state retention unexercised")
   }
 
+  /** B28: left-outer adds watermark-gated null finalization on top of
+    * B26's eager matches — null rows appear exactly for unmatched clicks
+    * the final watermark has decided. */
+  test("stream-stream outer join: matches are eager, nulls are watermark-gated") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.eventsStreamJoinOuter(spark, dir).collect()
+    val matched = rows.filter(!_.isNullAt(1)).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nulls = rows.filter(_.isNullAt(1)).map(_.getLong(0)).toSet
+    // matched part = the inner join exactly
+    val inner = Relational.eventsStreamJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(matched === inner, "outer join's matched rows must equal the inner join")
+    // null rows: unmatched clicks decided by the final watermark, none beyond it
+    val ev = Relational.events(spark, dir)
+    val wm = ev.filter(col("event_type").isin("click", "view"))
+      .groupBy(col("event_type")).agg(max(unix_micros(col("ts"))).as("m"))
+      .agg(min(col("m"))).head().getLong(0) - 3600L * 1000000L
+    val clickTs = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), unix_micros(col("ts")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val matchedClicks = matched.map(_._1)
+    val expectNull = clickTs.collect {
+      case (id, ts) if ts < wm && !matchedClicks(id) => id
+    }.toSet
+    assert(nulls === expectNull,
+      s"null-row set diverges: missing=${(expectNull -- nulls).take(3)} extra=${(nulls -- expectNull).take(3)}")
+    assert(nulls.nonEmpty, "degenerate fixture: no unmatched decided clicks")
+  }
+
   /** B27: stream-static enrichment is stateless — every micro-batch joins
     * the full static dim, so the replay equals the batch join with no
     * watermark and no state store involved. */
