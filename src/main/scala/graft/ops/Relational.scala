@@ -294,10 +294,17 @@ object Relational {
     spark.table(sinkName)
   }
 
+  /** Replay slicing parameters — exposed so specs reason about the SAME
+    * boundaries the stager writes (re-deriving them would silently
+    * decouple on a formula change). */
+  private[graft] val replaySlices = 4
+  private[graft] def sliceStep(lo: Long, hi: Long, n: Int): Long =
+    math.max(1L, (hi - lo) / n + 1)
+
   /** Generalized replay stager: slice any frame into `n` single-file
     * parquet slices by the range of a long-valued ordering column. */
   private[ops] def stageSlices(spark: SparkSession, ev: DataFrame, ord: org.apache.spark.sql.Column,
-      name: String, n: Int = 4): String = {
+      name: String, n: Int = replaySlices): String = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val stage = Paths.get(System.getProperty("java.io.tmpdir"), name)
@@ -308,7 +315,7 @@ object Relational {
     Files.createDirectories(stage)
     val b = ev.agg(min(ord).as("lo"), max(ord).as("hi")).head()
     val (lo, hi) = (b.getLong(0), b.getLong(1))
-    val step = math.max(1L, (hi - lo) / n + 1)
+    val step = sliceStep(lo, hi, n)
     (0 until n).foreach { i =>
       val hiBound = if (i == n - 1) hi + 1 else lo + (i + 1) * step
       val tmp = stage.resolve(s"tmp$i")
@@ -353,41 +360,17 @@ object Relational {
   // replay's output is the complete join — the oracle is the plain batch
   // join. At 100 TB both sides shuffle on user_id once; no other
   // exchange exists in the continuous plan.
-  def eventsStreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = events(spark, dir)
-    val stage = stageEventFiles(spark, ev, s"graft_b26_stage_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-    def side(kind: String, idAs: String, tsAs: String, userAs: String) =
-      spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stage)
-        .filter(col("event_type") === kind)
-        .select(col("event_id").as(idAs), col("user_id").as(userAs), col("ts").as(tsAs))
-        .withWatermark(tsAs, "1 hour")
-    val clicks = side("click", "click_id", "click_ts", "user_id")
-    val views = side("view", "view_id", "view_ts", "v_user")
-    replayToMemory(spark,
-      clicks.join(views,
-          col("user_id") === col("v_user") &&
-            col("view_ts") >= col("click_ts") - expr("INTERVAL 24 HOURS") &&
-            col("view_ts") <= col("click_ts"))
-        .select(col("click_id"), col("view_id"), col("user_id"),
-          expr("(unix_micros(click_ts) - unix_micros(view_ts)) div 60000000").as("lag_min")),
-      "graft_b26_sink")
-      .orderBy("click_id", "view_id")
-  }
+  def eventsStreamJoin(spark: SparkSession, dir: String): DataFrame =
+    streamClickViewJoin(spark, dir, "inner", "b26")
 
-  // B28 — stream-stream LEFT OUTER interval join: same pair condition as
-  // B26, but a click with NO qualifying view emits a null row once the
-  // watermark proves no future view can match (view_ts ≤ click_ts, so a
-  // click is decidable when the watermark passes click_ts). Matched
-  // pairs emit eagerly like the inner join; null rows are the
-  // watermark-gated remainder — the append-mode finalization contract,
-  // same doctrine as B16's window emission. The oracle mirrors it
-  // exactly: batch left join, minus null rows for clicks the final
-  // watermark (max ts − 1 h) has not yet decided.
-  def eventsStreamJoinOuter(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared clicks⋈views interval-join replay for B26 (inner) and B28
+    * (left_outer): one definition of the 24 h condition, watermark
+    * delay, and projection, so the two ops (and their oracles) cannot
+    * desynchronize. */
+  private def streamClickViewJoin(spark: SparkSession, dir: String,
+      joinType: String, tag: String): DataFrame = {
     val ev = events(spark, dir)
-    val stage = stageEventFiles(spark, ev, s"graft_b28_stage_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val stage = stageEventFiles(spark, ev, s"graft_${tag}_stage_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     def side(kind: String, idAs: String, tsAs: String, userAs: String) =
       spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
@@ -402,12 +385,24 @@ object Relational {
           col("user_id") === col("v_user") &&
             col("view_ts") >= col("click_ts") - expr("INTERVAL 24 HOURS") &&
             col("view_ts") <= col("click_ts"),
-          "left_outer")
+          joinType)
         .select(col("click_id"), col("view_id"), col("user_id"),
           expr("(unix_micros(click_ts) - unix_micros(view_ts)) div 60000000").as("lag_min")),
-      "graft_b28_sink")
+      s"graft_${tag}_sink")
       .orderBy("click_id", "view_id")
   }
+
+  // B28 — stream-stream LEFT OUTER interval join: same pair condition as
+  // B26, but a click with NO qualifying view emits a null row once the
+  // watermark proves no future view can match (view_ts ≤ click_ts, so a
+  // click is decidable when the watermark passes click_ts). Matched
+  // pairs emit eagerly like the inner join; null rows are the
+  // watermark-gated remainder — the append-mode finalization contract,
+  // same doctrine as B16's window emission. The oracle mirrors it
+  // exactly: batch left join, minus null rows for clicks the final
+  // watermark (ms-floored max ts − 1 h) has not yet decided.
+  def eventsStreamJoinOuter(spark: SparkSession, dir: String): DataFrame =
+    streamClickViewJoin(spark, dir, "left_outer", "b28")
 
   // B27 — stream-static enrichment: each micro-batch of the events
   // stream joins the static customer dimension. Stateless — no state
@@ -630,16 +625,23 @@ object Relational {
         |FROM events JOIN customer ON user_id = c_custkey
         |ORDER BY event_id""".stripMargin,
     // left-outer append semantics: matched pairs emit eagerly (= batch
-    // join); a null row emits only for clicks the final watermark
-    // (min of the two sides' max event time − 1 h) has decided — a click
-    // is decidable once the watermark passes click_ts since views never
-    // arrive after it (view_ts ≤ click_ts bound). NULLS FIRST mirrors
-    // Spark's ascending null ordering.
+    // join); a null row emits only for clicks the final watermark has
+    // decided — a click is decidable once the watermark passes click_ts
+    // since views never arrive after it (view_ts ≤ click_ts bound). The
+    // watermark is computed at MILLISECOND precision like Spark's
+    // (event-time stats floor to ms — same convention as the b16
+    // oracle), from the min of the two sides' max event time; if either
+    // side is empty its watermark never advances (Spark pins the global
+    // min watermark at 0), so no null row may emit — the CASE yields
+    // NULL and `epoch_us < NULL` is false for every click. NULLS FIRST
+    // mirrors Spark's ascending null ordering.
     "b28_stream_join_outer" ->
       """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
         |v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
-        |f AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM v))
-        |         - INTERVAL 1 HOUR AS wm),
+        |f AS (SELECT CASE WHEN (SELECT count(*) FROM c) = 0 OR (SELECT count(*) FROM v) = 0
+        |         THEN NULL
+        |         ELSE (epoch_ms(least((SELECT max(ts) FROM c), (SELECT max(ts) FROM v)))
+        |               - 3600000) * 1000 END AS wm_us),
         |m AS (SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
         |    (epoch_us(c.ts) - epoch_us(v.ts)) // 60000000 AS lag_min
         |  FROM c JOIN v ON c.user_id = v.user_id
@@ -647,6 +649,6 @@ object Relational {
         |SELECT * FROM m
         |UNION ALL
         |SELECT c.event_id, cast(NULL as bigint), c.user_id, cast(NULL as bigint)
-        |FROM c, f WHERE c.ts < wm AND c.event_id NOT IN (SELECT click_id FROM m)
+        |FROM c, f WHERE epoch_us(c.ts) < wm_us AND c.event_id NOT IN (SELECT click_id FROM m)
         |ORDER BY click_id, view_id NULLS FIRST""".stripMargin)
 }

@@ -93,8 +93,9 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       .select(col("event_id"), unix_micros(col("ts")).as("us"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val (lo, hi) = (ts.values.min, ts.values.max)
-    val step = math.max(1L, (hi - lo) / 4 + 1)
-    def slice(us: Long) = math.min(((us - lo) / step).toInt, 3)
+    val n = Relational.replaySlices
+    val step = Relational.sliceStep(lo, hi, n)
+    def slice(us: Long) = math.min(((us - lo) / step).toInt, n - 1)
     assert(stream.exists { case (clickId, viewId, _, _) =>
       slice(ts(clickId)) != slice(ts(viewId))
     }, "no matched pair straddles a micro-batch boundary — state retention unexercised")
@@ -114,9 +115,13 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(matched === inner, "outer join's matched rows must equal the inner join")
     // null rows: unmatched clicks decided by the final watermark, none beyond it
     val ev = Relational.events(spark, dir)
-    val wm = ev.filter(col("event_type").isin("click", "view"))
+    // Spark tracks event-time watermarks at MILLISECOND precision —
+    // floor the frontier max to ms before subtracting the delay, or the
+    // boundary is off by up to 999 µs (data-dependent flake)
+    val maxUs = ev.filter(col("event_type").isin("click", "view"))
       .groupBy(col("event_type")).agg(max(unix_micros(col("ts"))).as("m"))
-      .agg(min(col("m"))).head().getLong(0) - 3600L * 1000000L
+      .agg(min(col("m"))).head().getLong(0)
+    val wm = (maxUs / 1000L) * 1000L - 3600L * 1000000L
     val clickTs = ev.filter(col("event_type") === "click")
       .select(col("event_id"), unix_micros(col("ts")))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
