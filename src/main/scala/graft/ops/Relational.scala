@@ -348,6 +348,36 @@ object Relational {
       .select(col("event_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
       .orderBy("event_id")
 
+  // B29 — exact grouped quantiles: Spark's `percentile` and DuckDB's
+  // `quantile_cont` share linear-interpolation (type-7) semantics, so
+  // the rounded values hash-match exactly. Exact percentile holds the
+  // group's values in memory — the correctness baseline; b29b below is
+  // the sketch path a 100 TB run uses.
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.25D)"), 4).as("p25"),
+        round(expr("percentile(l_quantity, 0.5D)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.75D)"), 4).as("p75"),
+        round(expr("percentile(l_quantity, 0.99D)"), 4).as("p99"))
+      .orderBy("l_returnflag")
+
+  // B29b — the same quantiles through approx_percentile (KLL-style
+  // sketch, constant state per group, mergeable map-side — the plan
+  // that survives 100 TB where exact percentile cannot hold a group's
+  // values). Approximate → rows-only check; bracketed against the
+  // exact b29 in a spec (±1 quantity unit at accuracy 10000).
+  def quantilesApprox(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("approx_percentile(l_quantity, 0.25D, 10000)"), 4).as("p25"),
+        round(expr("approx_percentile(l_quantity, 0.5D, 10000)"), 4).as("p50"),
+        round(expr("approx_percentile(l_quantity, 0.75D, 10000)"), 4).as("p75"),
+        round(expr("approx_percentile(l_quantity, 0.99D, 10000)"), 4).as("p99"))
+      .orderBy("l_returnflag")
+
   // B26 — stream-stream interval join: clicks ⋈ views per user, view
   // within 24 h before the click, over the same 4-file micro-batch
   // replay as B16 (two independent file-source streams on the staged
@@ -452,7 +482,9 @@ object Relational {
     "b18_json_props" -> (jsonProps _),
     "b26_stream_join" -> (eventsStreamJoin _),
     "b27_stream_enrich" -> (eventsStreamEnrich _),
-    "b28_stream_join_outer" -> (eventsStreamJoinOuter _))
+    "b28_stream_join_outer" -> (eventsStreamJoinOuter _),
+    "b29_quantiles" -> (quantiles _),
+    "b29b_quantiles_approx" -> (quantilesApprox _))
 
   /** DuckDB oracle SQL, value-identical and column-name-identical to the
     * Spark results (SURVEY §2.4 determinism rules). */
@@ -650,5 +682,13 @@ object Relational {
         |UNION ALL
         |SELECT c.event_id, cast(NULL as bigint), c.user_id, cast(NULL as bigint)
         |FROM c, f WHERE epoch_us(c.ts) < wm_us AND c.event_id NOT IN (SELECT click_id FROM m)
-        |ORDER BY click_id, view_id NULLS FIRST""".stripMargin)
+        |ORDER BY click_id, view_id NULLS FIRST""".stripMargin,
+    // quantile_cont = percentile: both linear-interpolate (type 7)
+    "b29_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+        |  round(quantile_cont(l_quantity, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }

@@ -21,6 +21,20 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("b29b approx quantiles bracket the exact percentiles") {
+    def grab(name: String) = SparkEntry.queries(name)(spark, dir).collect()
+      .map(r => r.getString(0) -> (1 to 4).map(r.getDouble)).toMap
+    val exact = grab("b29_quantiles")
+    val approx = grab("b29b_quantiles_approx")
+    exact.foreach { case (flag, es) =>
+      es.zip(approx(flag)).foreach { case (e, a) =>
+        // at accuracy 10000 over integral quantities the sketch lands
+        // within one quantity unit of the exact interpolated value
+        assert(math.abs(e - a) <= 1.0, s"$flag: exact $e vs approx $a")
+      }
+    }
+  }
+
   test("b14 approx distinct brackets the exact count (SURVEY B14)") {
     val approx = SparkEntry.queries("b14_approx_distinct")(spark, dir).head().getLong(0)
     val exact = graft.ops.Relational.table(spark, dir, "lineitem")
