@@ -22,6 +22,15 @@ object Verify {
       .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF="graft.pack.shardSpan=64,other.key=v" — runtime
+    // conf for sweep variants; ops (and their oracle SQL, e.g. c15's
+    // shard span) read these through the session, so a swept knob stays
+    // in sync with its oracle by construction
+    sys.env.getOrElse("SPARK_GRAFT_CONF", "").split(",")
+      .map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      }
     new java.io.File(outDir).mkdirs()
     // per-query watchdog: one pathological query must not stall the whole
     // correctness dump — cancel its job group after the timeout and move on

@@ -218,6 +218,18 @@ object Curation {
     * `graft.pack.shardSpan` to match the target shard token budget. */
   private val shardSpanDefault = 128L
 
+  /** The span c15 actually packs with: the session conf override when
+    * set, else the default. Read by BOTH the query and [[oracleSql]]
+    * (which is a `def` for exactly this reason) — a sweep run with
+    * `graft.pack.shardSpan` set gets an oracle packed with the SAME
+    * span, instead of a spurious hash mismatch against the default. */
+  private def effectiveShardSpan(spark: SparkSession): Long =
+    spark.conf.getOption("graft.pack.shardSpan")
+      .map(_.toLong).getOrElse(shardSpanDefault)
+
+  private def activeShardSpan: Long =
+    SparkSession.getActiveSession.map(effectiveShardSpan).getOrElse(shardSpanDefault)
+
   /** C15 — token-budget sequence packing (concat-then-chunk): per
     * stratum (lang, shard), documents concatenate in doc_id order and
     * the token stream is cut every 512 tokens; a doc's training sequence
@@ -229,8 +241,7 @@ object Curation {
     * the packing a sequence-building pipeline does per training shard,
     * expressed as pure windowed SQL (no stateful loop). */
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
-    val span = spark.conf.getOption("graft.pack.shardSpan")
-      .map(_.toLong).getOrElse(shardSpanDefault)
+    val span = effectiveShardSpan(spark)
     val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Relational.table(spark, dir, "documents")
@@ -413,7 +424,9 @@ object Curation {
     "c18_mix_weights" -> (mixWeights _),
     "c21_quality_stream" -> (qualityStream _))
 
-  val oracleSql: Map[String, String] = Map(
+  // a def, not a val: the c15 entry embeds the session's EFFECTIVE
+  // shard span (see effectiveShardSpan) at dump time
+  def oracleSql: Map[String, String] = Map(
     // the oracle joins on the gram STRINGS; equality with the hashed
     // Spark path holds absent xxhash64 collisions (spec-proven at test
     // scale, probabilistically negligible beyond it)
@@ -457,7 +470,7 @@ object Curation {
         |SELECT id AS doc_id, min(node) AS cluster_id FROM reach
         |GROUP BY id ORDER BY doc_id""".stripMargin,
     "c15_pack_sequences" ->
-      s"""WITH t AS (SELECT doc_id, lang, doc_id // $shardSpanDefault AS shard,
+      s"""WITH t AS (SELECT doc_id, lang, doc_id // $activeShardSpan AS shard,
          |  len(string_split(text, ' ')) AS n_tokens FROM documents),
          |o AS (SELECT doc_id, lang, shard, n_tokens,
          |  sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id

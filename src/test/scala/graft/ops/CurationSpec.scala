@@ -169,6 +169,28 @@ class CurationSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.map(_._5).distinct.length > 1)
   }
 
+  test("packSequences: a non-default graft.pack.shardSpan threads into query AND oracle") {
+    val span = 64L
+    spark.conf.set("graft.pack.shardSpan", span.toString)
+    try {
+      val rows = Curation.packSequences(spark, sf)
+        .select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.nonEmpty)
+      rows.foreach { case (id, shard) =>
+        assert(shard === id / span, s"doc $id packed with the wrong span (shard $shard)")
+      }
+      // the oracle dumped in the SAME session must pack with the SAME
+      // span — this was the r5 desync: query read the conf, oracle
+      // hard-pinned the default
+      val oracle = Curation.oracleSql("c15_pack_sequences")
+      assert(oracle.contains(s"doc_id // $span"),
+        s"oracle not packed with the swept span $span:\n$oracle")
+      assert(!oracle.contains("doc_id // 128"))
+    } finally spark.conf.unset("graft.pack.shardSpan")
+    // conf cleared → both sides fall back to the default again
+    assert(Curation.oracleSql("c15_pack_sequences").contains("doc_id // 128"))
+  }
+
   test("piiStats: crafted PII is counted and scrubbed exactly") {
     import spark.implicits._
     val docs = Seq(
