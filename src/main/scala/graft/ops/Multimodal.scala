@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
  * image/audio/video as opaque `binary` columns with typed metadata.
  *
  * Images decode FOR REAL (PNG/BMP/GIF/JPEG via `javax.imageio`, pure
- * JVM): true pixel dimensions and a luminance feature fold. Audio and
- * video remain STUBBED (no audio/video libraries in this container):
- * [[decodeBatch]] folds their bytes into a deterministic fake feature
+ * JVM): true pixel dimensions and a luminance feature fold. Audio
+ * decodes FOR REAL too (PCM WAV via `javax.sound.sampled`, pure JVM):
+ * true frame count / sample rate and an 8-bin RMS fold over the actual
+ * samples. Only video remains STUBBED (the JDK ships no video codec):
+ * [[decodeBatch]] folds its bytes into a deterministic fake feature
  * vector. Everything around the stub — the schema, the `Dataset[T]`
  * encoders, the per-partition batched decode shape (batches of
  * [[batchSize]], the same contract a `mapInPandas`/Arrow decode would
@@ -27,17 +29,56 @@ object Multimodal {
       doc_id: Long, kind: String, media: Array[Byte],
       width: Int, height: Int, sample_rate: Int)
 
-  /** decoded_w/decoded_h are the REAL pixel dimensions when the media
-    * bytes decoded as an image; −1 when the byte-fold stub handled the
-    * row (audio/video, or bytes that aren't a decodable image). */
+  /** decoded_w/decoded_h are the REAL decoded dimensions: pixel
+    * width/height for images, (frame count, sample rate) for audio;
+    * −1 when the byte-fold stub handled the row (video, or bytes the
+    * kind's decoder could not parse). */
   final case class MediaFeatures(
       doc_id: Long, kind: String, n_bytes: Int,
       decoded_w: Int, decoded_h: Int, features: Array[Float])
 
-  /** Ingest plumbing: attach a deterministic fake media payload + typed
-    * metadata to each document (sha256 of the text as the opaque bytes —
-    * stands in for real image/audio/video content). */
-  def attachMedia(docs: DataFrame): DataFrame =
+  /** Synthesized-WAV shape: 16-bit mono PCM, [[wavRate]] Hz,
+    * [[wavFrames]] frames → a fixed 44 + 2·frames byte payload. */
+  val wavRate = 8000
+  val wavFrames = 400
+  val wavBytes: Int = 44 + 2 * wavFrames
+
+  /** A REAL little-endian RIFF/WAVE file: 16-bit mono PCM sine whose
+    * frequency and amplitude derive from the doc id — deterministic
+    * stand-in audio content that any WAV reader (including
+    * `javax.sound.sampled`) parses. Pure byte building, no libraries. */
+  def synthWav(docId: Long): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(wavBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val dataLen = 2 * wavFrames
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(wavRate)
+      .putInt(wavRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    val freq = 200.0 + (docId % 100) * 10.0
+    val amp = 8000.0 + (docId % 7) * 1000.0
+    var i = 0
+    while (i < wavFrames) {
+      bb.putShort(math.round(amp * math.sin(2 * math.Pi * freq * i / wavRate)).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Ingest plumbing: attach a deterministic media payload + typed
+    * metadata to each document — a REAL synthesized WAV for audio rows
+    * (see [[synthWav]]), sha256-of-text opaque bytes for image/video
+    * (stands in for content the decode step then handles per kind).
+    * The WAV synthesis is a typed map in the INGEST path only — query
+    * operators downstream stay columnar. */
+  def attachMedia(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     docs.select(
       col("doc_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
@@ -46,6 +87,10 @@ object Multimodal {
       (col("n_chars") % 640 + 16).cast("int").as("width"),
       (col("n_chars") % 480 + 16).cast("int").as("height"),
       when(col("doc_id") % 3 === 1, 16000).otherwise(0).as("sample_rate"))
+      .as[MediaDoc]
+      .map(d => if (d.kind == "audio") d.copy(media = synthWav(d.doc_id)) else d)
+      .toDF()
+  }
 
   /** Real image decode for the `image` kind: PNG/BMP/GIF/JPEG through
     * `javax.imageio` (pure JVM, no external deps — the formats the JDK
@@ -72,22 +117,65 @@ object Multimodal {
     }
   }
 
-  /** ??? DECODE STUB ??? — audio/video feature extraction (no audio/
-    * video libraries in this container). Deterministic: folds the media
-    * bytes into an 8-float signature, decoded dims = −1. Also the
-    * fallback for image rows whose bytes are not a decodable image. */
+  /** Real audio decode for the `audio` kind: WAV/PCM through
+    * `javax.sound.sampled` (pure JVM — the JDK ships a WAV/AIFF/AU
+    * reader). Features = an 8-bin RMS fold over the ACTUAL decoded
+    * 16-bit samples; decoded_w = frame count, decoded_h = sample rate
+    * (the "dimensions" of decoded audio). Deterministic. */
+  private def decodeAudio(d: MediaDoc): Option[MediaFeatures] = {
+    import javax.sound.sampled.AudioSystem
+    try {
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(d.media))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val raw = in.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(raw).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val n = raw.length / 2
+          val feats = new Array[Float](8)
+          var i = 0
+          while (i < n) {
+            val s = bb.getShort(i * 2) / 32768.0
+            feats(i % 8) += (s * s).toFloat
+            i += 1
+          }
+          var b = 0
+          while (b < 8) { feats(b) = math.sqrt(feats(b) / math.max(n / 8, 1)).toFloat; b += 1 }
+          val frames = n / fmt.getChannels
+          Some(MediaFeatures(d.doc_id, d.kind, d.media.length,
+            frames, fmt.getSampleRate.toInt, feats))
+        }
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+  }
+
+  /** ??? DECODE STUB ??? — video feature extraction (the JDK ships no
+    * video codec). Deterministic: folds the media bytes into an 8-float
+    * signature, decoded dims = −1. Also the fallback for image/audio
+    * rows whose bytes their kind's real decoder cannot parse. */
   private def decodeFold(d: MediaDoc): MediaFeatures = {
     val feats = new Array[Float](8)
     d.media.zipWithIndex.foreach { case (b, i) => feats(i % 8) += (b & 0xff) / 255.0f }
     MediaFeatures(d.doc_id, d.kind, d.media.length, -1, -1, feats)
   }
 
-  /** Batched decode: images decode for real via [[decodeImage]];
-    * audio/video (and undecodable image bytes) fall through to the
-    * byte-fold stub. One batch per call — the Arrow-batch contract. */
+  /** Batched decode: images decode for real via [[decodeImage]], audio
+    * via [[decodeAudio]]; video (and bytes a real decoder rejects) fall
+    * through to the byte-fold stub. One batch per call — the
+    * Arrow-batch contract. */
   def decodeBatch(batch: Seq[MediaDoc]): Seq[MediaFeatures] =
     batch.map { d =>
-      (if (d.kind == "image") decodeImage(d) else None).getOrElse(decodeFold(d))
+      (d.kind match {
+        case "image" => decodeImage(d)
+        case "audio" => decodeAudio(d)
+        case _ => None
+      }).getOrElse(decodeFold(d))
     }
 
   /** Partition-wise batched decode — the real distribution plumbing:
@@ -147,9 +235,12 @@ object Multimodal {
   // SQL-expressible → rows-only check; determinism + batch shape are
   // unit-tested in TierCSpec
   val oracleSql: Map[String, String] = Map(
+    // media bytes are sha256 (32 B) except audio rows, which carry the
+    // fixed-shape synthesized WAV (44-byte header + 2 B × frames)
     "c6_multimodal_meta" ->
-      """SELECT CASE cast(doc_id % 3 as int) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-        |       ELSE 'video' END AS kind,
-        |  count(*) AS n, 32 AS max_bytes
-        |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin)
+      s"""SELECT CASE cast(doc_id % 3 as int) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         |       ELSE 'video' END AS kind,
+         |  count(*) AS n,
+         |  max(CASE WHEN doc_id % 3 = 1 THEN $wavBytes ELSE 32 END) AS max_bytes
+         |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin)
 }

@@ -103,7 +103,13 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     assert(feats1.zip(feats2).forall { case (a, b) => a.features.toSeq == b.features.toSeq },
       "decode must be deterministic regardless of partitioning")
     assert(feats1.forall(_.features.length == 8))
-    assert(feats1.forall(_.n_bytes == 32)) // sha256 payload
+    assert(feats1.forall(f =>
+      f.n_bytes == (if (f.kind == "audio") Multimodal.wavBytes else 32)),
+      "sha256 payload except audio's synthesized WAV")
+    // every audio row's WAV really decoded: frame count + sample rate
+    assert(feats1.filter(_.kind == "audio").forall(f =>
+      f.decoded_w == Multimodal.wavFrames && f.decoded_h == Multimodal.wavRate),
+      "audio rows must decode via javax.sound.sampled, not the fold")
     // batch shape: stub sees ≤ batchSize rows per call
     val batchSizes = media.repartition(2).mapPartitions(
       _.grouped(Multimodal.batchSize).map(_.size)).collect()
@@ -146,6 +152,40 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
       dist.forall { case (id, f) => f.decoded_w == direct(id).decoded_w &&
         f.features.toSeq == direct(id).features.toSeq },
       "distributed decode diverges from the direct batch call")
+  }
+
+  test("C6 real audio decode: generated WAV parses via javax.sound.sampled") {
+    val docId = 42L
+    val wav = Multimodal.synthWav(docId)
+    // the synthesized bytes are a real WAV any reader parses — prove it
+    // with the JDK reader directly, independent of our decode path
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(ais.getFormat.getSampleRate.toInt == Multimodal.wavRate)
+    assert(ais.getFrameLength == Multimodal.wavFrames)
+    ais.close()
+    val Seq(f) = Multimodal.decodeBatch(Seq(
+      Multimodal.MediaDoc(docId, "audio", wav, 0, 0, Multimodal.wavRate)))
+    assert(f.decoded_w == Multimodal.wavFrames && f.decoded_h == Multimodal.wavRate,
+      s"WAV dims not decoded: ${f.decoded_w} x ${f.decoded_h}")
+    // per-bin RMS of the known sine, recomputed here from the same
+    // formula — proves the REAL samples were read, not the byte fold
+    val freq = 200.0 + (docId % 100) * 10.0
+    val amp = 8000.0 + (docId % 7) * 1000.0
+    val expected = new Array[Double](8)
+    for (i <- 0 until Multimodal.wavFrames) {
+      val s = math.round(amp * math.sin(2 * math.Pi * freq * i / Multimodal.wavRate)).toShort / 32768.0
+      expected(i % 8) += s * s
+    }
+    val exp = expected.map(e => math.sqrt(e / (Multimodal.wavFrames / 8)))
+    f.features.zip(exp).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-4, s"RMS bin mismatch: $got vs $want")
+    }
+    // an amplitude-scaled doc yields different energy — features are
+    // sample-derived, not header-derived
+    val Seq(g) = Multimodal.decodeBatch(Seq(
+      Multimodal.MediaDoc(43L, "audio", Multimodal.synthWav(43L), 0, 0, Multimodal.wavRate)))
+    assert(g.features.toSeq != f.features.toSeq)
   }
 
   test("C6 metadata transforms: resize + frame sampling plans") {
