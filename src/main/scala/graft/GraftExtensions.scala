@@ -15,5 +15,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       GraftFunctions.cosineInfo,
       GraftFunctions.cosineBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_srp_sign"),
+      GraftFunctions.srpSignInfo,
+      GraftFunctions.srpSignBuilder))
   }
 }

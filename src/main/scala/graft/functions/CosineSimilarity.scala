@@ -104,8 +104,30 @@ object GraftFunctions {
       s"graft_cosine takes 2 arguments, got ${other.size}")
   }
 
-  /** Idempotent per-session registration of `graft_cosine`. */
-  def register(spark: SparkSession): Unit =
+  val srpSignInfo = new ExpressionInfo(classOf[SrpSign].getName, "graft_srp_sign")
+
+  /** `graft_srp_sign(vec, seed, words)` — seed/words must be literals
+    * (the sign matrix is built at plan time, not per row). */
+  val srpSignBuilder: Seq[Expression] => Expression = {
+    case Seq(child, seedE, wordsE) =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      (seedE, wordsE) match {
+        case (Literal(s, LongType), Literal(w, IntegerType)) =>
+          SrpSign(child, s.asInstanceOf[Long], w.asInstanceOf[Int])
+        case (Literal(s, IntegerType), Literal(w, IntegerType)) =>
+          SrpSign(child, s.asInstanceOf[Int].toLong, w.asInstanceOf[Int])
+        case _ => throw new IllegalArgumentException(
+          "graft_srp_sign needs literal seed and words arguments")
+      }
+    case other => throw new IllegalArgumentException(
+      s"graft_srp_sign takes 3 arguments, got ${other.size}")
+  }
+
+  /** Idempotent per-session registration of graft's native functions. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", cosineBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_srp_sign", srpSignBuilder, "built-in")
+  }
 }

@@ -75,21 +75,27 @@ object Similarity {
   /** Callers must pass docs repartitioned to core parallelism BEFORE the
     * shingle projection (see shingledDocs): signature work must scale
     * with cores, not input file count. */
+  /** The stateless banded-minhash projection, shared VERBATIM by the
+    * batch candidate join below and the streaming composition (c22) —
+    * one formula, two execution modes. */
+  private val minhashSigSql =
+    """transform(array(transform(shingles, s -> xxhash64(s))), hs ->
+      |  transform(sequence(0, 63), i ->
+      |    array_min(transform(hs, h -> xxhash64(h, i)))))[0]""".stripMargin
+  private val bandKeysSql =
+    """transform(array(sigs), sg ->
+      |  transform(sequence(0, 15), b -> named_struct(
+      |    'band', b, 'key', slice(sg, b * 4 + 1, 4))))[0]""".stripMargin
+
   private def minhashCandidates(docs: DataFrame): DataFrame = {
-    val sigs = docs.withColumn("sigs", expr(
-      """transform(array(transform(shingles, s -> xxhash64(s))), hs ->
-        |  transform(sequence(0, 63), i ->
-        |    array_min(transform(hs, h -> xxhash64(h, i)))))[0]""".stripMargin))
+    val sigs = docs.withColumn("sigs", expr(minhashSigSql))
     // band key = the 4-row slice; sigs bound once so the 64-hash
     // signature is never recomputed per band (see withShingles). Only
     // (doc_id, band key) flows into the self-join — carrying the shingle
     // arrays through a 16×-exploded shuffle would move the corpus text
     // many times over
     val banded = sigs.select(col("doc_id"),
-      explode(expr(
-        """transform(array(sigs), sg ->
-          |  transform(sequence(0, 15), b -> named_struct(
-          |    'band', b, 'key', slice(sg, b * 4 + 1, 4))))[0]""".stripMargin)).as("bk"))
+      explode(expr(bandKeysSql)).as("bk"))
     // distinct BEFORE re-attaching shingles: deduping (da, db) id pairs
     // shuffles a few bytes per row, while a distinct over rows carrying
     // both shingle arrays shuffles the corpus text ~16× (measured at sf1
@@ -149,6 +155,88 @@ object Similarity {
         """round(size(array_intersect(sa, sb)) * 1.0D /
           |(size(sa) + size(sb) - size(array_intersect(sa, sb))), 4)""".stripMargin).as("j"))
       .filter(col("j") >= 0.8)
+      .orderBy("da", "db")
+  }
+
+  /** One near-dup LSH bucket member held in streaming state: the doc id
+    * and its distinct hashed shingles (8-byte longs, not strings — the
+    * c12 broadcast doctrine applied to the state store). */
+  final case class BucketDoc(id: Long, hs: Seq[Long])
+
+  /** Per-bucket pair emission for the c22 stream: new arrivals pair
+    * against every doc already seen in this (band, key) bucket — and
+    * against each other — with EXACT hashed-shingle Jaccard verification
+    * inline, so only verified near-dup pairs leave the state machine.
+    * Pure function of (state, batch) → deterministic replay. */
+  private[ops] def bucketPairs(
+      key: String,
+      rows: Iterator[(Long, Seq[Long], Int, Seq[Long])],
+      state: org.apache.spark.sql.streaming.GroupState[Seq[BucketDoc]])
+      : Iterator[(Long, Long, Double)] = {
+    val seen = state.getOption.getOrElse(Seq.empty)
+    // a doc meets a bucket at most once per replay (slices partition by
+    // doc_id), but guard against re-delivery anyway: state is truth
+    val fresh = rows.map(t => BucketDoc(t._1, t._2)).toSeq
+      .distinctBy(_.id).sortBy(_.id)
+      .filterNot(d => seen.exists(_.id == d.id))
+    val out = Seq.newBuilder[(Long, Long, Double)]
+    var acc = seen
+    fresh.foreach { d =>
+      acc.foreach { o =>
+        val j = jaccardRounded(d.hs, o.hs)
+        if (j >= 0.8) out += ((math.min(d.id, o.id), math.max(d.id, o.id), j))
+      }
+      acc = acc :+ d
+    }
+    state.update(acc)
+    out.result().iterator
+  }
+
+  /** Exact Jaccard over two distinct-hash sets, rounded exactly as
+    * Spark's `round(x, 4)` (BigDecimal HALF_UP — the Sessionize scaled
+    * doctrine) so the streamed pairs hash-match the batch oracle. */
+  private def jaccardRounded(a: Seq[Long], b: Seq[Long]): Double = {
+    val sa = a.toSet
+    val inter = b.count(sa.contains)
+    val j = inter.toDouble / (a.size + b.size - inter)
+    java.math.BigDecimal.valueOf(j).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+  }
+
+  // C22 — STREAMING near-dup dedup: the banded-minhash projection
+  // (stateless, shared verbatim with the batch path via minhashSigSql /
+  // bandKeysSql) feeds `flatMapGroupsWithState` keyed by LSH bucket;
+  // state per bucket is its members' hashed shingle sets, and each
+  // micro-batch pairs new arrivals against everything the bucket has
+  // EVER seen — so near-dups split across batches are still caught
+  // (proven in StreamingSpec). Verification is inline and exact, making
+  // the emitted pair set equal to the BATCH c2_dedup_ngram_scaled
+  // result on the same corpus — which is why this streaming op is
+  // oracle-checked, not recall-tested. Cross-band duplicate emissions
+  // (a pair can collide in several bands, each its own state group)
+  // are folded by the post-sink distinct, exactly where the batch path
+  // puts its candidate distinct. State is held forever like c9 (the
+  // correctness baseline); at 100 TB the same pipeline bounds the store
+  // with time- or shard-scoped bucket keys + state timeouts.
+  def dedupStreamNear(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val docs = Relational.table(spark, dir, "documents")
+    val stage = Relational.stageSlices(spark, docs, col("doc_id"),
+      s"graft_c22_stage_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val banded = withShingles(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage))
+      .withColumn("hs", expr("array_distinct(transform(shingles, s -> xxhash64(s)))"))
+      .withColumn("sigs", expr(minhashSigSql))
+      .select(col("doc_id"), col("hs"), explode(expr(bandKeysSql)).as("bk"))
+      .select(col("doc_id"), col("hs"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .as[(Long, Seq[Long], Int, Seq[Long])]
+    val pairs = banded
+      .groupByKey { case (_, _, band, key) => s"$band:${key.mkString(",")}" }
+      .flatMapGroupsWithState[Seq[BucketDoc], (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(bucketPairs _)
+    Relational.replayToMemory(spark, pairs.toDF("da", "db", "j"), "graft_c22_sink")
+      .distinct()
       .orderBy("da", "db")
   }
 
@@ -279,8 +367,12 @@ object Similarity {
     * sign with a per-row string-keyed xxhash64: 64 × dim hash+concat per
     * ROW, which the sf1 rehearsal showed dominating the whole dedup —
     * the packed literal leaves only shift/mask + multiply-add.) */
-  private def srpSignsLit: org.apache.spark.sql.Column = {
-    val rng = new scala.util.Random(42)
+  private def srpSignsLit: org.apache.spark.sql.Column = srpSignsLitSeeded(42)
+
+  /** Seeded variant: independent plane sets (e.g. the second 64 planes
+    * of the 128-bit ANN screen) come from distinct fixed seeds. */
+  private def srpSignsLitSeeded(seed: Long): org.apache.spark.sql.Column = {
+    val rng = new scala.util.Random(seed)
     // SQL array literal: the Spark 4 column API's lit/typedlit reject
     // Seq literals, an expr parses once into a foldable ArrayType constant
     expr(Seq.fill(512)(rng.nextLong()).mkString("array(", "L, ", "L)"))
@@ -289,13 +381,15 @@ object Similarity {
   /** 64-bit SRP signature; the word array is sliced to the embedding's
     * dimension (wider embeddings would need a larger master matrix —
     * guarded in the spec). */
-  private val srpSigExpr = expr(
-    """aggregate(zip_with(
-      |  transform(sequence(0, 63), p -> IF(
-      |    aggregate(zip_with(embedding, slice(srp_signs, 1, size(embedding)),
-      |      (x, w) -> cast(x as double) * IF((shiftright(w, p) & 1) = 1, 1.0D, -1.0D)),
-      |      0D, (acc, v) -> acc + v) > 0D, 1L, 0L)),
-      |  sequence(0, 63), (bit, i) -> shiftleft(bit, i)), 0L, (a, x) -> a + x)""".stripMargin)
+  private def srpSigExprOn(signs: String) = expr(
+    s"""aggregate(zip_with(
+       |  transform(sequence(0, 63), p -> IF(
+       |    aggregate(zip_with(embedding, slice($signs, 1, size(embedding)),
+       |      (x, w) -> cast(x as double) * IF((shiftright(w, p) & 1) = 1, 1.0D, -1.0D)),
+       |      0D, (acc, v) -> acc + v) > 0D, 1L, 0L)),
+       |  sequence(0, 63), (bit, i) -> shiftleft(bit, i)), 0L, (a, x) -> a + x)""".stripMargin)
+
+  private val srpSigExpr = srpSigExprOn("srp_signs")
 
   // C2d-LSH — embedding near-dup at scale: SRP signatures, banded 4×16
   // bits for candidate generation, exact cosine verification ≥ 0.99 on
@@ -360,13 +454,9 @@ object Similarity {
   // recall vs simTopK asserted in the spec.
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    import org.apache.spark.ml.clustering.KMeans
     val e = Relational.table(spark, dir, "embeddings")
       .withColumn("features", array_to_vector(expr("cast(embedding as array<double>)")))
-    // k ≈ √n cells — see knnJoinIvf; centroid table stays ≤4096 rows
-    val k = math.max(16, math.min(4096, math.sqrt(e.count().toDouble).toInt))
-    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(20)
-      .setFeaturesCol("features").setPredictionCol("cell").fit(e)
+    val model = fitCoarse(e)
     val assigned = model.transform(e)
     val qVec = assigned.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0)
@@ -406,19 +496,24 @@ object Similarity {
   // vector via a broadcast k-row (≤4096) centroid table — no driver loop).
   // Work drops from n² to n × nprobe × n/k. Approximate → rows-only
   // check; recall@3 vs the brute join asserted in the spec.
+  /** Coarse IVF quantizer shared by the ANN family: KMeans with
+    * k ≈ √n cells (FAISS sizing rule — with fixed k the per-cell
+    * population, and with it the probe cost, grows linearly with the
+    * corpus, eroding the IVF advantage; observed at sf1: k=16 left only
+    * a 2× reduction over brute force). count() is an O(1)-result job. */
+  private def fitCoarse(e: DataFrame): org.apache.spark.ml.clustering.KMeansModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    val k = math.max(16, math.min(4096, math.sqrt(e.count().toDouble).toInt))
+    new KMeans().setK(k).setSeed(42L).setMaxIter(20)
+      .setFeaturesCol("features").setPredictionCol("cell").fit(e)
+  }
+
   def knnJoinIvf(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.sql.expressions.Window
     val e = Relational.table(spark, dir, "embeddings")
       .withColumn("features", array_to_vector(expr("cast(embedding as array<double>)")))
-    // k ≈ √n cells (FAISS sizing rule): with fixed k the per-cell
-    // population — and with it the probe cost — grows linearly with the
-    // corpus, eroding the IVF advantage (observed at sf1: k=16 left only
-    // a 2× reduction over brute force). count() is an O(1)-result job.
-    val k = math.max(16, math.min(4096, math.sqrt(e.count().toDouble).toInt))
-    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(20)
-      .setFeaturesCol("features").setPredictionCol("cell").fit(e)
+    val model = fitCoarse(e)
     val assigned = model.transform(e).select(col("vec_id"), col("embedding"), col("cell"))
     import spark.implicits._
     // probe-cell choice is MAP-SIDE: the k-row centroid table rides along
@@ -466,12 +561,121 @@ object Similarity {
       .orderBy("va", "rnk")
   }
 
+  /** Screen geometry. sigWords 64-bit plane sets = 256-bit signatures:
+    * the corpus' neighbors are weakly similar (max cos ≈ 0.51), so the
+    * Hamming estimator needs enough planes to ORDER candidates whose
+    * angles differ by a few degrees — 64 bits landed recall@3 at 0.43,
+    * 128 at 0.40 on sf0.1, 256 clears the 0.5 bar with margin.
+    * m=16 survivors per probed cell × nprobe=8 funnel into the global
+    * top-S=48 that alone get exact d-dim scoring. All three are
+    * constants → the exact re-rank stays Θ(n·S·d), linear in n. */
+  private val sigWords = 4
+  private val hammingPerCell = 16
+  private val shortlistGlobal = 48
+
+  // C3e — two-level IVF kNN join (IVF + SRP shortlist + exact re-rank):
+  // the flat probe above exact-scores every vector in its nprobe cells —
+  // n · nprobe · n/k d-dimensional dot products, which with k ≈ √n is
+  // Θ(n·√n·d) exact flops: the one cost model in the file that fails
+  // before 100 TB. This variant breaks that ceiling by screening each
+  // probed cell with packed sign-random-projection signatures first
+  // (same SRP machinery as dedupCosineLsh, sigWords×64 planes):
+  //   1. coarse quantize (KMeans, k ≈ √n) and sign each vector once —
+  //      sigWords 64-plane projections per vector, Θ(n·d) one-time;
+  //   2. per cell, pack a directory array<struct<vb, sigs>> — ONE
+  //      shuffle of ~40-byte rows (vs the flat path's n·nprobe·cellpop
+  //      scored pairs through sort);
+  //   3. each probe row XOR+popcounts its sigs against the directory
+  //      map-side (sigWords word ops per candidate instead of d
+  //      multiply-adds) and keeps the m smallest Hamming distances;
+  //   4. only the global top-S Hamming survivors per vector get the
+  //      exact d-dimensional cosine — Θ(n·S·d), LINEAR in n.
+  // Probe-side cell choice stays map-side/exchange-free (broadcast
+  // centroid literal, same as the flat path). The remaining Θ(n·√n)
+  // term is the popcount screen: at d=64 a candidate costs ~sigWords
+  // word ops vs 64 FMAs; at production dims (768–4096 floats) the gap
+  // is 100–500×, and the screen never materializes candidates as rows.
+  // Measured per-scale timings: BASELINE.md round-6 rehearsal table.
+  // Approximate → rows-only check; recall@3 vs the brute join asserted
+  // in the spec at the same bar as the flat variant.
+  def knnJoinIvf2(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val e = Relational.table(spark, dir, "embeddings")
+      .withColumn("features", array_to_vector(expr("cast(embedding as array<double>)")))
+    val model = fitCoarse(e)
+    // sigWords×64 planes packed as array<bigint> via the codegen'd
+    // SrpSign expression — Θ(n · planes · d) one-time in generated Java.
+    // (The interpreted HOF formulation allocated an array per plane per
+    // row; measured at sf1 it alone out-costed the flat probe.)
+    val assigned = model.transform(e)
+      .withColumn("sigs", expr(s"graft_srp_sign(embedding, 42L, $sigWords)"))
+      .select(col("vec_id"), col("embedding"), col("cell"), col("sigs"))
+      // signatures feed TWO consumers (directory + probes); materialize
+      // once so the plane projections aren't recomputed per branch
+      .localCheckpoint()
+    // per-cell signature directory: cellpop ≈ √n entries × ~40 B — the
+    // whole directory is n × ~40 B spread over k rows, fine to shuffle
+    val cellDir = assigned.groupBy(col("cell").as("cand_cell"))
+      .agg(collect_list(struct(col("vec_id").as("vb"), col("sigs").as("sigsb"))).as("members"))
+    // map-side probe-cell choice — identical shape to the flat path:
+    // the k-row centroid table rides along as one broadcast literal row
+    val centDf = {
+      import spark.implicits._
+      Seq(Tuple1(model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq)).toDF("cents")
+    }
+    val probes = assigned.crossJoin(broadcast(centDf))
+      .withColumn("probe_cells", expr(
+        """transform(slice(array_sort(transform(cents, s ->
+          |  named_struct(
+          |    'd', aggregate(zip_with(embedding, s._2, (x, c) -> (x - c) * (x - c)), 0D, (a, v) -> a + v),
+          |    'cell', s._1))), 1, 8), p -> p.cell)""".stripMargin))
+      .select(col("vec_id").as("va"), col("sigs").as("sigsa"),
+        explode(col("probe_cells")).as("cand_cell"))
+    // Hamming screen: each (va, cell) probe row scans the cell directory
+    // with XOR+popcount and keeps its m best — candidates never become
+    // rows until AFTER the screen, so the n·nprobe·cellpop candidate set
+    // exists only inside a codegen'd array expression, not in a shuffle
+    // or sort. (array_sort is O(p log p) comparisons on 12-byte structs —
+    // still ~1% of the d-dim dot products the flat path spends per cell.)
+    val screened = probes.join(cellDir.hint("shuffle_hash"), Seq("cand_cell"))
+      .select(col("va"), explode(expr(
+        s"""slice(array_sort(transform(filter(members, m -> m.vb != va),
+           |  m -> named_struct(
+           |    'h', aggregate(zip_with(sigsa, m.sigsb, (a, b) -> bit_count(a ^ b)),
+           |      0, (acc, x) -> acc + x),
+           |    'vb', m.vb))),
+           |  1, $hammingPerCell)""".stripMargin)).as("cand"))
+      .select(col("va"), col("cand.h").as("h"), col("cand.vb").as("vb"))
+    // global shortlist: union the per-cell survivors (each vb lives in
+    // exactly one cell — no duplicates) and keep the S best by Hamming;
+    // the window input is n·nprobe·m rows, not n·nprobe·cellpop
+    val ws = Window.partitionBy(col("va")).orderBy(col("h").asc, col("vb").asc)
+    val shortlist = screened
+      .withColumn("srk", row_number().over(ws)).filter(col("srk") <= shortlistGlobal)
+      .select(col("va"), col("vb"))
+    // exact re-rank: fetch both embeddings (shuffle-hash equi-joins on
+    // the corpus — n·S tiny rows against n-row build sides) and score
+    // only the shortlist with the codegen'd cosine
+    val w = Window.partitionBy(col("va")).orderBy(col("sim").desc, col("vb").asc)
+    shortlist
+      .join(e.select(col("vec_id").as("va"), col("embedding").as("ea")).hint("shuffle_hash"), Seq("va"))
+      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb")).hint("shuffle_hash"), Seq("vb"))
+      .select(col("va"), col("vb"), round(cosineExpr("ea", "eb"), 4).as("sim"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select(col("va"), col("vb"), col("sim"), col("rnk"))
+      .orderBy("va", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c3_knn_join" -> (knnJoin _),
     "c3_knn_join_ivf" -> (knnJoinIvf _),
+    "c3_knn_join_ivf2" -> (knnJoinIvf2 _),
     "c2_dedup_ngram" -> (dedupNgram _),
     "c2_dedup_minhash" -> (dedupMinHash _),
     "c2_dedup_ngram_scaled" -> (dedupNgramScaled _),
+    "c22_dedup_stream_near" -> (dedupStreamNear _),
     "c2_dedup_simhash" -> (dedupSimHash _),
     "c2_dedup_cosine" -> (dedupCosine _),
     "c2_dedup_cosine_lsh" -> (dedupCosineLsh _),
@@ -479,36 +683,31 @@ object Similarity {
     "c3_ann_ivf" -> (annIvf _),
     "c19_group_centroid" -> (groupCentroid _))
 
+  /** The exact n-gram Jaccard pair SQL — the shared oracle of the exact
+    * path (c2_dedup_ngram), the batch LSH→exact composition
+    * (c2_dedup_ngram_scaled), and the STREAMING LSH→exact composition
+    * (c22_dedup_stream_near): all three must produce this exact result. */
+  private val ngramPairsOracle =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |    ELSE list_transform(generate_series(1, len(t) - 2),
+      |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END) AS shingles FROM toks),
+      |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+      |SELECT da, db, round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS j
+      |FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      |WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.8
+      |ORDER BY da, db""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    "c2_dedup_ngram" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT doc_id,
-        |  list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-        |    ELSE list_transform(generate_series(1, len(t) - 2),
-        |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END) AS shingles FROM toks),
-        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-        |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
-        |SELECT da, db, round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS j
-        |FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
-        |WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.8
-        |ORDER BY da, db""".stripMargin,
+    "c2_dedup_ngram" -> ngramPairsOracle,
     // the scaled pipeline must produce exactly the exact-ngram result
-    "c2_dedup_ngram_scaled" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT doc_id,
-        |  list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-        |    ELSE list_transform(generate_series(1, len(t) - 2),
-        |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END) AS shingles FROM toks),
-        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-        |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
-        |SELECT da, db, round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS j
-        |FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
-        |WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.8
-        |ORDER BY da, db""".stripMargin,
+    "c2_dedup_ngram_scaled" -> ngramPairsOracle,
+    // ... and so must the streaming composition, batch-split and all
+    "c22_dedup_stream_near" -> ngramPairsOracle,
     "c2_dedup_cosine" ->
       """SELECT a.vec_id AS va, b.vec_id AS vb,
         |  round(cast(list_cosine_similarity(cast(a.embedding as double[]),

@@ -72,6 +72,28 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     assert(counts.forall(_ == 3L), "a vector lost neighbors to cell pruning")
   }
 
+  test("C3 two-level IVF kNN join (SRP shortlist + re-rank): recall@3 at the flat bar") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.knnJoin(spark, dir))
+    val two = Similarity.knnJoinIvf2(spark, dir)
+    val approx = pairs(two)
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"two-level kNN-join recall@3 $recall below the 0.5 flat-IVF bar")
+    // the Hamming screen must not starve any vector of a full top-3
+    val counts = two.groupBy("va").count().select("count").collect().map(_.getLong(0))
+    assert(counts.forall(_ == 3L), "a vector lost neighbors to the shortlist")
+    // exact re-rank means every returned sim is the TRUE cosine: the
+    // approximate result must be a subset of the exact pair→sim map
+    val exactSims = Similarity.knnJoin(spark, dir).select("va", "vb", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    two.select("va", "vb", "sim").collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exactSims.get(key).foreach(s =>
+        assert(s == r.getDouble(2), s"re-ranked sim for $key is not the exact cosine"))
+    }
+  }
+
   test("C4b language-ID heuristic on crafted samples") {
     import spark.implicits._
     val samples = Seq(

@@ -163,4 +163,26 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(batch.nonEmpty && stream === batch,
       s"missing=${(batch -- stream).take(3)} extra=${(stream -- batch).take(3)}")
   }
+
+  test("streaming near-dup dedup equals the batch LSH→exact result; cross-batch pairs caught") {
+    import graft.ops.Similarity
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val stream = Similarity.dedupStreamNear(spark, dir).collect().map(key).toSet
+    val batch = Similarity.dedupNgramScaled(spark, dir).collect().map(key).toSet
+    assert(batch.nonEmpty && stream === batch,
+      s"missing=${(batch -- stream).take(3)} extra=${(stream -- batch).take(3)}")
+    // the state store must carry buckets ACROSS micro-batches: at least
+    // one verified pair must span two different replay slices (same
+    // doc_id-range slicing the stager uses — shared constants, not a
+    // re-derivation)
+    val docs = Relational.table(spark, dir, "documents")
+      .agg(org.apache.spark.sql.functions.min("doc_id"),
+        org.apache.spark.sql.functions.max("doc_id")).head()
+    val (lo, hi) = (docs.getLong(0), docs.getLong(1))
+    val step = Relational.sliceStep(lo, hi, Relational.replaySlices)
+    def slice(id: Long) = math.min((id - lo) / step, (Relational.replaySlices - 1).toLong)
+    val cross = stream.filter { case (da, db, _) => slice(da) != slice(db) }
+    assert(cross.nonEmpty,
+      "no emitted pair spans micro-batches — cross-batch state is not being consulted")
+  }
 }
