@@ -19,5 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_srp_sign"),
       GraftFunctions.srpSignInfo,
       GraftFunctions.srpSignBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hamming_topk"),
+      GraftFunctions.hammingTopKInfo,
+      GraftFunctions.hammingTopKBuilder))
   }
 }

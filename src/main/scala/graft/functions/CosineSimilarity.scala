@@ -123,11 +123,29 @@ object GraftFunctions {
       s"graft_srp_sign takes 3 arguments, got ${other.size}")
   }
 
+  val hammingTopKInfo = new ExpressionInfo(classOf[HammingTopK].getName, "graft_hamming_topk")
+
+  /** `graft_hamming_topk(sigs, ids, flat_sigs, self_id, k)` — k must be
+    * a literal (it sizes the selection buffer at plan time). */
+  val hammingTopKBuilder: Seq[Expression] => Expression = {
+    case Seq(q, ids, flat, self, kE) =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      kE match {
+        case Literal(k, IntegerType) => HammingTopK(q, ids, flat, self, k.asInstanceOf[Int])
+        case _ => throw new IllegalArgumentException(
+          "graft_hamming_topk needs a literal k argument")
+      }
+    case other => throw new IllegalArgumentException(
+      s"graft_hamming_topk takes 5 arguments, got ${other.size}")
+  }
+
   /** Idempotent per-session registration of graft's native functions. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", cosineBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_srp_sign", srpSignBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hamming_topk", hammingTopKBuilder, "built-in")
   }
 }

@@ -503,9 +503,18 @@ object Similarity {
     * a 2× reduction over brute force). count() is an O(1)-result job. */
   private def fitCoarse(e: DataFrame): org.apache.spark.ml.clustering.KMeansModel = {
     import org.apache.spark.ml.clustering.KMeans
-    val k = math.max(16, math.min(4096, math.sqrt(e.count().toDouble).toInt))
+    val n = e.count()
+    val k = math.max(16, math.min(4096, math.sqrt(n.toDouble).toInt))
+    // train the quantizer on a bounded sample (~64 points per cell, the
+    // FAISS training-budget rule): the fit is Θ(iters·sample·k·d)
+    // instead of Θ(iters·n·k·d), which at sf10 had the FIT rivaling the
+    // probe it accelerates. Assignment below still covers every row.
+    // Deterministic: hash-bucket sample (c13 doctrine), fixed seed.
+    val budget = 64L * k
+    val train = if (n <= budget) e
+      else e.filter(xxhash64(col("vec_id")) % lit(math.max(1L, n / budget)) === 0)
     new KMeans().setK(k).setSeed(42L).setMaxIter(20)
-      .setFeaturesCol("features").setPredictionCol("cell").fit(e)
+      .setFeaturesCol("features").setPredictionCol("cell").fit(train)
   }
 
   def knnJoinIvf(spark: SparkSession, dir: String): DataFrame = {
@@ -614,10 +623,16 @@ object Similarity {
       // signatures feed TWO consumers (directory + probes); materialize
       // once so the plane projections aren't recomputed per branch
       .localCheckpoint()
-    // per-cell signature directory: cellpop ≈ √n entries × ~40 B — the
-    // whole directory is n × ~40 B spread over k rows, fine to shuffle
+    // per-cell signature directory as PARALLEL arrays (ids + flattened
+    // sig words — the layout the codegen'd scan reads with zero
+    // per-candidate allocation). Derived from ONE collect_list so the
+    // two arrays can never disagree on order; cellpop ≈ √n entries ×
+    // ~40 B — the whole directory is n × ~40 B spread over k rows
     val cellDir = assigned.groupBy(col("cell").as("cand_cell"))
       .agg(collect_list(struct(col("vec_id").as("vb"), col("sigs").as("sigsb"))).as("members"))
+      .select(col("cand_cell"),
+        expr("transform(members, m -> m.vb)").as("vbs"),
+        expr("flatten(transform(members, m -> m.sigsb))").as("sigs_flat"))
     // map-side probe-cell choice — identical shape to the flat path:
     // the k-row centroid table rides along as one broadcast literal row
     val centDf = {
@@ -634,34 +649,32 @@ object Similarity {
       .select(col("vec_id").as("va"), col("sigs").as("sigsa"),
         explode(col("probe_cells")).as("cand_cell"))
     // Hamming screen: each (va, cell) probe row scans the cell directory
-    // with XOR+popcount and keeps its m best — candidates never become
-    // rows until AFTER the screen, so the n·nprobe·cellpop candidate set
-    // exists only inside a codegen'd array expression, not in a shuffle
-    // or sort. (array_sort is O(p log p) comparisons on 12-byte structs —
-    // still ~1% of the d-dim dot products the flat path spends per cell.)
+    // with the codegen'd graft_hamming_topk (XOR+popcount + bounded
+    // insertion, zero per-candidate allocation) and keeps its m best —
+    // candidates never become rows until AFTER the screen, so the
+    // n·nprobe·cellpop candidate set exists only inside one generated
+    // loop, not in a shuffle, sort, or allocation. Survivors come back
+    // as (h << 48 | vb) packed longs whose natural order IS (h, vb).
     val screened = probes.join(cellDir.hint("shuffle_hash"), Seq("cand_cell"))
       .select(col("va"), explode(expr(
-        s"""slice(array_sort(transform(filter(members, m -> m.vb != va),
-           |  m -> named_struct(
-           |    'h', aggregate(zip_with(sigsa, m.sigsb, (a, b) -> bit_count(a ^ b)),
-           |      0, (acc, x) -> acc + x),
-           |    'vb', m.vb))),
-           |  1, $hammingPerCell)""".stripMargin)).as("cand"))
-      .select(col("va"), col("cand.h").as("h"), col("cand.vb").as("vb"))
+        s"graft_hamming_topk(sigsa, vbs, sigs_flat, va, $hammingPerCell)")).as("packed"))
     // global shortlist: union the per-cell survivors (each vb lives in
     // exactly one cell — no duplicates) and keep the S best by Hamming;
-    // the window input is n·nprobe·m rows, not n·nprobe·cellpop
-    val ws = Window.partitionBy(col("va")).orderBy(col("h").asc, col("vb").asc)
+    // the window input is n·nprobe·m rows, not n·nprobe·cellpop, and it
+    // sorts bare packed longs
+    val ws = Window.partitionBy(col("va")).orderBy(col("packed").asc)
     val shortlist = screened
       .withColumn("srk", row_number().over(ws)).filter(col("srk") <= shortlistGlobal)
-      .select(col("va"), col("vb"))
+      .select(col("va"), expr("packed & 281474976710655L").as("vb"))
     // exact re-rank: fetch both embeddings (shuffle-hash equi-joins on
     // the corpus — n·S tiny rows against n-row build sides) and score
-    // only the shortlist with the codegen'd cosine
+    // only the shortlist with the codegen'd cosine. vb joins FIRST so
+    // the va join's hashpartitioning feeds the top-3 window with only a
+    // local sort — va-last saves one n·S-row exchange
     val w = Window.partitionBy(col("va")).orderBy(col("sim").desc, col("vb").asc)
     shortlist
-      .join(e.select(col("vec_id").as("va"), col("embedding").as("ea")).hint("shuffle_hash"), Seq("va"))
       .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb")).hint("shuffle_hash"), Seq("vb"))
+      .join(e.select(col("vec_id").as("va"), col("embedding").as("ea")).hint("shuffle_hash"), Seq("va"))
       .select(col("va"), col("vb"), round(cosineExpr("ea", "eb"), 4).as("sim"))
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
       .select(col("va"), col("vb"), col("sim"), col("rnk"))

@@ -12,9 +12,16 @@ import org.apache.spark.sql.functions._
  * copied once. Fact tables are written multi-file so scans are
  * multi-row-group, unlike the single-row-group testdata.
  *
- * Usage: runMain graft.tools.MakeScale [srcDir] [dstDir] [copies] [tables] [dupCap]
+ * Usage: runMain graft.tools.MakeScale [srcDir] [dstDir] [copies] [tables] [dupCap] [skew]
  * `tables` (optional, comma-separated) restricts generation — a
  * documents-only sf10 rehearsal need not materialize 60M lineitem rows.
+ *
+ * `skew` (optional literal "skew"): produce HOT-KEY data — 30% of all
+ * events collapse onto one user and 80% of all documents onto one
+ * language (deterministic hash choice, so reruns agree). This is the
+ * head-heavy shape of real crawl/event corpora that a uniform replica
+ * never exercises: per-user session chains (b17/b19), per-user windows
+ * (b20), and per-(lang, shard) packing (c15) all see one giant key.
  *
  * `dupCap` (optional, 0 = off) fixes the DUPLICATE-CLIQUE SIZE while the
  * corpus scales: copies 0..dupCap-1 stay verbatim (each text/vector
@@ -62,6 +69,7 @@ object MakeScale {
       if (args.length > 3) args(3).split(",").map(_.trim).filter(_.nonEmpty).toSet
       else Set.empty
     val dupCap = if (args.length > 4) args(4).toInt else 0
+    val skew = args.length > 5 && args(5) == "skew"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -100,9 +108,24 @@ object MakeScale {
                |  (x, o) -> cast(x + o as float))""".stripMargin))
         case _ => d
       }
+    // hot-key collapse (after re-keying, so EVERY copy feeds the hot
+    // key): hash-chosen rows keep referential shape but pile onto one
+    // key value. pmod keeps the bucket non-negative (xxhash64 is signed
+    // — a bare % would skew-select ~15%, not 30%).
+    def skewIt(name: String, d: DataFrame): DataFrame =
+      if (!skew) d
+      else name match {
+        case "events" => d.withColumn("user_id",
+          when(pmod(xxhash64(col("event_id")), lit(10)) < 3, lit(0L))
+            .otherwise(col("user_id")))
+        case "documents" => d.withColumn("lang",
+          when(pmod(xxhash64(col("doc_id")), lit(10)) < 8, lit("en"))
+            .otherwise(col("lang")))
+        case _ => d
+      }
     keyCols.filter(t => only.isEmpty || only(t._1)).foreach { case (name, keys) =>
       val df = spark.read.parquet(s"$src/$name.parquet")
-      val out =
+      val out0 =
         if (keys.isEmpty) df
         else {
           // stride = max+1 per key column, computed once from the source
@@ -115,9 +138,10 @@ object MakeScale {
             }, i)
           }.reduce(_.unionAll(_))
         }
+      val out = skewIt(name, out0)
       out.repartition(filesFor(name, copies))
         .write.mode("overwrite").parquet(s"$dst/$name.parquet")
-      System.err.println(s"[make-scale] $name x${if (keys.isEmpty) 1 else copies} -> $dst/$name.parquet")
+      System.err.println(s"[make-scale] $name x${if (keys.isEmpty) 1 else copies}${if (skew) " skewed" else ""} -> $dst/$name.parquet")
     }
     spark.stop()
   }

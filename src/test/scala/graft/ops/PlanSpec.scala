@@ -121,6 +121,25 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(hashEx == 3, s"expected 3 hash exchanges, got $hashEx:\n$p")
   }
 
+  test("C3e: two-level probe screens inside one generated expression — no candidate shuffle") {
+    // the n·nprobe·cellpop candidate set must exist ONLY inside the
+    // codegen'd hamming scan: every exchange in this plan carries
+    // linear-size data. The 7: directory groupBy(cell), probes→screen
+    // join(cand_cell) [directory side reuses the groupBy partitioning],
+    // shortlist window (va), vb re-rank join streamed+build, va re-rank
+    // join streamed+build; the final top-3 window rides the va join's
+    // partitioning (an 8th exchange = the window re-shuffle came back).
+    val p = plan(Similarity.knnJoinIvf2(spark, dir))
+    assert(p.contains("graft_hamming_topk"), s"native screen missing from plan:\n$p")
+    // (graft_srp_sign is invisible here by design: the signature frame
+    // is localCheckpoint'd, so the final plan starts at the checkpoint)
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 7, s"expected 7 linear-size hash exchanges, got $hashEx:\n$p")
+    // probe-side cell choice stays map-side: the only broadcast is the
+    // one-row centroid literal, and no nested-loop join anywhere
+    assert(!p.contains("CartesianProduct"), s"probe side fell to cartesian:\n$p")
+  }
+
   test("C19/C20: exploded aggregates partial-combine map-side; vocab top-k never global-sorts") {
     // explode fans the corpus out, but the shuffle must carry only
     // (group, partial) rows — partial aggregation below the exchange
