@@ -359,39 +359,13 @@ object Similarity {
       .orderBy("va", "vb")
   }
 
-  /** Sign matrix for 64-plane sign-random-projection, packed one 64-bit
-    * word per dimension (bit p = plane p's sign for that dim, 512 dims
-    * max). Data-independent, generated ONCE on the driver from a fixed
-    * seed and shipped as a flat array<bigint> literal — identical on
-    * every executor of any cluster. (The first formulation derived each
-    * sign with a per-row string-keyed xxhash64: 64 × dim hash+concat per
-    * ROW, which the sf1 rehearsal showed dominating the whole dedup —
-    * the packed literal leaves only shift/mask + multiply-add.) */
-  private def srpSignsLit: org.apache.spark.sql.Column = srpSignsLitSeeded(42)
+  // (Sign-random-projection history: round 3 shipped the sign matrix as
+  // a packed array<bigint> literal folded by interpreted HOFs; round 6
+  // moved the whole projection into the codegen'd graft_srp_sign
+  // expression — the SrpSign seed-42 matrix prefix reproduces the old
+  // literal's planes bit-for-bit, so signatures are unchanged.)
 
-  /** Seeded variant: independent plane sets (e.g. the second 64 planes
-    * of the 128-bit ANN screen) come from distinct fixed seeds. */
-  private def srpSignsLitSeeded(seed: Long): org.apache.spark.sql.Column = {
-    val rng = new scala.util.Random(seed)
-    // SQL array literal: the Spark 4 column API's lit/typedlit reject
-    // Seq literals, an expr parses once into a foldable ArrayType constant
-    expr(Seq.fill(512)(rng.nextLong()).mkString("array(", "L, ", "L)"))
-  }
-
-  /** 64-bit SRP signature; the word array is sliced to the embedding's
-    * dimension (wider embeddings would need a larger master matrix —
-    * guarded in the spec). */
-  private def srpSigExprOn(signs: String) = expr(
-    s"""aggregate(zip_with(
-       |  transform(sequence(0, 63), p -> IF(
-       |    aggregate(zip_with(embedding, slice($signs, 1, size(embedding)),
-       |      (x, w) -> cast(x as double) * IF((shiftright(w, p) & 1) = 1, 1.0D, -1.0D)),
-       |      0D, (acc, v) -> acc + v) > 0D, 1L, 0L)),
-       |  sequence(0, 63), (bit, i) -> shiftleft(bit, i)), 0L, (a, x) -> a + x)""".stripMargin)
-
-  private val srpSigExpr = srpSigExprOn("srp_signs")
-
-  // C2d-LSH — embedding near-dup at scale: SRP signatures, banded 4×16
+  // C2d-LSH — embedding near-dup at scale: SRP signatures, banded 8×32
   // bits for candidate generation, exact cosine verification ≥ 0.99 on
   // candidates only. The testdata has no high-cosine pairs (max ≈ 0.51 —
   // below any LSH-effective regime), so the op plants deterministic
@@ -408,17 +382,27 @@ object Similarity {
         |(x, d) -> cast(x + IF((xxhash64(concat('jit_', cast(d as string), '_', cast(vec_id as string))) & 1) = 1, 0.001D, -0.001D) as float))"""
         .stripMargin).as("embedding"),
       col("label"))
+    // 256-bit codegen'd signature (graft_srp_sign; word 0 reproduces the
+    // old srpSigExpr bit-for-bit — same seed-42 matrix prefix), banded
+    // 8×32 bits. The original 4×16-bit banding saturates its 65536-key
+    // space once n outgrows it: the sf100 rehearsal (4M rows incl. the
+    // planted noisy copies) averaged 61 rows per bucket, and the
+    // within-bucket pairing alone went quadratic — 723 s, 35× the sf10
+    // time on 10× the rows. 32-bit keys put the key space back above n
+    // (buckets are similarity-structured again, not birthday-collided),
+    // and 8 bands of the wider keys keep planted-dup recall ≥ 1−1e-7.
+    // Band keys must grow with log₂(n) — a fixed-width LSH bucket key
+    // is a scale ceiling, the same lesson as k ≈ √n for IVF cells.
     val e = base.unionByName(noisy)
       .repartition(spark.sparkContext.defaultParallelism)
-      .withColumn("srp_signs", srpSignsLit)
-      .withColumn("sig", srpSigExpr)
-    // sig bound once inside the band transform — otherwise the optimizer
-    // may inline the whole 64-plane projection per band (see withShingles)
+      .withColumn("sigs", expr("graft_srp_sign(embedding, 42L, 4)"))
+    // sigs bound once inside the band transform — otherwise the optimizer
+    // may inline the whole 256-plane projection per band (see withShingles)
     val banded = e.select(col("vec_id"), col("embedding"),
       explode(expr(
-        """transform(array(sig), s ->
-          |  transform(sequence(0, 3), b -> named_struct(
-          |    'band', b, 'key', shiftright(s, b * 16) & 65535)))[0]""".stripMargin)).as("bk"))
+        """transform(array(sigs), sg ->
+          |  transform(sequence(0, 7), b -> named_struct(
+          |    'band', b, 'key', shiftright(sg[b div 2], (b % 2) * 32) & 4294967295L)))[0]""".stripMargin)).as("bk"))
     banded.as("a").hint("shuffle_hash").join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
@@ -517,6 +501,29 @@ object Similarity {
       .setFeaturesCol("features").setPredictionCol("cell").fit(train)
   }
 
+  /** nprobe-nearest-cell choice as a Column over the codegen'd
+    * [[graft.functions.NearestCells]]: the k×dim centroid matrix rides
+    * inside the expression (flattened floats, plan-shipped once —
+    * same payload as the broadcast literal row it replaces, none of
+    * the per-cell-per-row HOF allocation; see the round-6 sf100
+    * rehearsal in BASELINE.md). */
+  private def nearestCellsCol(
+      model: org.apache.spark.ml.clustering.KMeansModel, nprobe: Int) = {
+    import org.apache.spark.sql.graft.{GraftColumns => ExpressionUtils}
+    val cents = model.clusterCenters
+    val dim = cents.head.size
+    val flat = new Array[Float](cents.length * dim)
+    var c = 0
+    while (c < cents.length) {
+      val arr = cents(c).toArray
+      var j = 0
+      while (j < dim) { flat(c * dim + j) = arr(j).toFloat; j += 1 }
+      c += 1
+    }
+    ExpressionUtils.column(graft.functions.NearestCells(
+      ExpressionUtils.expression(col("embedding")), flat, dim, nprobe))
+  }
+
   def knnJoinIvf(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     import org.apache.spark.sql.expressions.Window
@@ -524,24 +531,17 @@ object Similarity {
       .withColumn("features", array_to_vector(expr("cast(embedding as array<double>)")))
     val model = fitCoarse(e)
     val assigned = model.transform(e).select(col("vec_id"), col("embedding"), col("cell"))
-    import spark.implicits._
-    // probe-cell choice is MAP-SIDE: the k-row centroid table rides along
-    // as ONE broadcast row holding array<struct<cell, centroid>>, and each
-    // vector sorts its own k distances inside a higher-order expression.
-    // The previous shape (crossJoin to n×k rows + row_number window)
-    // shuffled and sorted n×k rows — 354M at sf10, 500+ s of the sweep;
-    // map-side selection removes that exchange entirely (same flops, no
-    // data movement), which is the shape that survives 100 TB. Ties on
-    // distance break by cell id via the struct sort order, identical to
-    // the window's (cdist, cand_cell) ordering.
-    val centDf = Seq(Tuple1(model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq)).toDF("cents")
-    val probes = assigned.crossJoin(broadcast(centDf))
-      .withColumn("probe_cells", expr(
-        """transform(slice(array_sort(transform(cents, s ->
-          |  named_struct(
-          |    'd', aggregate(zip_with(embedding, s._2, (x, c) -> (x - c) * (x - c)), 0D, (a, v) -> a + v),
-          |    'cell', s._1))), 1, 8), p -> p.cell)""".stripMargin))
+    // probe-cell choice history: round 4 replaced a crossJoin-to-n×k-rows
+    // + window shape (354M rows shuffled/sorted at sf10) with a map-side
+    // HOF over one broadcast centroid row; round 6 replaced the HOF (two
+    // array allocations per cell per row — the sf100 allocation storm)
+    // with the codegen'd NearestCells below. Ties on distance still
+    // break by cell id — the same (d, cell) total order throughout.
+    // probe-cell choice is MAP-SIDE and codegen'd (NearestCells — the
+    // centroid matrix ships inside the expression; no crossJoin row, no
+    // HOF allocation): no exchange between the scan and the explode
+    val probes = assigned
+      .withColumn("probe_cells", nearestCellsCol(model, 8))
       .select(col("vec_id").as("va"), col("embedding").as("ea"),
         explode(col("probe_cells")).as("cand_cell"))
     // per-cell equi-join: force shuffle-hash with the corpus (n rows, the
@@ -634,18 +634,9 @@ object Similarity {
         expr("transform(members, m -> m.vb)").as("vbs"),
         expr("flatten(transform(members, m -> m.sigsb))").as("sigs_flat"))
     // map-side probe-cell choice — identical shape to the flat path:
-    // the k-row centroid table rides along as one broadcast literal row
-    val centDf = {
-      import spark.implicits._
-      Seq(Tuple1(model.clusterCenters.zipWithIndex
-        .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq)).toDF("cents")
-    }
-    val probes = assigned.crossJoin(broadcast(centDf))
-      .withColumn("probe_cells", expr(
-        """transform(slice(array_sort(transform(cents, s ->
-          |  named_struct(
-          |    'd', aggregate(zip_with(embedding, s._2, (x, c) -> (x - c) * (x - c)), 0D, (a, v) -> a + v),
-          |    'cell', s._1))), 1, 8), p -> p.cell)""".stripMargin))
+    // codegen'd NearestCells with the centroid matrix inside the plan
+    val probes = assigned
+      .withColumn("probe_cells", nearestCellsCol(model, 8))
       .select(col("vec_id").as("va"), col("sigs").as("sigsa"),
         explode(col("probe_cells")).as("cand_cell"))
     // Hamming screen: each (va, cell) probe row scans the cell directory

@@ -94,9 +94,16 @@ object MakeScale {
       if (dupCap <= 0 || i < dupCap) d
       else name match {
         case "documents" =>
+          // junk tokens carry the DOC id, not just the copy id: junk
+          // shared across a whole copy gives any two same-copy docs
+          // ~25% identical all-junk shingles (J ≈ 0.14), and at large
+          // copies that J⁴-per-band collision rate alone generates
+          // candidate pairs quadratically (8e8 projected for a 500k-doc
+          // copy at sf100). Doc-unique junk keeps cross-doc Jaccard at
+          // exactly the planted structure.
           d.withColumn("text", expr(
             s"""array_join(transform(split(text, ' '),
-               |  (t, ix) -> IF(ix % 4 = 0, t, concat('u${i}x', ix))), ' ')""".stripMargin))
+               |  (t, ix) -> IF(ix % 4 = 0, t, concat('u${i}x', doc_id, '_', ix))), ' ')""".stripMargin))
             .withColumn("n_chars", length(col("text")))
         case "embeddings" =>
           val rng = new scala.util.Random(i)
