@@ -17,11 +17,12 @@ import org.apache.spark.sql.functions._
  * documents-only sf10 rehearsal need not materialize 60M lineitem rows.
  *
  * `skew` (optional literal "skew"): produce HOT-KEY data — 30% of all
- * events collapse onto one user and 80% of all documents onto one
- * language (deterministic hash choice, so reruns agree). This is the
- * head-heavy shape of real crawl/event corpora that a uniform replica
- * never exercises: per-user session chains (b17/b19), per-user windows
- * (b20), and per-(lang, shard) packing (c15) all see one giant key.
+ * events collapse onto one user, 80% of all documents onto one
+ * language, and 30% of all orders onto one customer (deterministic
+ * hash choice, so reruns agree). This is the head-heavy shape of real
+ * crawl/event corpora that a uniform replica never exercises: per-user
+ * session chains (b17/b19), the salted customer join (b20), and
+ * per-(lang, shard) packing (c15) all see one giant key.
  *
  * `dupCap` (optional, 0 = off) fixes the DUPLICATE-CLIQUE SIZE while the
  * corpus scales: copies 0..dupCap-1 stay verbatim (each text/vector
@@ -128,6 +129,13 @@ object MakeScale {
         case "documents" => d.withColumn("lang",
           when(pmod(xxhash64(col("doc_id")), lit(10)) < 8, lit("en"))
             .otherwise(col("lang")))
+        // 30% of orders onto one customer: the b20 salted-join hot key.
+        // Key 1 exists in every copy (custkeys start at 1 and copy 0 is
+        // unshifted), so referential integrity holds and the b4 oracle
+        // SQL still reproduces the join on the skewed data.
+        case "orders" => d.withColumn("o_custkey",
+          when(pmod(xxhash64(col("o_orderkey")), lit(10)) < 3, lit(1L))
+            .otherwise(col("o_custkey")))
         case _ => d
       }
     keyCols.filter(t => only.isEmpty || only(t._1)).foreach { case (name, keys) =>
