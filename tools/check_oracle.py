@@ -1,16 +1,20 @@
-import duckdb, json, glob, sys, math
+import duckdb, json, glob, sys, math, os
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_m3"
 con = duckdb.connect()
+# testdata tables are single files; MakeScale rehearsal dirs are
+# Spark-written directories — DuckDB needs an explicit glob for those
+def src(path):
+    return f"{path}/*.parquet" if os.path.isdir(path) else path
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src(f'{sfdir}/{t}.parquet')}'")
 # MakeScale-generated dirs store events.ts as a raw ns BIGINT (Spark's
 # nanosAsLong write); rebuild the view with the same ns→µs truncation
 # Spark applies so the oracles see a timestamp either way
 ts_type = [r[1] for r in con.execute("DESCRIBE events").fetchall() if r[0] == "ts"][0]
 if ts_type == "BIGINT":
     con.execute("DROP VIEW events")
-    con.execute(f"CREATE VIEW events AS SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) FROM '{sfdir}/events.parquet'")
+    con.execute(f"CREATE VIEW events AS SELECT * REPLACE (make_timestamp(ts // 1000) AS ts) FROM '{src(f'{sfdir}/events.parquet')}'")
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 # Verify records which queries it intentionally did not dump (env-skipped,
 # ONLY-excluded) in skipped.json; only THOSE may be skipped here. Watchdog
