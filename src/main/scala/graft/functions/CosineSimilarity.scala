@@ -123,6 +123,22 @@ object GraftFunctions {
       s"graft_srp_sign takes 3 arguments, got ${other.size}")
   }
 
+  val simHashInfo = new ExpressionInfo(classOf[SimHashSig].getName, "graft_simhash")
+
+  /** `graft_simhash(token_hashes, words)` — words must be a literal (it
+    * sizes the vote table at plan time). */
+  val simHashBuilder: Seq[Expression] => Expression = {
+    case Seq(child, wordsE) =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      wordsE match {
+        case Literal(w, IntegerType) => SimHashSig(child, w.asInstanceOf[Int])
+        case _ => throw new IllegalArgumentException(
+          "graft_simhash needs a literal words argument")
+      }
+    case other => throw new IllegalArgumentException(
+      s"graft_simhash takes 2 arguments, got ${other.size}")
+  }
+
   val hammingTopKInfo = new ExpressionInfo(classOf[HammingTopK].getName, "graft_hamming_topk")
 
   /** `graft_hamming_topk(sigs, ids, flat_sigs, self_id, k)` — k must be
@@ -147,5 +163,7 @@ object GraftFunctions {
       "graft_srp_sign", srpSignBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hamming_topk", hammingTopKBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash", simHashBuilder, "built-in")
   }
 }

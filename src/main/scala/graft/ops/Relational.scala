@@ -56,7 +56,13 @@ object Relational {
         col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
       .select(col("l_orderkey"), col("l_linenumber"),
         round(col("l_quantity"), 4).as("quantity"), col("l_returnflag"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // sort by EVERY output column: the synthetic testdata does not
+      // make (l_orderkey, l_linenumber) unique (118k dup keys at sf0.1),
+      // so a prefix sort is not a total order and the engine/oracle row
+      // sequences may legally diverge on ties — only exposed at sf1,
+      // where the multi-file layout reorders Spark's tie groups. With
+      // all columns in the key, tied rows are identical rows.
+      .orderBy("l_orderkey", "l_linenumber", "quantity", "l_returnflag")
 
   // B3 — TPC-H Q1-like aggregation (flagship)
   def aggGroup(spark: SparkSession, dir: String): DataFrame =
@@ -497,7 +503,7 @@ object Relational {
       """SELECT l_orderkey, l_linenumber, round(l_quantity, 4) AS quantity, l_returnflag
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, quantity, l_returnflag""".stripMargin,
     "b3_agg_group" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${msum("l_quantity")} AS sum_qty,

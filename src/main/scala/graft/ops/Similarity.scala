@@ -283,38 +283,45 @@ object Similarity {
       .filter(col("j") >= 0.8)
   }
 
-  // C2c — SimHash near-dup: 64-bit frequency-weighted token simhash,
-  // banded 4×16-bit for candidate generation (equi-join, no O(n²)),
-  // hamming-verified. Deterministic (xxhash64). Rows-only check.
+  // C2c — SimHash near-dup: 256-bit frequency-weighted token simhash
+  // (codegen'd graft_simhash, 4 independent 64-bit words; word 0 is
+  // bit-for-bit the original interpreted formulation), banded 8×32-bit
+  // for candidate generation (equi-join, no O(n²)), hamming-verified at
+  // the same relative radius the 64-bit version used (≤8/64 → ≤32/256,
+  // with 4× lower estimator variance). Deterministic (xxhash64 +
+  // splitmix64 word remix). Rows-only check.
+  //
+  // Round-6 history: the interpreted 64-bit version spent its sf100
+  // budget in the vote HOF (64 lambda applications + a vote-array copy
+  // PER TOKEN) and its 4×16-bit bands birthday-saturated the 65536-key
+  // space at 5M docs (12.3× growth on 10× rows — the cosine-LSH lesson:
+  // band keys must grow with log₂(n), which takes a signature wide
+  // enough to cut log(n)-bit keys from).
   def dedupSimHash(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
     // repartition before the hash/vote projections — signature work must
     // scale with cores, not input file count (see minhashCandidates)
     val docs = Relational.table(spark, dir, "documents")
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("hashes", expr("transform(split(text, ' '), t -> xxhash64(t))"))
-      // per-bit vote: +1/-1 per token occurrence (frequency-weighted)
-      .withColumn("votes", expr(
-        """aggregate(hashes, array_repeat(0, 64),
-          |  (acc, h) -> zip_with(acc, sequence(0, 63),
-          |    (a, i) -> a + IF(((h >> i) & 1) = 1, 1, -1)))""".stripMargin))
-      .withColumn("simhash", expr(
-        "aggregate(zip_with(votes, sequence(0, 63), (v, i) -> IF(v > 0, shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)"))
-      .select(col("doc_id"), col("simhash"))
-    // simhash bound once — the vote/aggregate chain must not be inlined
-    // and recomputed per band (see withShingles)
-    val banded = docs.select(col("doc_id"), col("simhash"),
+      .withColumn("sigs", expr("graft_simhash(hashes, 4)"))
+      .select(col("doc_id"), col("sigs"))
+    // sigs bound once — the vote chain must not be inlined and
+    // recomputed per band (see withShingles)
+    val banded = docs.select(col("doc_id"), col("sigs"),
       explode(expr(
-        """transform(array(simhash), s ->
-          |  transform(sequence(0, 3), b -> named_struct(
-          |    'band', b, 'key', shiftright(s, b * 16) & 65535)))[0]""".stripMargin)).as("bk"))
+        """transform(array(sigs), sg ->
+          |  transform(sequence(0, 7), b -> named_struct(
+          |    'band', b, 'key', shiftright(sg[b div 2], (b % 2) * 32) & 4294967295L)))[0]""".stripMargin)).as("bk"))
     val cands = banded.as("a").hint("shuffle_hash").join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+        col("a.sigs").as("sa"), col("b.sigs").as("sb"))
       .distinct()
     cands
-      .withColumn("hamming", expr("bit_count(sa ^ sb)"))
-      .filter(col("hamming") <= 8)
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(sa, sb, (x, y) -> bit_count(x ^ y)), 0, (a, v) -> a + v)"))
+      .filter(col("hamming") <= 32)
       .select(col("da"), col("db"), col("hamming"))
       .orderBy("da", "db")
   }
