@@ -18,7 +18,9 @@ OUT_DIR="${2:-/tmp/graft_sweep_sf1}"
 # scale paths) -- quadratic row counts at sf1, each >19 min
 SKIP="c2_dedup_ngram,c2_dedup_cosine,c3_knn_join"
 
-if [ ! -d "$SF_DIR/documents.parquet" ]; then
+# check a FACT table, not documents: earlier docs-only rehearsal dirs
+# would otherwise short-circuit full-registry generation
+if [ ! -d "$SF_DIR/lineitem.parquet" ]; then
   echo "[sweep] generating $SF_DIR (sf0.1 x10, dupCap clamps cliques)"
   SPARK_GRAFT_CPUS=16 sbt -batch "runMain graft.tools.MakeScale /root/testdata/sf0.1 $SF_DIR 10"
 fi
