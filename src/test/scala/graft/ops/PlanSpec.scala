@@ -135,9 +135,26 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     // is localCheckpoint'd, so the final plan starts at the checkpoint)
     val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(hashEx == 7, s"expected 7 linear-size hash exchanges, got $hashEx:\n$p")
-    // probe-side cell choice stays map-side: the only broadcast is the
-    // one-row centroid literal, and no nested-loop join anywhere
-    assert(!p.contains("CartesianProduct"), s"probe side fell to cartesian:\n$p")
+    // probe-side cell choice stays map-side: the codegen'd NearestCells
+    // expression carries the centroid matrix in-plan (no crossJoin row,
+    // no broadcast, no nested-loop join anywhere)
+    assert(p.contains("graft_nearest_cells"), s"native cell choice missing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"probe side fell to a loop join:\n$p")
+  }
+
+  test("C2c: one simhash projection feeds the bands; candidates join shuffle-hash") {
+    val p = plan(Similarity.dedupSimHash(spark, dir))
+    // the 256-bit vote pass must run ONCE per row — an inlined copy per
+    // band would run it 8× (the withShingles lesson). One projection
+    // upstream of the self-join's two branches ⇒ ≤2 plan occurrences.
+    val sigs = p.linesIterator.count(_.contains("graft_simhash"))
+    assert(sigs >= 1 && sigs <= 2, s"simhash should project once per join branch, got $sigs:\n$p")
+    // band candidates meet in an equi-join on (band, key) — hash, never
+    // a loop join; no O(n²) shape anywhere in the plan
+    assert(p.contains("ShuffledHashJoin"), s"band join lost its shuffle-hash hint:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"band join fell to a loop join:\n$p")
   }
 
   test("C19/C20: exploded aggregates partial-combine map-side; vocab top-k never global-sorts") {
