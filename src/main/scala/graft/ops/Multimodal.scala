@@ -7,17 +7,23 @@ import org.apache.spark.sql.functions._
  * Tier C — multimodal columns (SURVEY §2 Tier C / builder contract):
  * image/audio/video as opaque `binary` columns with typed metadata.
  *
- * Images decode FOR REAL (PNG/BMP/GIF/JPEG via `javax.imageio`, pure
- * JVM): true pixel dimensions and a luminance feature fold. Audio
- * decodes FOR REAL too (PCM WAV via `javax.sound.sampled`, pure JVM):
- * true frame count / sample rate and an 8-bin RMS fold over the actual
- * samples. Only video remains STUBBED (the JDK ships no video codec):
- * [[decodeBatch]] folds its bytes into a deterministic fake feature
- * vector. Everything around the stub — the schema, the `Dataset[T]`
- * encoders, the per-partition batched decode shape (batches of
- * [[batchSize]], the same contract a `mapInPandas`/Arrow decode would
- * use), partitioning, and the aggregation — is real and tested.
- * Swapping the remaining stub for a real decoder changes one function.
+ * All three kinds decode FOR REAL, pure JVM:
+ *  - images: PNG/BMP/GIF/JPEG via `javax.imageio` — true pixel
+ *    dimensions and an 8-bin luminance fold over the actual pixels;
+ *  - audio: PCM WAV via `javax.sound.sampled` — true frame count /
+ *    sample rate and an 8-bin RMS fold over the actual samples;
+ *  - video: RIFF/AVI via a chunk-tree parser in this file — true
+ *    dimensions and frame count from the `avih`/`strf` headers, and a
+ *    per-frame luminance fold over the actual pixels. Uncompressed
+ *    (`00db` BGR24 DIB) frames are read directly; codec'd (`00dc`)
+ *    frames go through `javax.imageio` (covers MJPEG, whose frames
+ *    are JFIF/JPEG — the one video codec the JDK can decode).
+ * [[decodeFold]] remains only as the fallback for bytes a kind's
+ * decoder cannot parse. The distribution plumbing — the schema, the
+ * `Dataset[T]` encoders, the per-partition batched decode shape
+ * (batches of [[batchSize]], the same contract a `mapInPandas`/Arrow
+ * decode would use), partitioning, and the aggregation — is shared by
+ * all kinds and tested independently of any one decoder.
  */
 object Multimodal {
 
@@ -71,12 +77,96 @@ object Multimodal {
     bb.array()
   }
 
+  /** Synthesized-AVI shape: [[vidFrames]] uncompressed BGR24 frames of
+    * [[vidW]]×[[vidH]] at 10 fps. Every chunk is fixed-size, so the
+    * container length is a constant the metadata oracle can state. */
+  val vidW = 24
+  val vidH = 16
+  val vidFrames = 8
+  val vidFrameBytes: Int = vidW * vidH * 3 // row stride 72 is 4-aligned: no pad
+  // RIFF hdr + LIST hdrl (avih + LIST strl (strh + strf)) + LIST movi
+  private val aviHdrlBytes = 12 + (8 + 56) + (12 + (8 + 56) + (8 + 40))
+  val aviBytes: Int = 12 + aviHdrlBytes + 12 + vidFrames * (8 + vidFrameBytes)
+
+  /** Deterministic frame content: the 0xRRGGBB pixel at (x, y) of frame
+    * `frame` for document `docId` — a drifting gradient, so features are
+    * content- AND frame-order-derived. Public so specs can recompute. */
+  def vidRgb(docId: Long, frame: Int, x: Int, y: Int): Int = {
+    val r = (x * 11 + frame * 17 + (docId % 97).toInt * 3) % 256
+    val g = (y * 13 + frame * 5 + (docId % 89).toInt * 7) % 256
+    val b = (x + y * 2 + frame * 29) % 256
+    (r << 16) | (g << 8) | b
+  }
+
+  /** A REAL little-endian RIFF/AVI file: `avih` + `strh`/`strf` headers
+    * (vids / DIB / BI_RGB 24-bit) and a `movi` list of `00db` chunks
+    * holding bottom-up BGR24 frames — the standard uncompressed-AVI
+    * layout any AVI reader parses. Pure byte building, no libraries. */
+  def synthAvi(docId: Long): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(aviBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String): Unit = { bb.put(s.getBytes("US-ASCII")); () }
+    cc("RIFF"); bb.putInt(aviBytes - 8); cc("AVI ")
+    cc("LIST"); bb.putInt(aviHdrlBytes - 8); cc("hdrl")
+    cc("avih"); bb.putInt(56)
+    bb.putInt(100000)            // µs per frame → 10 fps
+    bb.putInt(vidFrameBytes * 10) // max bytes per second
+    bb.putInt(0)                 // padding granularity
+    bb.putInt(0)                 // flags (no idx1 index is written)
+    bb.putInt(vidFrames)         // total frames
+    bb.putInt(0)                 // initial frames
+    bb.putInt(1)                 // streams
+    bb.putInt(vidFrameBytes)     // suggested buffer size
+    bb.putInt(vidW); bb.putInt(vidH)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0) // reserved
+    cc("LIST"); bb.putInt(4 + (8 + 56) + (8 + 40)); cc("strl")
+    cc("strh"); bb.putInt(56)
+    cc("vids"); cc("DIB ")
+    bb.putInt(0)                 // flags
+    bb.putShort(0); bb.putShort(0) // priority, language
+    bb.putInt(0)                 // initial frames
+    bb.putInt(1); bb.putInt(10)  // scale, rate → 10 fps
+    bb.putInt(0)                 // start
+    bb.putInt(vidFrames)         // stream length in frames
+    bb.putInt(vidFrameBytes)     // suggested buffer size
+    bb.putInt(-1)                // quality (default)
+    bb.putInt(0)                 // sample size (varies per chunk)
+    bb.putShort(0); bb.putShort(0)
+    bb.putShort(vidW.toShort); bb.putShort(vidH.toShort) // rcFrame
+    cc("strf"); bb.putInt(40)    // BITMAPINFOHEADER
+    bb.putInt(40); bb.putInt(vidW); bb.putInt(vidH)
+    bb.putShort(1); bb.putShort(24) // planes, bits per pixel
+    bb.putInt(0)                 // BI_RGB (uncompressed)
+    bb.putInt(vidFrameBytes)
+    bb.putInt(2835); bb.putInt(2835); bb.putInt(0); bb.putInt(0)
+    cc("LIST"); bb.putInt(4 + vidFrames * (8 + vidFrameBytes)); cc("movi")
+    var f = 0
+    while (f < vidFrames) {
+      cc("00db"); bb.putInt(vidFrameBytes)
+      var y = vidH - 1 // DIB rows are stored bottom-up
+      while (y >= 0) {
+        var x = 0
+        while (x < vidW) {
+          val rgb = vidRgb(docId, f, x, y)
+          bb.put((rgb & 0xff).toByte)         // B
+          bb.put(((rgb >> 8) & 0xff).toByte)  // G
+          bb.put(((rgb >> 16) & 0xff).toByte) // R
+          x += 1
+        }
+        y -= 1
+      }
+      f += 1
+    }
+    bb.array()
+  }
+
   /** Ingest plumbing: attach a deterministic media payload + typed
     * metadata to each document — a REAL synthesized WAV for audio rows
-    * (see [[synthWav]]), sha256-of-text opaque bytes for image/video
-    * (stands in for content the decode step then handles per kind).
-    * The WAV synthesis is a typed map in the INGEST path only — query
-    * operators downstream stay columnar. */
+    * ([[synthWav]]), a REAL synthesized AVI for video rows
+    * ([[synthAvi]]), sha256-of-text opaque bytes for image rows (the
+    * decoder's reject-and-fall-back path stays exercised at scale).
+    * The media synthesis is a typed map in the INGEST path only —
+    * query operators downstream stay columnar. */
   def attachMedia(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs.select(
@@ -88,7 +178,11 @@ object Multimodal {
       (col("n_chars") % 480 + 16).cast("int").as("height"),
       when(col("doc_id") % 3 === 1, 16000).otherwise(0).as("sample_rate"))
       .as[MediaDoc]
-      .map(d => if (d.kind == "audio") d.copy(media = synthWav(d.doc_id)) else d)
+      .map(d => d.kind match {
+        case "audio" => d.copy(media = synthWav(d.doc_id))
+        case "video" => d.copy(media = synthAvi(d.doc_id))
+        case _ => d
+      })
       .toDF()
   }
 
@@ -155,10 +249,106 @@ object Multimodal {
     }
   }
 
-  /** ??? DECODE STUB ??? — video feature extraction (the JDK ships no
-    * video codec). Deterministic: folds the media bytes into an 8-float
-    * signature, decoded dims = −1. Also the fallback for image/audio
-    * rows whose bytes their kind's real decoder cannot parse. */
+  /** Real video decode for the `video` kind: a RIFF/AVI chunk-tree
+    * parser (pure JVM — RIFF is length-prefixed fourcc chunks, LISTs
+    * nest). Dimensions and frame count come from the `avih` header and
+    * are cross-checked against the frames actually present; `strf`'s
+    * BITMAPINFOHEADER gates the uncompressed path (BI_RGB, 24-bit).
+    * `00db` frames fold bottom-up BGR24 pixels directly; `00dc` frames
+    * decode through `javax.imageio` (MJPEG carries JPEG frames — the
+    * JDK ships that codec). Features = an 8-bin luminance fold over
+    * every frame's ACTUAL pixels, bin-shifted per frame so the vector
+    * is frame-order-derived; decoded_w/decoded_h = true pixel dims.
+    * Any structural violation returns None → the byte-fold fallback. */
+  private def decodeVideo(d: MediaDoc): Option[MediaFeatures] = {
+    val a = d.media
+    if (a.length < 12) return None
+    val bb = java.nio.ByteBuffer.wrap(a).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(off: Int): String =
+      if (off + 4 > a.length) "" else new String(a, off, 4, "US-ASCII")
+    if (cc(0) != "RIFF" || cc(8) != "AVI ") return None
+    var width = -1; var height = -1; var totalFrames = -1
+    var bitCount = -1; var compression = -1
+    var framesSeen = 0
+    val feats = new Array[Float](8)
+    def foldDib(body: Int, len: Int): Boolean = {
+      if (width <= 0 || height <= 0 || len != width * height * 3) return false
+      if (bitCount != 24 || compression != 0) return false // strf must declare BI_RGB 24-bit
+      var y = 0
+      while (y < height) {
+        val rowOff = body + (height - 1 - y) * width * 3 // bottom-up rows
+        var x = 0
+        while (x < width) {
+          val b0 = a(rowOff + x * 3) & 0xff
+          val g = a(rowOff + x * 3 + 1) & 0xff
+          val r = a(rowOff + x * 3 + 2) & 0xff
+          feats((x + y + framesSeen) % 8) += (r * 299 + g * 587 + b0 * 114) / 1000 / 255.0f
+          x += 1
+        }
+        y += 1
+      }
+      framesSeen += 1
+      true
+    }
+    def foldCodec(body: Int, len: Int): Boolean = {
+      val img =
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a, body, len)))
+        catch { case _: java.io.IOException => None }
+      img.exists { im =>
+        var y = 0
+        while (y < im.getHeight) {
+          var x = 0
+          while (x < im.getWidth) {
+            val rgb = im.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            feats((x + y + framesSeen) % 8) += lum / 255.0f
+            x += 1
+          }
+          y += 1
+        }
+        framesSeen += 1
+        true
+      }
+    }
+    // depth-first chunk walk over [start, end); false = structural failure
+    def walk(start: Int, end: Int): Boolean = {
+      var p = start
+      while (p + 8 <= end) {
+        val id = cc(p)
+        val sz = bb.getInt(p + 4)
+        val body = p + 8
+        if (sz < 0 || body + sz > end) return false
+        val ok = id match {
+          case "LIST" => sz >= 4 && walk(body + 4, body + sz)
+          case "avih" =>
+            if (sz < 40) false
+            else {
+              totalFrames = bb.getInt(body + 16)
+              width = bb.getInt(body + 32); height = bb.getInt(body + 36)
+              true
+            }
+          case "strf" =>
+            if (sz >= 20) {
+              bitCount = bb.getShort(body + 14) & 0xffff
+              compression = bb.getInt(body + 16)
+            }
+            true
+          case "00db" => foldDib(body, sz)
+          case "00dc" => foldCodec(body, sz)
+          case _ => true // unknown chunks (idx1, JUNK, …) skip by length
+        }
+        if (!ok) return false
+        p = body + sz + (sz & 1) // chunks are word-aligned
+      }
+      true
+    }
+    if (!walk(12, a.length) || framesSeen == 0 || framesSeen != totalFrames) None
+    else Some(MediaFeatures(d.doc_id, d.kind, a.length, width, height, feats))
+  }
+
+  /** Fallback for bytes a kind's real decoder cannot parse (and for
+    * kinds outside image/audio/video). Deterministic: folds the media
+    * bytes into an 8-float signature, decoded dims = −1. */
   private def decodeFold(d: MediaDoc): MediaFeatures = {
     val feats = new Array[Float](8)
     d.media.zipWithIndex.foreach { case (b, i) => feats(i % 8) += (b & 0xff) / 255.0f }
@@ -166,14 +356,15 @@ object Multimodal {
   }
 
   /** Batched decode: images decode for real via [[decodeImage]], audio
-    * via [[decodeAudio]]; video (and bytes a real decoder rejects) fall
-    * through to the byte-fold stub. One batch per call — the
-    * Arrow-batch contract. */
+    * via [[decodeAudio]], video via [[decodeVideo]]; bytes a decoder
+    * rejects fall through to the byte-fold fallback. One batch per
+    * call — the Arrow-batch contract. */
   def decodeBatch(batch: Seq[MediaDoc]): Seq[MediaFeatures] =
     batch.map { d =>
       (d.kind match {
         case "image" => decodeImage(d)
         case "audio" => decodeAudio(d)
+        case "video" => decodeVideo(d)
         case _ => None
       }).getOrElse(decodeFold(d))
     }
@@ -220,7 +411,8 @@ object Multimodal {
   }
 
   /** c6b: the metadata half of the pipeline, fully SQL-expressible →
-    * oracle-checked (the feature sums stay in the stub-only query). */
+    * oracle-checked (the feature sums stay in the decode query, whose
+    * pixel/sample folds SQL cannot express). */
   def metaStats(spark: SparkSession, dir: String): DataFrame =
     attachMedia(Relational.table(spark, dir, "documents"))
       .groupBy(col("kind"))
@@ -231,16 +423,18 @@ object Multimodal {
     "c6_multimodal_decode" -> (decodePipeline _),
     "c6_multimodal_meta" -> (metaStats _))
 
-  // c6_multimodal_decode has no oracleSql: the decode stub is not
-  // SQL-expressible → rows-only check; determinism + batch shape are
-  // unit-tested in TierCSpec
+  // c6_multimodal_decode has no oracleSql: the pixel/sample feature
+  // folds are not SQL-expressible → rows-only check; determinism +
+  // batch shape + decoder fidelity are unit-tested in TierCSpec
   val oracleSql: Map[String, String] = Map(
-    // media bytes are sha256 (32 B) except audio rows, which carry the
-    // fixed-shape synthesized WAV (44-byte header + 2 B × frames)
+    // media bytes are sha256 (32 B) for image rows; audio rows carry
+    // the fixed-shape synthesized WAV and video rows the fixed-shape
+    // synthesized AVI (every chunk constant-size by construction)
     "c6_multimodal_meta" ->
       s"""SELECT CASE cast(doc_id % 3 as int) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
          |       ELSE 'video' END AS kind,
          |  count(*) AS n,
-         |  max(CASE WHEN doc_id % 3 = 1 THEN $wavBytes ELSE 32 END) AS max_bytes
+         |  max(CASE WHEN doc_id % 3 = 1 THEN $wavBytes
+         |           WHEN doc_id % 3 = 2 THEN $aviBytes ELSE 32 END) AS max_bytes
          |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin)
 }

@@ -125,13 +125,19 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     assert(feats1.zip(feats2).forall { case (a, b) => a.features.toSeq == b.features.toSeq },
       "decode must be deterministic regardless of partitioning")
     assert(feats1.forall(_.features.length == 8))
-    assert(feats1.forall(f =>
-      f.n_bytes == (if (f.kind == "audio") Multimodal.wavBytes else 32)),
-      "sha256 payload except audio's synthesized WAV")
+    assert(feats1.forall(f => f.n_bytes == (f.kind match {
+      case "audio" => Multimodal.wavBytes
+      case "video" => Multimodal.aviBytes
+      case _ => 32
+    })), "sha256 payload except audio's synthesized WAV / video's synthesized AVI")
     // every audio row's WAV really decoded: frame count + sample rate
     assert(feats1.filter(_.kind == "audio").forall(f =>
       f.decoded_w == Multimodal.wavFrames && f.decoded_h == Multimodal.wavRate),
       "audio rows must decode via javax.sound.sampled, not the fold")
+    // every video row's AVI really decoded: true pixel dimensions
+    assert(feats1.filter(_.kind == "video").forall(f =>
+      f.decoded_w == Multimodal.vidW && f.decoded_h == Multimodal.vidH),
+      "video rows must decode via the RIFF/AVI parser, not the fold")
     // batch shape: stub sees ≤ batchSize rows per call
     val batchSizes = media.repartition(2).mapPartitions(
       _.grouped(Multimodal.batchSize).map(_.size)).collect()
@@ -208,6 +214,81 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     val Seq(g) = Multimodal.decodeBatch(Seq(
       Multimodal.MediaDoc(43L, "audio", Multimodal.synthWav(43L), 0, 0, Multimodal.wavRate)))
     assert(g.features.toSeq != f.features.toSeq)
+  }
+
+  test("C6 real video decode: synthesized AVI parses frame-by-frame") {
+    val docId = 7L
+    val avi = Multimodal.synthAvi(docId)
+    assert(avi.length == Multimodal.aviBytes, "container length must be the declared constant")
+    val Seq(f) = Multimodal.decodeBatch(Seq(
+      Multimodal.MediaDoc(docId, "video", avi, 0, 0, 0)))
+    assert(f.decoded_w == Multimodal.vidW && f.decoded_h == Multimodal.vidH,
+      s"AVI dims not decoded: ${f.decoded_w} x ${f.decoded_h}")
+    // recompute the per-bin luminance fold here from the known pixel
+    // formula — proves every frame's REAL pixels were read in frame
+    // order, not the byte fold and not a single frame
+    val expected = new Array[Double](8)
+    for (fr <- 0 until Multimodal.vidFrames;
+         y <- 0 until Multimodal.vidH;
+         x <- 0 until Multimodal.vidW) {
+      val rgb = Multimodal.vidRgb(docId, fr, x, y)
+      val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+      expected((x + y + fr) % 8) += lum / 255.0
+    }
+    f.features.zip(expected).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-2, s"luminance bin mismatch: $got vs $want")
+    }
+    // content sensitivity: a different doc decodes to different features
+    val Seq(g) = Multimodal.decodeBatch(Seq(
+      Multimodal.MediaDoc(8L, "video", Multimodal.synthAvi(8L), 0, 0, 0)))
+    assert(g.features.toSeq != f.features.toSeq)
+    // structural honesty: a frame-count lie in avih (header says one
+    // more frame than movi holds) must reject → byte-fold fallback
+    val lying = avi.clone()
+    val avihFramesOff = 12 + 12 + 8 + 16 // RIFF hdr, LIST hdr, avih hdr, dwTotalFrames
+    lying(avihFramesOff) = (Multimodal.vidFrames + 1).toByte
+    val Seq(h) = Multimodal.decodeBatch(Seq(
+      Multimodal.MediaDoc(docId, "video", lying, 0, 0, 0)))
+    assert(h.decoded_w == -1, "frame-count mismatch must fall back to the fold")
+    // arbitrary bytes (the sha256 payload shape) also fall back
+    val Seq(j) = Multimodal.decodeBatch(Seq(
+      Multimodal.MediaDoc(docId, "video", Array.fill[Byte](32)(9), 0, 0, 0)))
+    assert(j.decoded_w == -1)
+  }
+
+  test("C6 video decode handles codec'd (00dc / MJPEG-style) frames via ImageIO") {
+    // hand-build a minimal AVI whose single frame is a REAL JPEG — the
+    // chunk layout MJPEG files use; dims in avih, JPEG carries pixels
+    val w = 6; val h = 4
+    val im = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, if (x < w / 2) 0xffffff else 0x000000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "jpg", bos)
+    val jpeg = bos.toByteArray
+    val jlen = jpeg.length + (jpeg.length & 1) // word-align the chunk
+    val avihChunk = 8 + 56
+    val moviList = 12 + 8 + jlen
+    val total = 12 + (12 + avihChunk) + moviList
+    val bb = java.nio.ByteBuffer.allocate(total).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String): Unit = { bb.put(s.getBytes("US-ASCII")); () }
+    cc("RIFF"); bb.putInt(total - 8); cc("AVI ")
+    cc("LIST"); bb.putInt(4 + avihChunk); cc("hdrl")
+    cc("avih"); bb.putInt(56)
+    bb.putInt(100000); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    bb.putInt(1) // one frame
+    bb.putInt(0); bb.putInt(1); bb.putInt(0)
+    bb.putInt(w); bb.putInt(h)
+    bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    cc("LIST"); bb.putInt(4 + 8 + jlen); cc("movi")
+    cc("00dc"); bb.putInt(jpeg.length); bb.put(jpeg)
+    if ((jpeg.length & 1) == 1) bb.put(0.toByte)
+    val Seq(f) = Multimodal.decodeBatch(Seq(
+      Multimodal.MediaDoc(1L, "video", bb.array(), 0, 0, 0)))
+    assert(f.decoded_w == w && f.decoded_h == h, s"00dc frame dims: ${f.decoded_w} x ${f.decoded_h}")
+    // left half white, right half black: JPEG is lossy but the gross
+    // luminance mass must sit where the white pixels are
+    assert(f.features.sum > w * h / 2 * 0.8 && f.features.sum < w * h * 0.7,
+      s"00dc luminance mass implausible for a half-white frame: ${f.features.toSeq}")
   }
 
   test("C6 metadata transforms: resize + frame sampling plans") {
