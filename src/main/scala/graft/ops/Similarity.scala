@@ -452,12 +452,12 @@ object Similarity {
     val qVec = assigned.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0)
     val centroids = model.clusterCenters
-    val nprobe = centroids.zipWithIndex.map { case (c, i) =>
+    val probeCells = centroids.zipWithIndex.map { case (c, i) =>
       val d = c.toArray.zip(qVec.map(_.toDouble)).map { case (a, b) => (a - b) * (a - b) }.sum
       (i, d)
-    }.sortBy(_._2).take(8).map(_._1)
+    }.sortBy(_._2).take(nprobe(spark)).map(_._1)
     val q = assigned.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    assigned.filter(col("vec_id") =!= 0 && col("cell").isin(nprobe.toSeq: _*))
+    assigned.filter(col("vec_id") =!= 0 && col("cell").isin(probeCells.toSeq: _*))
       .crossJoin(broadcast(q))
       .select(col("vec_id"), round(cosineExpr("embedding", "qv"), 4).as("sim"))
       .orderBy(col("sim").desc, col("vec_id").asc)
@@ -548,7 +548,7 @@ object Similarity {
     // centroid matrix ships inside the expression; no crossJoin row, no
     // HOF allocation): no exchange between the scan and the explode
     val probes = assigned
-      .withColumn("probe_cells", nearestCellsCol(model, 8))
+      .withColumn("probe_cells", nearestCellsCol(model, nprobe(spark)))
       .select(col("vec_id").as("va"), col("embedding").as("ea"),
         explode(col("probe_cells")).as("cand_cell"))
     // per-cell equi-join: force shuffle-hash with the corpus (n rows, the
@@ -582,12 +582,21 @@ object Similarity {
     * Hamming estimator needs enough planes to ORDER candidates whose
     * angles differ by a few degrees — 64 bits landed recall@3 at 0.43,
     * 128 at 0.40 on sf0.1, 256 clears the 0.5 bar with margin.
-    * m=16 survivors per probed cell × nprobe=8 funnel into the global
-    * top-S=48 that alone get exact d-dim scoring. All three are
-    * constants → the exact re-rank stays Θ(n·S·d), linear in n. */
+    * m survivors per probed cell × nprobe cells funnel into the global
+    * top-S that alone get exact d-dim scoring. All three are per-query
+    * constants → the exact re-rank stays Θ(n·S·d), linear in n.
+    * m and S are index-tuning knobs (`graft.ann.hammingPerCell`,
+    * `graft.ann.shortlist`) — the recall/time curve they trace is
+    * measured in BASELINE.md's round-6 ANN sweep; defaults sit at the
+    * measured knee. `graft.ann.nprobe` tunes cell fan-out the same way
+    * for both IVF variants. */
   private val sigWords = 4
-  private val hammingPerCell = 16
-  private val shortlistGlobal = 48
+  private def hammingPerCell(spark: SparkSession): Int =
+    spark.conf.getOption("graft.ann.hammingPerCell").map(_.toInt).getOrElse(16)
+  private def shortlistGlobal(spark: SparkSession): Int =
+    spark.conf.getOption("graft.ann.shortlist").map(_.toInt).getOrElse(48)
+  private def nprobe(spark: SparkSession): Int =
+    spark.conf.getOption("graft.ann.nprobe").map(_.toInt).getOrElse(8)
 
   // C3e — two-level IVF kNN join (IVF + SRP shortlist + exact re-rank):
   // the flat probe above exact-scores every vector in its nprobe cells —
@@ -643,7 +652,7 @@ object Similarity {
     // map-side probe-cell choice — identical shape to the flat path:
     // codegen'd NearestCells with the centroid matrix inside the plan
     val probes = assigned
-      .withColumn("probe_cells", nearestCellsCol(model, 8))
+      .withColumn("probe_cells", nearestCellsCol(model, nprobe(spark)))
       .select(col("vec_id").as("va"), col("sigs").as("sigsa"),
         explode(col("probe_cells")).as("cand_cell"))
     // Hamming screen: each (va, cell) probe row scans the cell directory
@@ -655,14 +664,14 @@ object Similarity {
     // as (h << 48 | vb) packed longs whose natural order IS (h, vb).
     val screened = probes.join(cellDir.hint("shuffle_hash"), Seq("cand_cell"))
       .select(col("va"), explode(expr(
-        s"graft_hamming_topk(sigsa, vbs, sigs_flat, va, $hammingPerCell)")).as("packed"))
+        s"graft_hamming_topk(sigsa, vbs, sigs_flat, va, ${hammingPerCell(spark)})")).as("packed"))
     // global shortlist: union the per-cell survivors (each vb lives in
     // exactly one cell — no duplicates) and keep the S best by Hamming;
     // the window input is n·nprobe·m rows, not n·nprobe·cellpop, and it
     // sorts bare packed longs
     val ws = Window.partitionBy(col("va")).orderBy(col("packed").asc)
     val shortlist = screened
-      .withColumn("srk", row_number().over(ws)).filter(col("srk") <= shortlistGlobal)
+      .withColumn("srk", row_number().over(ws)).filter(col("srk") <= shortlistGlobal(spark))
       .select(col("va"), expr("packed & 281474976710655L").as("vb"))
     // exact re-rank: fetch both embeddings (shuffle-hash equi-joins on
     // the corpus — n·S tiny rows against n-row build sides) and score
