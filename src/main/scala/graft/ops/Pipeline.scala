@@ -163,7 +163,7 @@ object Pipeline {
     val ev = Relational.events(spark, dir)
     val stage = Relational.stageEventFiles(spark, ev,
       s"graft_c9_stage_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-    Relational.replayToMemory(spark,
+    Relational.replayToSink(spark,
       spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(stage)

@@ -268,7 +268,7 @@ object Relational {
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
     val stage = stageEventFiles(spark, ev, s"graft_b16_stage_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-    replayToMemory(spark,
+    replayToSink(spark,
       spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(stage)
@@ -289,15 +289,31 @@ object Relational {
     stageSlices(spark, ev, unix_micros(col("ts")), name, n)
 
   /** Run a streaming frame through an AvailableNow micro-batch replay
-    * into a named in-memory sink and return the sink table — the shared
-    * harness tail of every replay op (b16/b26/b27/c9/c21). */
-  private[graft] def replayToMemory(spark: SparkSession, streamed: DataFrame,
+    * into a parquet FILE sink and read the committed output back as a
+    * batch frame — the shared harness tail of every replay op
+    * (b16/b19/b26/b27/b28/c9/c21/c22). The sink is executor-side, the
+    * production stream shape; the memory sink this replaced funnels
+    * every emitted row through the driver, a ceiling the sf100 events
+    * rehearsal actually hit (b19's ~95M session rows vs the 1 GiB
+    * spark.driver.maxResultSize — see BASELINE.md round-6). */
+  private[graft] def replayToSink(spark: SparkSession, streamed: DataFrame,
       sinkName: String): DataFrame = {
-    val q = streamed.writeStream.queryName(sinkName).outputMode("append").format("memory")
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val base = Paths.get(System.getProperty("java.io.tmpdir"), s"sink_$sinkName")
+    if (Files.exists(base)) {
+      Files.walk(base).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+    val out = base.resolve("out")
+    val q = streamed.writeStream.queryName(sinkName).outputMode("append")
+      .format("parquet").option("path", out.toString)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sinkName)
+    Files.createDirectories(out) // zero-batch streams never create it
+    spark.read.schema(streamed.schema).parquet(out.toString)
   }
 
   /** Replay slicing parameters — exposed so specs reason about the SAME
@@ -322,19 +338,34 @@ object Relational {
     val b = ev.agg(min(ord).as("lo"), max(ord).as("hi")).head()
     val (lo, hi) = (b.getLong(0), b.getLong(1))
     val step = sliceStep(lo, hi, n)
-    (0 until n).foreach { i =>
-      val hiBound = if (i == n - 1) hi + 1 else lo + (i + 1) * step
-      val tmp = stage.resolve(s"tmp$i")
-      ev.filter(ord >= lo + i * step && ord < hiBound)
-        .coalesce(1).write.parquet(tmp.toString)
-      val part = Files.list(tmp).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      val dest = stage.resolve(f"slice_$i%02d.parquet")
-      Files.move(part, dest)
-      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
+    // write the n slices CONCURRENTLY (each is a coalesce(1) single-task
+    // job, so serial staging uses one core of 32 — at the sf100 events
+    // rehearsal the serial writes dominated every replay op's wall
+    // clock); mtimes are assigned sequentially afterwards, so replay
+    // order and batch boundaries are byte-identical to the serial stager
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = (0 until n).map { i =>
+      Future {
+        val hiBound = if (i == n - 1) hi + 1 else lo + (i + 1) * step
+        val tmp = stage.resolve(s"tmp$i")
+        ev.filter(ord >= lo + i * step && ord < hiBound)
+          .coalesce(1).write.parquet(tmp.toString)
+        val part = Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val dest = stage.resolve(f"slice_$i%02d.parquet")
+        Files.move(part, dest)
+        Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+        dest
+      }
+    }
+    val dests = writes.map(Await.result(_, Duration.Inf))
+    val now = System.currentTimeMillis()
+    dests.zipWithIndex.foreach { case (dest, i) =>
       Files.setLastModifiedTime(dest,
-        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + i * 2000L))
+        java.nio.file.attribute.FileTime.fromMillis(now + i * 2000L))
     }
     stage.toString
   }
@@ -416,7 +447,7 @@ object Relational {
         .withWatermark(tsAs, "1 hour")
     val clicks = side("click", "click_id", "click_ts", "user_id")
     val views = side("view", "view_id", "view_ts", "v_user")
-    replayToMemory(spark,
+    replayToSink(spark,
       clicks.join(views,
           col("user_id") === col("v_user") &&
             col("view_ts") >= col("click_ts") - expr("INTERVAL 24 HOURS") &&
@@ -450,7 +481,7 @@ object Relational {
     val ev = events(spark, dir)
     val stage = stageEventFiles(spark, ev, s"graft_b27_stage_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     val dim = table(spark, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
-    replayToMemory(spark,
+    replayToSink(spark,
       spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(stage)

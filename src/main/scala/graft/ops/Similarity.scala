@@ -235,7 +235,7 @@ object Similarity {
       .groupByKey { case (_, _, band, key) => s"$band:${key.mkString(",")}" }
       .flatMapGroupsWithState[Seq[BucketDoc], (Long, Long, Double)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(bucketPairs _)
-    Relational.replayToMemory(spark, pairs.toDF("da", "db", "j"), "graft_c22_sink")
+    Relational.replayToSink(spark, pairs.toDF("da", "db", "j"), "graft_c22_sink")
       .distinct()
       .orderBy("da", "db")
   }

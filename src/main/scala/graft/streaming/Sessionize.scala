@@ -86,17 +86,16 @@ object Sessionize {
         rawStream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => rawStream
     }
-    val q = stream
+    val sessions = stream
       .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
       .as[Event]
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(sessionFunc)
-      .writeStream.queryName(sinkName).outputMode("append").format("memory")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(sinkName)
+    // parquet file sink, not a memory sink: b19 emits ~one row per
+    // session, and at the sf100 rehearsal (100M events) the memory
+    // sink's driver collect fatally exceeded driver.maxResultSize
+    graft.ops.Relational.replayToSink(spark, sessions.toDF(), sinkName)
       .select(col("user_id"),
         date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n_events"), round(col("sum_value"), 4).as("sum_value"))
