@@ -193,7 +193,7 @@ object Multimodal {
   private def decodeImage(d: MediaDoc): Option[MediaFeatures] = {
     val img =
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(d.media)))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
     img.map { im =>
       val feats = new Array[Float](8)
       var y = 0
@@ -244,8 +244,7 @@ object Multimodal {
         }
       } finally in.close()
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
+      case scala.util.control.NonFatal(_) => None // malformed audio falls back, never throws
     }
   }
 
@@ -293,7 +292,7 @@ object Multimodal {
     def foldCodec(body: Int, len: Int): Boolean = {
       val img =
         try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a, body, len)))
-        catch { case _: java.io.IOException => None }
+        catch { case scala.util.control.NonFatal(_) => None }
       img.exists { im =>
         var y = 0
         while (y < im.getHeight) {
@@ -317,7 +316,7 @@ object Multimodal {
         val id = cc(p)
         val sz = bb.getInt(p + 4)
         val body = p + 8
-        if (sz < 0 || body + sz > end) return false
+        if (sz < 0 || sz > end - body) return false // subtract: body+sz can overflow Int
         val ok = id match {
           case "LIST" => sz >= 4 && walk(body + 4, body + sz)
           case "avih" =>
@@ -342,7 +341,10 @@ object Multimodal {
       }
       true
     }
-    if (!walk(12, a.length) || framesSeen == 0 || framesSeen != totalFrames) None
+    val ok =
+      try walk(12, a.length)
+      catch { case scala.util.control.NonFatal(_) => false } // corrupt containers fall back, never throw
+    if (!ok || framesSeen == 0 || framesSeen != totalFrames) None
     else Some(MediaFeatures(d.doc_id, d.kind, a.length, width, height, feats))
   }
 
