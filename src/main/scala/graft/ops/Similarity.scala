@@ -464,6 +464,73 @@ object Similarity {
       .limit(10)
   }
 
+  /** C3b2 — PERSISTENT IVF index: build once, query many. Every IVF
+    * query above re-fits the quantizer and re-assigns the corpus —
+    * identical work per query until the corpus changes, and at 100 TB
+    * the fit+assign pass is the expensive half. [[buildIvfIndex]] runs
+    * that pass once and lays the corpus out `partitionBy("cell")`, so a
+    * probe's `cell IN (…)` filter becomes parquet PARTITION PRUNING:
+    * the query plan's scan reads nprobe directories and never lists the
+    * rest (PartitionFilters in explain; pinned in the spec). Centroids
+    * persist alongside (k rows — the only driver-materialized piece,
+    * same O(k) exception as annIvf). The signature column is persisted
+    * too, so a two-level consumer can screen without re-signing. */
+  def buildIvfIndex(spark: SparkSession, dir: String, indexDir: String): Unit = {
+    GraftFunctions.register(spark)
+    val e = Relational.table(spark, dir, "embeddings")
+      .withColumn("features", array_to_vector(expr("cast(embedding as array<double>)")))
+    val model = fitCoarse(e)
+    model.transform(e)
+      .withColumn("sigs", expr(s"graft_srp_sign(embedding, 42L, $sigWords)"))
+      .select(col("vec_id"), col("embedding"), col("sigs"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/vectors")
+    val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat).toSeq)
+    }
+    import spark.implicits._
+    cents.toSeq.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  /** Single-query ANN over a PERSISTENT index — [[annIvf]]'s semantics
+    * (same quantizer seed → byte-identical results, asserted in the
+    * spec) without the per-query fit: read k centroid rows, pick nprobe
+    * cells driver-side (O(k·d)), and scan ONLY those cells' partitions.
+    * The returned plan carries the `cell IN` predicate as a partition
+    * filter — nprobe directory reads, zero data-file touches elsewhere. */
+  def annIvfIndexed(spark: SparkSession, dir: String, indexDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .select(col("cell"), col("centroid"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val vectors = spark.read.parquet(s"$indexDir/vectors")
+    val qVec = vectors.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val probeCells = cents.map { case (i, c) =>
+      val d = c.zip(qVec).map { case (a, b) => (a - b).toDouble * (a - b) }.sum
+      (i, d)
+    }.sortBy(_._2).take(nprobe(spark)).map(_._1)
+    val q = vectors.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    vectors.filter(col("vec_id") =!= 0 && col("cell").isin(probeCells.toSeq: _*))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosineExpr("embedding", "qv"), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** The registry wrapper: index under java.io.tmpdir keyed by the data
+    * dir (rebuild only when absent — the build-once contract the spec
+    * exercises; delete the dir to force a rebuild). */
+  def annIvfIndexedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val indexDir = java.nio.file.Paths
+      .get(System.getProperty("java.io.tmpdir"), s"graft_ivf_index_$key").toString
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, "centroids")))
+      buildIvfIndex(spark, dir, indexDir)
+    annIvfIndexed(spark, dir, indexDir)
+  }
+
   // C3c — brute-force kNN self-join (oracle-checked): top-3 neighbors for
   // EVERY vector, the batch retrieval op behind near-dup clustering and
   // training-data curation. Ranking happens on the ROUNDED similarity so
@@ -701,6 +768,7 @@ object Similarity {
     "c2_dedup_cosine_lsh" -> (dedupCosineLsh _),
     "c3_sim_topk" -> (simTopK _),
     "c3_ann_ivf" -> (annIvf _),
+    "c3_ann_indexed" -> (annIvfIndexedQuery _),
     "c19_group_centroid" -> (groupCentroid _))
 
   /** The exact n-gram Jaccard pair SQL — the shared oracle of the exact

@@ -59,6 +59,34 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     assert(recall >= 0.5, s"IVF recall $recall below 0.5")
   }
 
+  test("C3 persistent IVF index: partition-pruned probes, byte-identical to the per-query fit") {
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+    Similarity.buildIvfIndex(spark, dir, indexDir)
+    val indexed = Similarity.annIvfIndexed(spark, dir, indexDir)
+    // same quantizer (same data, fixed seed) → the indexed query must
+    // reproduce the per-query-fit result EXACTLY, not just in recall
+    val fromIndex = indexed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fromFit = Similarity.queries("c3_ann_ivf")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromIndex == fromFit, s"indexed $fromIndex != fresh-fit $fromFit")
+    // the probe reads ONLY its cells: the cell IN (…) predicate must be
+    // a PARTITION filter on the scan (pruned directories), not a data
+    // filter over the full corpus
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell[^\\]]*\\]".r.findFirstIn(plan).isDefined,
+      s"cell IN (...) did not become a partition filter:\n$plan")
+    // build-once contract: the registry wrapper must NOT rebuild an
+    // existing index (centroids mtime unchanged across a second query)
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val wrapperDir = java.nio.file.Paths
+      .get(System.getProperty("java.io.tmpdir"), s"graft_ivf_index_$key")
+    Similarity.queries("c3_ann_indexed")(spark, dir).collect()
+    val mtime1 = java.nio.file.Files.getLastModifiedTime(wrapperDir.resolve("centroids"))
+    Similarity.queries("c3_ann_indexed")(spark, dir).collect()
+    val mtime2 = java.nio.file.Files.getLastModifiedTime(wrapperDir.resolve("centroids"))
+    assert(mtime1 == mtime2, "second query must reuse the index, not rebuild it")
+  }
+
   test("C3 IVF kNN join: high recall@3 vs the brute-force join") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
