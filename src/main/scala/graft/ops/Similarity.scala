@@ -519,17 +519,11 @@ object Similarity {
       .limit(10)
   }
 
-  /** The registry wrapper: index under java.io.tmpdir keyed by the data
-    * dir (rebuild only when absent — the build-once contract the spec
-    * exercises; delete the dir to force a rebuild). */
-  def annIvfIndexedQuery(spark: SparkSession, dir: String): DataFrame = {
-    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val indexDir = java.nio.file.Paths
-      .get(System.getProperty("java.io.tmpdir"), s"graft_ivf_index_$key").toString
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, "centroids")))
-      buildIvfIndex(spark, dir, indexDir)
-    annIvfIndexed(spark, dir, indexDir)
-  }
+  /** The registry wrapper: index location via [[ensureIndex]] (rebuild
+    * only when absent — the build-once contract the spec exercises;
+    * delete the dir to force a rebuild). */
+  def annIvfIndexedQuery(spark: SparkSession, dir: String): DataFrame =
+    annIvfIndexed(spark, dir, ensureIndex(spark, dir))
 
   // C3c — brute-force kNN self-join (oracle-checked): top-3 neighbors for
   // EVERY vector, the batch retrieval op behind near-dup clustering and
@@ -581,9 +575,8 @@ object Similarity {
     * same payload as the broadcast literal row it replaces, none of
     * the per-cell-per-row HOF allocation; see the round-6 sf100
     * rehearsal in BASELINE.md). */
-  private def nearestCellsCol(
-      model: org.apache.spark.ml.clustering.KMeansModel, nprobe: Int) = {
-    import org.apache.spark.sql.graft.{GraftColumns => ExpressionUtils}
+  private def centroidMatrix(
+      model: org.apache.spark.ml.clustering.KMeansModel): (Array[Float], Int) = {
     val cents = model.clusterCenters
     val dim = cents.head.size
     val flat = new Array[Float](cents.length * dim)
@@ -594,8 +587,19 @@ object Similarity {
       while (j < dim) { flat(c * dim + j) = arr(j).toFloat; j += 1 }
       c += 1
     }
+    (flat, dim)
+  }
+
+  private def nearestCellsCol(flat: Array[Float], dim: Int, nprobe: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.{GraftColumns => ExpressionUtils}
     ExpressionUtils.column(graft.functions.NearestCells(
       ExpressionUtils.expression(col("embedding")), flat, dim, nprobe))
+  }
+
+  private def nearestCellsCol(
+      model: org.apache.spark.ml.clustering.KMeansModel, nprobe: Int): org.apache.spark.sql.Column = {
+    val (flat, dim) = centroidMatrix(model)
+    nearestCellsCol(flat, dim, nprobe)
   }
 
   def knnJoinIvf(spark: SparkSession, dir: String): DataFrame = {
@@ -692,7 +696,6 @@ object Similarity {
   // in the spec at the same bar as the flat variant.
   def knnJoinIvf2(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    import org.apache.spark.sql.expressions.Window
     val e = Relational.table(spark, dir, "embeddings")
       .withColumn("features", array_to_vector(expr("cast(embedding as array<double>)")))
     val model = fitCoarse(e)
@@ -706,6 +709,18 @@ object Similarity {
       // signatures feed TWO consumers (directory + probes); materialize
       // once so the plane projections aren't recomputed per branch
       .localCheckpoint()
+    val (flat, dim) = centroidMatrix(model)
+    twoLevelJoinOn(spark, assigned, flat, dim)
+  }
+
+  /** The two-level probe pipeline from an already-quantized,
+    * already-signed corpus frame (vec_id, embedding, cell, sigs) —
+    * shared by the per-query-fit path above and the persistent-index
+    * path ([[knnJoinIvf2Indexed]]), which differ ONLY in where that
+    * frame comes from. */
+  private def twoLevelJoinOn(spark: SparkSession, assigned: DataFrame,
+      flat: Array[Float], dim: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // per-cell signature directory as PARALLEL arrays (ids + flattened
     // sig words — the layout the codegen'd scan reads with zero
     // per-candidate allocation). Derived from ONE collect_list so the
@@ -719,7 +734,7 @@ object Similarity {
     // map-side probe-cell choice — identical shape to the flat path:
     // codegen'd NearestCells with the centroid matrix inside the plan
     val probes = assigned
-      .withColumn("probe_cells", nearestCellsCol(model, nprobe(spark)))
+      .withColumn("probe_cells", nearestCellsCol(flat, dim, nprobe(spark)))
       .select(col("vec_id").as("va"), col("sigs").as("sigsa"),
         explode(col("probe_cells")).as("cand_cell"))
     // Hamming screen: each (va, cell) probe row scans the cell directory
@@ -747,15 +762,54 @@ object Similarity {
     // local sort — va-last saves one n·S-row exchange
     val w = Window.partitionBy(col("va")).orderBy(col("sim").desc, col("vb").asc)
     shortlist
-      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb")).hint("shuffle_hash"), Seq("vb"))
-      .join(e.select(col("vec_id").as("va"), col("embedding").as("ea")).hint("shuffle_hash"), Seq("va"))
+      .join(assigned.select(col("vec_id").as("vb"), col("embedding").as("eb")).hint("shuffle_hash"), Seq("vb"))
+      .join(assigned.select(col("vec_id").as("va"), col("embedding").as("ea")).hint("shuffle_hash"), Seq("va"))
       .select(col("va"), col("vb"), round(cosineExpr("ea", "eb"), 4).as("sim"))
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
       .select(col("va"), col("vb"), col("sim"), col("rnk"))
       .orderBy("va", "rnk")
   }
 
+  /** Two-level kNN join over a PERSISTENT index ([[buildIvfIndex]]):
+    * the fit, assignment, and signing — the one-time Θ(n·d) passes the
+    * per-query path pays every call — are read back from parquet
+    * instead. Same pipeline, same knobs, byte-identical results
+    * (spec-pinned vs [[knnJoinIvf2]]). */
+  def knnJoinIvf2Indexed(spark: SparkSession, dir: String, indexDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val vectors = spark.read.parquet(s"$indexDir/vectors")
+      .select(col("vec_id"), col("embedding"), col("cell"), col("sigs"))
+      // one materialized read: the pipeline consumes this frame four
+      // times (directory, probes, two re-rank fetches), and four scans
+      // of a k-directory partitioned layout pay the listing cost 4×
+      // (measured at sf10: 30.2 s vs 28.1 s for the fit path, which
+      // already checkpoints); same harness-local choice as the fit path
+      .localCheckpoint()
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .select(col("cell"), col("centroid"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    val dim = cents.head._2.length
+    val flat = new Array[Float](cents.length * dim)
+    cents.foreach { case (c, arr) =>
+      var j = 0
+      while (j < dim) { flat(c * dim + j) = arr(j); j += 1 }
+    }
+    twoLevelJoinOn(spark, vectors, flat, dim)
+  }
+
+  /** Shared index-location contract of the registry wrappers: under
+    * java.io.tmpdir keyed by the data dir; rebuild only when absent. */
+  private def ensureIndex(spark: SparkSession, dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val indexDir = java.nio.file.Paths
+      .get(System.getProperty("java.io.tmpdir"), s"graft_ivf_index_$key").toString
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, "centroids")))
+      buildIvfIndex(spark, dir, indexDir)
+    indexDir
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c3_knn_join_ivf2x" -> ((s: SparkSession, d: String) => knnJoinIvf2Indexed(s, d, ensureIndex(s, d))),
     "c3_knn_join" -> (knnJoin _),
     "c3_knn_join_ivf" -> (knnJoinIvf _),
     "c3_knn_join_ivf2" -> (knnJoinIvf2 _),

@@ -87,6 +87,19 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     assert(mtime1 == mtime2, "second query must reuse the index, not rebuild it")
   }
 
+  test("C3 indexed two-level kNN join: byte-identical to the per-query-fit path") {
+    // same quantizer seed, same signatures, same knobs — reading them
+    // from the persistent index instead of recomputing must not change
+    // a single row
+    val fromIndex = Similarity.queries("c3_knn_join_ivf2x")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val fromFit = Similarity.queries("c3_knn_join_ivf2")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(fromIndex == fromFit,
+      s"indexed join diverges from fit join (first diff: ${
+        fromIndex.zip(fromFit).find { case (a, b) => a != b }})")
+  }
+
   test("C3 IVF kNN join: high recall@3 vs the brute-force join") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
