@@ -300,7 +300,10 @@ object Relational {
       sinkName: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
-    val base = Paths.get(System.getProperty("java.io.tmpdir"), s"sink_$sinkName")
+    // applicationId in the path: two concurrent sessions (e.g. the
+    // round driver and a rehearsal) must never share sink directories
+    val base = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"sink_${spark.sparkContext.applicationId}_$sinkName")
     if (Files.exists(base)) {
       Files.walk(base).sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(Files.delete)
@@ -329,7 +332,10 @@ object Relational {
       name: String, n: Int = replaySlices): String = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
-    val stage = Paths.get(System.getProperty("java.io.tmpdir"), name)
+    // applicationId for the same concurrent-process isolation as the
+    // replay sink below
+    val stage = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"${spark.sparkContext.applicationId}_$name")
     if (Files.exists(stage)) {
       Files.walk(stage).sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(Files.delete)

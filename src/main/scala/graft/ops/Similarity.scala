@@ -798,11 +798,22 @@ object Similarity {
   }
 
   /** Shared index-location contract of the registry wrappers: under
-    * java.io.tmpdir keyed by the data dir; rebuild only when absent. */
+    * java.io.tmpdir, keyed by the data dir AND a fingerprint of the
+    * embeddings files (names + sizes + mtimes). The fingerprint is the
+    * staleness guard: a regenerated corpus at the same path must get a
+    * fresh index — a path-only key would silently serve vectors from
+    * the previous corpus. Rebuild only when absent. */
   private def ensureIndex(spark: SparkSession, dir: String): String = {
+    import scala.jdk.CollectionConverters._
+    val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val fp = java.nio.file.Files.walk(src).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(f => s"${f.getFileName}:${java.nio.file.Files.size(f)}:${
+        java.nio.file.Files.getLastModifiedTime(f).toMillis}")
+      .toSeq.sorted.mkString("|").hashCode.toHexString
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val indexDir = java.nio.file.Paths
-      .get(System.getProperty("java.io.tmpdir"), s"graft_ivf_index_$key").toString
+      .get(System.getProperty("java.io.tmpdir"), s"graft_ivf_index_${key}_$fp").toString
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, "centroids")))
       buildIvfIndex(spark, dir, indexDir)
     indexDir

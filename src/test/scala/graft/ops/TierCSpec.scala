@@ -76,15 +76,47 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     assert("PartitionFilters: \\[[^\\]]*cell[^\\]]*\\]".r.findFirstIn(plan).isDefined,
       s"cell IN (...) did not become a partition filter:\n$plan")
     // build-once contract: the registry wrapper must NOT rebuild an
-    // existing index (centroids mtime unchanged across a second query)
+    // existing index (centroids mtime unchanged across a second query).
+    // The wrapper keys its dir by data-dir AND corpus fingerprint —
+    // discover it by prefix rather than re-deriving the fingerprint
+    import scala.jdk.CollectionConverters._
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val wrapperDir = java.nio.file.Paths
-      .get(System.getProperty("java.io.tmpdir"), s"graft_ivf_index_$key")
     Similarity.queries("c3_ann_indexed")(spark, dir).collect()
+    val wrapperDir = java.nio.file.Files
+      .list(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+      .iterator().asScala
+      .filter(_.getFileName.toString.startsWith(s"graft_ivf_index_${key}_"))
+      .toSeq.sortBy(p => -java.nio.file.Files.getLastModifiedTime(p).toMillis).head
     val mtime1 = java.nio.file.Files.getLastModifiedTime(wrapperDir.resolve("centroids"))
     Similarity.queries("c3_ann_indexed")(spark, dir).collect()
     val mtime2 = java.nio.file.Files.getLastModifiedTime(wrapperDir.resolve("centroids"))
     assert(mtime1 == mtime2, "second query must reuse the index, not rebuild it")
+    // staleness guard: a corpus change at the same path must re-key the
+    // index. Exercised on a WRITABLE copy of the corpus (testdata is
+    // read-only): same path, touched embeddings mtime → new fingerprint
+    // → a second index dir appears instead of the stale one being reused
+    val corpusCopy = java.nio.file.Files.createTempDirectory("graft_fp_corpus")
+    val srcDir = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    val dstDir = corpusCopy.resolve("embeddings.parquet")
+    java.nio.file.Files.createDirectories(dstDir)
+    java.nio.file.Files.walk(srcDir).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .foreach(f => java.nio.file.Files.copy(f, dstDir.resolve(f.getFileName.toString)))
+    val copyKey = corpusCopy.toString.replaceAll("[^A-Za-z0-9._-]", "_")
+    def indexDirsForCopy = java.nio.file.Files
+      .list(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+      .iterator().asScala
+      .filter(_.getFileName.toString.startsWith(s"graft_ivf_index_${copyKey}_")).toSeq
+    Similarity.queries("c3_ann_indexed")(spark, corpusCopy.toString).collect()
+    assert(indexDirsForCopy.size == 1)
+    val touched = java.nio.file.Files.list(dstDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+    java.nio.file.Files.setLastModifiedTime(touched,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Files.getLastModifiedTime(touched).toMillis + 12345))
+    Similarity.queries("c3_ann_indexed")(spark, corpusCopy.toString).collect()
+    assert(indexDirsForCopy.size == 2,
+      "a changed corpus fingerprint must build a NEW index dir, not reuse the stale one")
   }
 
   test("C3 indexed two-level kNN join: byte-identical to the per-query-fit path") {
