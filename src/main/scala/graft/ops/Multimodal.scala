@@ -222,7 +222,13 @@ object Multimodal {
       val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(d.media))
       try {
         val fmt = in.getFormat
-        if (fmt.getSampleSizeInBits != 16) None
+        // a parsed header is not a sane header: fuzzing found WAVs whose
+        // fmt chunk carries a negative/absurd sample rate or zero
+        // channels — AudioSystem accepts them, so gate here (the dims
+        // contract is decoded_w/decoded_h >= -1)
+        val rate = fmt.getSampleRate
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels <= 0 ||
+            !java.lang.Float.isFinite(rate) || rate <= 0 || rate > 1e8f) None
         else {
           val raw = in.readAllBytes()
           val bb = java.nio.ByteBuffer.wrap(raw).order(
@@ -344,7 +350,11 @@ object Multimodal {
     val ok =
       try walk(12, a.length)
       catch { case scala.util.control.NonFatal(_) => false } // corrupt containers fall back, never throw
-    if (!ok || framesSeen == 0 || framesSeen != totalFrames) None
+    // width/height are raw avih ints: a codec'd (00dc) frame decodes via
+    // ImageIO without consulting them, so corrupt negative dims could
+    // otherwise escape into the result (00db cross-checks in foldDib)
+    if (!ok || framesSeen == 0 || framesSeen != totalFrames ||
+        width <= 0 || height <= 0) None
     else Some(MediaFeatures(d.doc_id, d.kind, a.length, width, height, feats))
   }
 

@@ -81,4 +81,52 @@ class MultimodalFuzzSpec extends AnyFunSuite {
       Multimodal.MediaDoc(4L, "audio", Multimodal.synthWav(4L), 0, 0, 0)))
     assert(a.decoded_w == Multimodal.wavFrames)
   }
+
+  // deterministic pins of the two corrupt-header escapes the random
+  // properties first caught: headers the platform decoders accept but
+  // whose dims fields are garbage must fall back, not leak into dims
+  test("a WAV with a corrupt (negative/absurd) sample rate falls back") {
+    for (rate <- Seq(Int.MinValue, -1, 0, 200000000)) {
+      val b = Multimodal.synthWav(7L)
+      // canonical RIFF/WAVE layout: fmt sample-rate field at offset 24
+      java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(24, rate)
+      val Seq(f) = Multimodal.decodeBatch(Seq(
+        Multimodal.MediaDoc(7L, "audio", b, 0, 0, 0)))
+      assert(f.decoded_w == -1 && f.decoded_h == -1,
+        s"rate=$rate escaped as dims ${f.decoded_w} x ${f.decoded_h}")
+      assert(f.features.length == 8 && f.n_bytes == b.length)
+    }
+  }
+
+  test("an AVI whose avih dims are corrupt falls back even for codec'd frames") {
+    // minimal MJPEG-shape AVI (one real JPEG 00dc frame) with garbage
+    // avih width/height — ImageIO decodes the frame fine, so only the
+    // end-of-walk dims gate stands between the garbage and the result
+    val im = new java.awt.image.BufferedImage(6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "jpg", bos)
+    val jpeg = bos.toByteArray
+    val jlen = jpeg.length + (jpeg.length & 1)
+    val total = 12 + (12 + 8 + 56) + (12 + 8 + jlen)
+    for ((w, h) <- Seq((-6, 4), (6, -4), (0, 0), (Int.MinValue, 4))) {
+      val bb = java.nio.ByteBuffer.allocate(total).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def cc(s: String): Unit = { bb.put(s.getBytes("US-ASCII")); () }
+      cc("RIFF"); bb.putInt(total - 8); cc("AVI ")
+      cc("LIST"); bb.putInt(4 + 8 + 56); cc("hdrl")
+      cc("avih"); bb.putInt(56)
+      bb.putInt(100000); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+      bb.putInt(1); bb.putInt(0); bb.putInt(1); bb.putInt(0)
+      bb.putInt(w); bb.putInt(h)
+      bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+      cc("LIST"); bb.putInt(4 + 8 + jlen); cc("movi")
+      cc("00dc"); bb.putInt(jpeg.length); bb.put(jpeg)
+      if ((jpeg.length & 1) == 1) bb.put(0.toByte)
+      val Seq(f) = Multimodal.decodeBatch(Seq(
+        Multimodal.MediaDoc(8L, "video", bb.array(), 0, 0, 0)))
+      assert(f.decoded_w == -1 && f.decoded_h == -1,
+        s"avih dims ($w, $h) escaped as ${f.decoded_w} x ${f.decoded_h}")
+      assert(f.features.length == 8 && f.n_bytes == total)
+    }
+  }
 }
