@@ -802,21 +802,49 @@ object Similarity {
     * embeddings files (names + sizes + mtimes). The fingerprint is the
     * staleness guard: a regenerated corpus at the same path must get a
     * fresh index — a path-only key would silently serve vectors from
-    * the previous corpus. Rebuild only when absent. */
+    * the previous corpus. Builds go to a process-unique staging dir and
+    * publish with one atomic rename, so two concurrent builders of the
+    * same index race harmlessly (loser discards its staging) and a
+    * reader can never observe a half-written index. A successful build
+    * then GCs superseded-fingerprint indexes of the same data dir. */
   private def ensureIndex(spark: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
-    val src = java.nio.file.Paths.get(dir, "embeddings.parquet")
-    val fp = java.nio.file.Files.walk(src).iterator().asScala
-      .filter(java.nio.file.Files.isRegularFile(_))
-      .map(f => s"${f.getFileName}:${java.nio.file.Files.size(f)}:${
-        java.nio.file.Files.getLastModifiedTime(f).toMillis}")
+    val src = Paths.get(dir, "embeddings.parquet")
+    val fp = Files.walk(src).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(f => s"${f.getFileName}:${Files.size(f)}:${
+        Files.getLastModifiedTime(f).toMillis}")
       .toSeq.sorted.mkString("|").hashCode.toHexString
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val indexDir = java.nio.file.Paths
-      .get(System.getProperty("java.io.tmpdir"), s"graft_ivf_index_${key}_$fp").toString
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, "centroids")))
-      buildIvfIndex(spark, dir, indexDir)
-    indexDir
+    val tmpRoot = Paths.get(System.getProperty("java.io.tmpdir"))
+    val indexPath = tmpRoot.resolve(s"graft_ivf_index_${key}_$fp")
+    if (!Files.exists(indexPath.resolve("centroids"))) {
+      val staging = tmpRoot.resolve(
+        s"${indexPath.getFileName}.build_${spark.sparkContext.applicationId}")
+      buildIvfIndex(spark, dir, staging.toString)
+      try Files.move(staging, indexPath, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException
+            if Files.exists(indexPath.resolve("centroids")) =>
+          deleteTree(staging) // lost the publish race — the winner's index serves
+      }
+      Files.list(tmpRoot).iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith(s"graft_ivf_index_${key}_") && p != indexPath &&
+            !n.contains(".build_") // never touch another process's in-flight staging
+        }
+        .foreach(deleteTree)
+    }
+    indexPath.toString
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

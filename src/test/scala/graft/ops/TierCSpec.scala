@@ -108,14 +108,17 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
       .iterator().asScala
       .filter(_.getFileName.toString.startsWith(s"graft_ivf_index_${copyKey}_")).toSeq
     Similarity.queries("c3_ann_indexed")(spark, corpusCopy.toString).collect()
-    assert(indexDirsForCopy.size == 1)
+    val Seq(firstDir) = indexDirsForCopy
     val touched = java.nio.file.Files.list(dstDir).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
     java.nio.file.Files.setLastModifiedTime(touched,
       java.nio.file.attribute.FileTime.fromMillis(
         java.nio.file.Files.getLastModifiedTime(touched).toMillis + 12345))
     Similarity.queries("c3_ann_indexed")(spark, corpusCopy.toString).collect()
-    assert(indexDirsForCopy.size == 2,
+    // a changed fingerprint must re-key to a FRESH dir, and the build
+    // must GC the superseded one — exactly one dir, with a new name
+    val Seq(secondDir) = indexDirsForCopy
+    assert(secondDir.getFileName != firstDir.getFileName,
       "a changed corpus fingerprint must build a NEW index dir, not reuse the stale one")
   }
 
