@@ -840,12 +840,16 @@ object Similarity {
     indexPath.toString
   }
 
-  private def deleteTree(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
-  }
+  /** Race-tolerant recursive delete: two processes may GC the same
+    * superseded index concurrently, so entries vanishing mid-walk are
+    * the expected case, not an error. */
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c3_knn_join_ivf2x" -> ((s: SparkSession, d: String) => knnJoinIvf2Indexed(s, d, ensureIndex(s, d))),
