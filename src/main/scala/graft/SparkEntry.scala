@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.OrcIO
-import graft.ops.{Curation, Multimodal, Pipeline, Profile, Relational, Scale, Similarity, Temporal}
+import graft.ops.{Curation, Multimodal, Pipeline, Profile, Relational, Scale, Similarity, Temporal, Training}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the op inventory.
   * `queries` keys are SURVEY op ids; `oracleSql` holds the DuckDB
@@ -103,7 +103,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     tierA ++ Relational.queries ++ Pipeline.queries ++ Similarity.queries ++
       Multimodal.queries ++ Scale.queries ++ Temporal.queries ++ Profile.queries ++
-      Curation.queries ++
+      Curation.queries ++ Training.queries ++
       graft.streaming.Sessionize.queries ++ graft.sources.JsonInfer.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -111,6 +111,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     tierAOracle ++ Relational.oracleSql ++ Pipeline.oracleSql ++ Similarity.oracleSql ++
       Scale.oracleSql ++ Multimodal.oracleSql ++ Temporal.oracleSql ++ Profile.oracleSql ++
-      Curation.oracleSql ++
+      Curation.oracleSql ++ Training.oracleSql ++
       graft.streaming.Sessionize.oracleSql ++ graft.sources.JsonInfer.oracleSql
 }

@@ -1,0 +1,232 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Tier C — the last mile between "curated corpus" and "training shards":
+ * passage-level (sub-document) deduplication, unigram language-model
+ * quality scoring, and the deterministic shard shuffle that writes
+ * training data in pseudo-random order. Like the rest of the tier these
+ * have no counterpart in the reference (its README scopes it to the
+ * encode half of an analytics stack; `src/orca/core.clj` holds no
+ * text-processing code) — they are the operations a pretraining
+ * pipeline runs AFTER document-level dedup/filtering.
+ *
+ * Scale doctrine per op:
+ *  - dedupPassage: chunk occurrences explode the corpus ~(tokens/C)×,
+ *    but every shuffle after the explode carries 8-byte xxhash64 chunk
+ *    keys (the c12 trick) — the duplicated-chunk set is found by a
+ *    partial-aggregated groupBy on the hash, and membership is a
+ *    left-anti join on the same 8-byte key. Chunk TEXT never shuffles;
+ *    it stays co-located with its occurrence row.
+ *  - docLogprob: one corpus-sized exchange on the token (reused by both
+ *    the vocab aggregate and the score join — same key, Spark's
+ *    ReuseExchange folds them); the corpus-total is a 1-row broadcast.
+ *    Surprisal is scaled to exact longs per VOCAB row before the
+ *    per-doc sum, so the aggregate is order-independent and
+ *    engine-exact (the only double op, ln, is evaluated once per
+ *    distinct (cnt, N), not per token).
+ *  - shardShuffle: the md5 key IS the shuffle — rows hash-partition by
+ *    shard and each shard's position/cumulative-budget window is one
+ *    task. Position assignment within a shard is inherently sequential
+ *    (that is what "position" means), so shard count is the
+ *    parallelism knob: the 8-shard default matches testdata scale;
+ *    production sets `graft.shard.count` to the target output-file
+ *    count (thousands), making each window partition one writer task.
+ */
+object Training {
+
+  // ------------------------------------------ C23 passage-level dedup
+
+  /** Tokens per passage chunk. 8 gives 3–12 chunks on the 20–90-token
+    * synthetic docs; the published line/passage dedup recipes
+    * (C4-family) use the natural line — this corpus has no newlines, so
+    * a fixed token window is the passage unit. */
+  private val chunkTokens = 8
+
+  private def chunksExpr(c: Int) =
+    s"""transform(array(split(text, ' ')), t ->
+       |  transform(sequence(0, (size(t) - 1) div $c),
+       |    i -> concat_ws(' ', slice(t, i * $c + 1, $c))))[0]""".stripMargin
+
+  /** Passage dedup applied to any (doc_id, text) frame — spec entry
+    * point. See [[dedupPassage]].
+    *
+    * Shaped as ONE flag-join + ONE per-doc aggregate: a first draft
+    * computed kept and total counts as separate aggregates stitched by
+    * a left-outer join, which planned the explode THREE times (Spark
+    * does not reuse the Generate subtree across the join's branches);
+    * flagging dup membership with a left join and folding counts +
+    * reconstruction into a single groupBy leaves two corpus passes (the
+    * dup-set aggregate is inherently a second one) and no outer join. */
+  private[graft] def passageOn(df: DataFrame): DataFrame = {
+    val occ = df
+      .select(col("doc_id"), posexplode(expr(chunksExpr(chunkTokens))))
+      .withColumnRenamed("col", "chunk")
+      .withColumn("h", xxhash64(col("chunk")))
+    // chunks seen in >1 distinct doc, as 8-byte keys; partial agg
+    // collapses each partition's (h, doc_id) pairs before the exchange
+    val dup = occ.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("h"), lit(true).as("isdup"))
+    occ.join(dup, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      // collect_list drops NULL inputs, so the CASE keeps only unique
+      // chunks in the reconstruction; empty survivor set → concat_ws
+      // over [] = "" = the oracle's coalesce('')
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("isdup").isNull, 1)).as("n_kept"),
+        md5(expr(
+          "concat_ws(' ', transform(array_sort(collect_list(CASE WHEN isdup IS NULL THEN struct(pos, chunk) END)), s -> s.chunk))"))
+          .as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** C23 — passage-level dedup (the sub-document pass document-level
+    * dedup cannot express): cut each doc into consecutive
+    * [[chunkTokens]]-token chunks and drop every occurrence of a chunk
+    * that appears in more than one distinct document — boilerplate
+    * headers/footers and templated spans vanish from ALL their carriers
+    * while document-unique prose survives. Output is per-doc chunk
+    * counts plus md5 of the retained text (hash compare proves the
+    * reconstruction byte-for-byte without shipping it).
+    *
+    * The operator compares xxhash64(chunk) longs; the oracle compares
+    * chunk strings — identical output absent 64-bit collisions
+    * (spec-proven collision-free on the test corpus; ~n²/2⁶⁴ beyond). */
+  def dedupPassage(spark: SparkSession, dir: String): DataFrame =
+    passageOn(Relational.table(spark, dir, "documents"))
+
+  // ------------------------------------------ C24 unigram LM quality
+
+  /** C24 — unigram log-prob scoring: fit a unigram LM on the corpus
+    * itself (token → count / total) and score every doc by its mean
+    * token surprisal in scaled nats — the cheap stand-in for the
+    * perplexity-filter stage of a quality pipeline (real pipelines swap
+    * the unigram model for KenLM; the dataflow — fit on corpus, score
+    * per doc, threshold — is identical). High avg_nll = rare-token
+    * soup; low = stopword soup.
+    *
+    * Engine parity: surprisal is rounded to integer micro-nats per
+    * vocab row (`round(-ln(cnt/N)·1e6)` as long) BEFORE the per-doc
+    * sum — long sums are exact and order-independent, so the only
+    * cross-engine risk is ln differing in the last ulp exactly on a
+    * half-integer micro-nat boundary (probability ~1e-10 per distinct
+    * (cnt, N) pair; cnt values collapse to few distincts even on huge
+    * vocabs). */
+  def docLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Relational.table(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    // Σcnt = Σ per-doc token counts: a map-only second scan, instead of
+    // aggregating the vocab subplan twice (Spark plans derived-DataFrame
+    // reuse as recomputation, and the vocab build is the expensive pass)
+    val total = Relational.table(spark, dir, "documents")
+      .agg(sum(size(split(col("text"), " "))).cast("long").as("n_total"))
+    val scored = vocab.crossJoin(broadcast(total))
+      .withColumn("nll", expr("cast(round(-ln(cnt * 1.0 / n_total) * 1000000, 0) as bigint)"))
+      .select(col("tok"), col("nll"))
+    toks.join(scored, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("nll")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("s") / lit(1000000.0) / col("n_tokens"), 4).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------ C25 deterministic shard shuffle
+
+  /** Training shard count. 8 exercises multi-shard structure at test
+    * scale; production sets `graft.shard.count` ≈ output file count. */
+  private val shardCountDefault = 8L
+
+  /** The count c25 actually shards with: session conf override when
+    * set, else the default — read by BOTH the query and [[oracleSql]]
+    * (a `def` for exactly this reason, same contract as c15's span). */
+  private def effectiveShardCount(spark: SparkSession): Long =
+    spark.conf.getOption("graft.shard.count")
+      .map(_.toLong).getOrElse(shardCountDefault)
+
+  private def activeShardCount: Long =
+    SparkSession.getActiveSession.map(effectiveShardCount).getOrElse(shardCountDefault)
+
+  /** Shard in [0, s): top byte of the md5 key via hex-digit positions —
+    * `instr` arithmetic only, so the SAME text evaluates identically in
+    * Spark and DuckDB (no engine-specific hex-parse builtin needed). */
+  private def shardExpr(s: Long) =
+    s"""((instr('0123456789abcdef', substring(k, 1, 1)) - 1) * 16 +
+       |  instr('0123456789abcdef', substring(k, 2, 1)) - 1) % $s""".stripMargin
+
+  /** C25 — deterministic shard shuffle: the final write-side step of a
+    * training pipeline. Every doc gets an md5 order key (seeded off its
+    * id), a shard (top key byte mod `graft.shard.count`), a 1-based
+    * position within the shard (key order = pseudo-random order), and a
+    * running character budget — exactly what a shard writer consumes to
+    * emit fixed-size training files in shuffled order. No RNG state:
+    * the permutation is a pure function of doc_id, reproducible across
+    * engines, partitionings, and reruns (`df.orderBy(rand())` is none
+    * of those). */
+  def shardShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val s = effectiveShardCount(spark)
+    val byShard = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+    Relational.table(spark, dir, "documents")
+      .withColumn("k", md5(concat(lit("shard:"), col("doc_id").cast("string"))))
+      .withColumn("shard", expr(shardExpr(s)).cast("long"))
+      .withColumn("pos", row_number().over(byShard).cast("long"))
+      .withColumn("cum_chars", sum(col("n_chars"))
+        .over(byShard.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("doc_id"), col("shard"), col("pos"), col("cum_chars"))
+      .orderBy("shard", "pos")
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c23_dedup_passage" -> (dedupPassage _),
+    "c24_doc_logprob" -> (docLogprob _),
+    "c25_shard_shuffle" -> (shardShuffle _))
+
+  // a def, not a val: the c25 entry embeds the session's EFFECTIVE
+  // shard count at dump time (c15 contract)
+  def oracleSql: Map[String, String] = Map(
+    // the oracle groups/joins on chunk STRINGS; equality with the
+    // hashed Spark path holds absent xxhash64 collisions
+    "c23_dedup_passage" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |ch0 AS (SELECT doc_id, t,
+         |    unnest(generate_series(0, (len(t) - 1) // $chunkTokens)) AS pos FROM t),
+         |ch AS (SELECT doc_id, pos,
+         |    array_to_string(t[(pos * $chunkTokens + 1):(pos * $chunkTokens + $chunkTokens)], ' ') AS chunk
+         |  FROM ch0),
+         |dup AS (SELECT chunk FROM ch GROUP BY chunk HAVING count(DISTINCT doc_id) > 1),
+         |kept AS (SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(chunk, ' ' ORDER BY pos) AS kept_text
+         |  FROM ch WHERE chunk NOT IN (SELECT chunk FROM dup) GROUP BY doc_id),
+         |na AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id)
+         |SELECT na.doc_id, n_chunks, coalesce(n_kept, 0) AS n_kept,
+         |  md5(coalesce(kept_text, '')) AS kept_md5
+         |FROM na LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "c24_doc_logprob" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(cnt) AS n_total FROM vocab),
+        |scored AS (SELECT tok,
+        |    cast(round(-ln(cnt * 1.0 / n_total) * 1000000, 0) as bigint) AS nll
+        |  FROM vocab, tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(sum(nll) / 1000000.0 / count(*), 4) AS avg_nll
+        |FROM toks JOIN scored USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "c25_shard_shuffle" ->
+      s"""WITH t AS (SELECT doc_id, n_chars,
+         |    md5(concat('shard:', cast(doc_id as varchar))) AS k FROM documents),
+         |s AS (SELECT doc_id, n_chars, k, ${shardExpr(activeShardCount)} AS shard FROM t)
+         |SELECT doc_id, shard,
+         |  row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos,
+         |  cast(sum(n_chars) OVER (PARTITION BY shard ORDER BY k, doc_id
+         |    ROWS UNBOUNDED PRECEDING) as bigint) AS cum_chars
+         |FROM s ORDER BY shard, pos""".stripMargin)
+}

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Semantics checks for the shard-prep ops the sf-scale oracle can't
+  * isolate: passage-dedup removal policy + chunk-hash collision
+  * freedom, hand-computed unigram surprisal, and the shard shuffle's
+  * permutation/balance/determinism invariants. */
+class TrainingSpec extends AnyFunSuite with SparkTestSession {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("dedupPassage: cross-doc chunk drops from ALL carriers; unique prose survives") {
+    import spark.implicits._
+    // 8-token chunks: docs 1 and 2 share chunk A verbatim (same 8
+    // tokens at chunk-aligned offsets), each carries a unique chunk;
+    // doc 3 is fully unique
+    val a = (1 to 8).map(i => s"boiler$i").mkString(" ")
+    val u1 = (1 to 8).map(i => s"one$i").mkString(" ")
+    val u2 = (1 to 8).map(i => s"two$i").mkString(" ")
+    val u3 = "tiny doc"
+    val docs = Seq((1L, s"$a $u1"), (2L, s"$a $u2"), (3L, u3)).toDF("doc_id", "text")
+    val out = Training.passageOn(docs).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L)._1 === 2 && out(1L)._2 === 1)
+    assert(out(2L)._1 === 2 && out(2L)._2 === 1)
+    assert(out(3L)._1 === 1 && out(3L)._2 === 1)
+    // retained text is exactly the unique chunk, byte-for-byte
+    def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L)._3 === md5s(u1))
+    assert(out(2L)._3 === md5s(u2))
+    assert(out(3L)._3 === md5s(u3))
+  }
+
+  test("dedupPassage: a doc losing every chunk reports n_kept=0, md5 of empty") {
+    import spark.implicits._
+    val a = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, a)).toDF("doc_id", "text")
+    val rows = Training.passageOn(docs).collect()
+    assert(rows.forall(r => r.getLong(2) === 0L))
+    assert(rows.forall(_.getString(3) === "d41d8cd98f00b204e9800998ecf8427e"))
+  }
+
+  test("dedupPassage: xxhash64 chunk keys are collision-free on the whole corpus") {
+    // the oracle dedups on chunk STRINGS, the operator on 64-bit
+    // hashes; they agree iff no two distinct chunks share a hash
+    val chunks = Relational.table(spark, sf, "documents")
+      .select(explode(expr(
+        """transform(array(split(text, ' ')), t ->
+          |  transform(sequence(0, (size(t) - 1) div 8),
+          |    i -> concat_ws(' ', slice(t, i * 8 + 1, 8))))[0]""".stripMargin)).as("chunk"))
+    val counts = chunks
+      .agg(count_distinct(col("chunk")).as("strings"),
+        count_distinct(xxhash64(col("chunk"))).as("hashes"))
+      .head()
+    assert(counts.getLong(0) === counts.getLong(1),
+      s"xxhash64 collision among ${counts.getLong(0)} distinct chunks")
+    assert(counts.getLong(0) > 1000, "corpus should carry a real chunk population")
+  }
+
+  test("docLogprob: hand-computed surprisal on a two-doc corpus") {
+    // corpus = "a a b" + "a c": N=5, cnt(a)=3, cnt(b)=1, cnt(c)=1
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_trainspec_lp"
+    import spark.implicits._
+    Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Training.docLogprob(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def nll(cnt: Long) = math.round(-math.log(cnt / 5.0) * 1e6)
+    val d1 = BigDecimal((2 * nll(3) + nll(1)) / 1e6 / 3)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d2 = BigDecimal((nll(3) + nll(1)) / 1e6 / 2)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) === ((3L, d1)))
+    assert(out(2L) === ((2L, d2)))
+  }
+
+  test("docLogprob: rarer tokens score strictly higher than stopword soup") {
+    val scored = Training.docLogprob(spark, sf)
+    val byDoc = scored.agg(min(col("avg_nll")).as("lo"), max(col("avg_nll")).as("hi")).head()
+    assert(byDoc.getDouble(0) < byDoc.getDouble(1), "corpus should spread surprisal")
+  }
+
+  test("shardShuffle: partition of the corpus — every doc once, shards in range, positions dense") {
+    val out = Training.shardShuffle(spark, sf).cache()
+    val n = Relational.table(spark, sf, "documents").count()
+    assert(out.count() === n)
+    assert(out.select(count_distinct(col("doc_id"))).head().getLong(0) === n)
+    assert(out.filter(col("shard") < 0 || col("shard") >= 8).count() === 0)
+    // positions are 1..count(shard) dense: max(pos) == count per shard
+    val bad = out.groupBy("shard")
+      .agg(count(lit(1)).as("c"), max(col("pos")).as("m"))
+      .filter(col("c") =!= col("m")).count()
+    assert(bad === 0)
+    // cum_chars per shard ends at the shard's total chars
+    val tot = out.groupBy("shard").agg(max(col("cum_chars")).as("m")).agg(sum(col("m"))).head().getLong(0)
+    val expected = Relational.table(spark, sf, "documents").agg(sum(col("n_chars"))).head().getLong(0)
+    assert(tot === expected)
+    out.unpersist()
+  }
+
+  test("shardShuffle: deterministic across reruns and honors graft.shard.count") {
+    val a = Training.shardShuffle(spark, sf).collect().toSeq
+    val b = Training.shardShuffle(spark, sf).collect().toSeq
+    assert(a === b)
+    spark.conf.set("graft.shard.count", "3")
+    try {
+      val c = Training.shardShuffle(spark, sf)
+      assert(c.select(max(col("shard"))).head().getLong(0) <= 2)
+      assert(c.count() === a.size)
+    } finally spark.conf.unset("graft.shard.count")
+  }
+
+  test("shardShuffle: the permutation actually shuffles (shards interleave id ranges)") {
+    // if shard assignment correlated with doc_id ranges the 'shuffle'
+    // would be a no-op; require every shard to span most of the id space
+    val spans = Training.shardShuffle(spark, sf)
+      .groupBy("shard").agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .collect()
+    assert(spans.length === 8)
+    spans.foreach { r =>
+      assert(r.getLong(2) - r.getLong(1) > 300, s"shard ${r.getLong(0)} spans too little")
+    }
+  }
+}
