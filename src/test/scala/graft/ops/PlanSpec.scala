@@ -204,6 +204,38 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("Window"), s"no window operator:\n$p")
   }
 
+  test("C23: chunk shuffles carry 8-byte hashes; two corpus passes, no outer join") {
+    val p = plan(Training.dedupPassage(spark, dir))
+    // the dup-set aggregate and the flag join both key on xxhash64(chunk):
+    // no exchange may hash-partition on the chunk STRING
+    p.linesIterator.filter(_.contains("hashpartitioning(")).foreach { l =>
+      assert(!l.contains("chunk"), s"chunk string used as shuffle key: $l")
+    }
+    assert(!p.contains("CartesianProduct"), s"cartesian in passage dedup:\n$p")
+    // single-flow reconstruction: the first draft's stitch-join planned
+    // the explode three times
+    assert(p.linesIterator.count(_.contains("Generate posexplode")) == 2,
+      s"explode count regressed:\n$p")
+  }
+
+  test("C24: corpus total is a map-only scan, not a second vocab aggregate") {
+    val p = plan(Training.docLogprob(spark, dir))
+    assert(p.linesIterator.count(_.contains("Generate explode")) == 2,
+      s"vocab subplan recomputed (3 explodes) or fused wrong:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in logprob:\n$p")
+  }
+
+  test("C25: shard shuffle reads two columns and exchanges once before presentation") {
+    val p = plan(Training.shardShuffle(spark, dir))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text") && !readSchema.contains("lang"),
+      s"scan reads unreferenced columns: $readSchema")
+    // one hash exchange (on shard, for both windows) + the final range
+    // sort — a second hash exchange would mean the two windows split
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"shard windows re-shuffled:\n$p")
+  }
+
   test("B21: bucketed join plans a shuffle-free sort-merge join") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
