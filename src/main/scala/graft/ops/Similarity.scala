@@ -475,9 +475,15 @@ object Similarity {
     * persist alongside (k rows — the only driver-materialized piece,
     * same O(k) exception as annIvf). The signature column is persisted
     * too, so a two-level consumer can screen without re-signing. */
-  def buildIvfIndex(spark: SparkSession, dir: String, indexDir: String): Unit = {
+  def buildIvfIndex(spark: SparkSession, dir: String, indexDir: String): Unit =
+    buildIvfIndexFrom(spark, Relational.table(spark, dir, "embeddings"), indexDir)
+
+  /** [[buildIvfIndex]] over an explicit (vec_id, embedding) frame — the
+    * entry point when the indexed corpus is a slice or a join result
+    * rather than a whole table (and the base the append path builds on). */
+  def buildIvfIndexFrom(spark: SparkSession, embeddings: DataFrame, indexDir: String): Unit = {
     GraftFunctions.register(spark)
-    val e = Relational.table(spark, dir, "embeddings")
+    val e = embeddings
       .withColumn("features", array_to_vector(expr("cast(embedding as array<double>)")))
     val model = fitCoarse(e)
     model.transform(e)
@@ -524,6 +530,63 @@ object Similarity {
     * delete the dir to force a rebuild). */
   def annIvfIndexedQuery(spark: SparkSession, dir: String): DataFrame =
     annIvfIndexed(spark, dir, ensureIndex(spark, dir))
+
+  /** C3b3 — INCREMENTAL index append: assign a new vector batch to the
+    * EXISTING coarse quantizer (no refit — Θ(batch·d) map work, zero
+    * shuffles beyond the partitioned write), sign it, and land it in
+    * the same cell-partitioned layout via a parquet append. This is
+    * the arrival path of a growing corpus: a new crawl batch joins the
+    * index at assignment cost instead of re-fitting KMeans over
+    * everything, and queries see old + new vectors through the
+    * IDENTICAL probe plan — appended files land inside the cell
+    * directories the partition-pruned scan already reads.
+    *
+    * Assignment is argmin squared-L2 over the persisted centroids (the
+    * same [[graft.functions.NearestCells]] kernel the probe side uses,
+    * with nprobe=1), so a vector is always probed in the cell it was
+    * filed under. Quantizer drift is the documented rebuild trigger:
+    * centroids fitted on the original corpus degrade as appended mass
+    * shifts the distribution, so production pairs this with a refit
+    * policy (e.g. rebuild via [[buildIvfIndexFrom]] once appends exceed
+    * ~30% of the indexed count — both counts are one `count()` on the
+    * vectors layout away). */
+  def appendToIvfIndex(spark: SparkSession, indexDir: String, newVectors: DataFrame): Unit = {
+    GraftFunctions.register(spark)
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .select(col("cell"), col("centroid"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    val dim = cents.head._2.length
+    val flat = new Array[Float](cents.length * dim)
+    cents.foreach { case (c, arr) =>
+      var j = 0
+      while (j < dim) { flat(c * dim + j) = arr(j); j += 1 }
+    }
+    newVectors
+      .withColumn("cell", element_at(nearestCellsCol(flat, dim, 1), 1))
+      .withColumn("sigs", expr(s"graft_srp_sign(embedding, 42L, $sigWords)"))
+      .select(col("vec_id"), col("embedding"), col("sigs"), col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$indexDir/vectors")
+  }
+
+  /** Registry wrapper for the append path: build a fresh index from a
+    * deterministic 95% slice of `embeddings`, append the held-out 5%
+    * (ids ≡ 7 mod 20) through [[appendToIvfIndex]], and run the
+    * single-query probe over the union. Approximate (quantizer fitted
+    * on the slice) → rows-only check; the append semantics themselves
+    * are pinned exactly in the spec (independent argmin-L2 assignment,
+    * signature parity, planted-neighbor retrieval). */
+  def annIndexAppendQuery(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_ivf_append_${key}_${spark.sparkContext.applicationId}")
+    deleteTree(idx) // the op under test IS build+append: always fresh
+    val e = Relational.table(spark, dir, "embeddings")
+    buildIvfIndexFrom(spark, e.filter(col("vec_id") % 20 =!= 7), idx.toString)
+    appendToIvfIndex(spark, idx.toString,
+      e.filter(col("vec_id") % 20 === 7).select(col("vec_id"), col("embedding")))
+    annIvfIndexed(spark, dir, idx.toString)
+  }
 
   // C3c — brute-force kNN self-join (oracle-checked): top-3 neighbors for
   // EVERY vector, the batch retrieval op behind near-dup clustering and
@@ -866,6 +929,7 @@ object Similarity {
     "c3_sim_topk" -> (simTopK _),
     "c3_ann_ivf" -> (annIvf _),
     "c3_ann_indexed" -> (annIvfIndexedQuery _),
+    "c3_ann_index_append" -> (annIndexAppendQuery _),
     "c19_group_centroid" -> (groupCentroid _))
 
   /** The exact n-gram Jaccard pair SQL — the shared oracle of the exact

@@ -135,6 +135,51 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
         fromIndex.zip(fromFit).find { case (a, b) => a != b }})")
   }
 
+  test("C3 index append: argmin-L2 assignment, signature parity, planted neighbor found") {
+    import scala.jdk.CollectionConverters._
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_ivf_append_spec").toString
+    val e = Relational.table(spark, dir, "embeddings")
+    // build on a 95% slice, hold out ids ≡ 7 (mod 20), plus plant an
+    // exact copy of vec 0's embedding under a fresh id in the appendix
+    Similarity.buildIvfIndexFrom(spark, e.filter(col("vec_id") % 20 =!= 7), indexDir)
+    val q0 = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0)
+    import spark.implicits._
+    val planted = Seq((999999L, q0)).toDF("vec_id", "embedding")
+    val appendix = e.filter(col("vec_id") % 20 === 7)
+      .select(col("vec_id"), col("embedding")).union(planted)
+    Similarity.appendToIvfIndex(spark, indexDir, appendix)
+    // 1. every appended vector was filed in its TRUE nearest cell —
+    //    argmin squared-L2 recomputed independently, driver-side
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val appended = spark.read.parquet(s"$indexDir/vectors")
+      .filter(col("vec_id") % 20 === 7 || col("vec_id") === 999999L)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    assert(appended.length === e.filter(col("vec_id") % 20 === 7).count() + 1)
+    appended.foreach { case (id, emb, cell) =>
+      val best = cents.minBy { case (c, ctr) =>
+        (ctr.zip(emb).map { case (a, b) => (a - b).toDouble * (a - b) }.sum, c)
+      }._1
+      assert(cell === best, s"vec $id filed in cell $cell, true nearest is $best")
+    }
+    // 2. appended signatures match a fresh graft_srp_sign of the same bytes
+    graft.functions.GraftFunctions.register(spark)
+    val sigMismatch = spark.read.parquet(s"$indexDir/vectors")
+      .filter(col("vec_id") % 20 === 7)
+      .withColumn("fresh", expr("graft_srp_sign(embedding, 42L, 4)"))
+      .filter(col("sigs") =!= col("fresh")).count()
+    assert(sigMismatch === 0, s"$sigMismatch appended rows carry stale signatures")
+    // 3. the probe finds the planted copy of the query vector at the top:
+    //    append landed it in exactly the cell the query probes first
+    val top = Similarity.annIvfIndexed(spark, dir, indexDir).collect()
+    assert(top.head.getLong(0) === 999999L && top.head.getDouble(1) === 1.0,
+      s"planted appended neighbor not retrieved first: ${top.take(3).toSeq}")
+    // registry wrapper smoke: fresh build+append per call, rows come back
+    assert(Similarity.queries("c3_ann_index_append")(spark, dir).collect().length === 10)
+  }
+
   test("C3 IVF kNN join: high recall@3 vs the brute-force join") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
