@@ -549,7 +549,9 @@ object Similarity {
     * shifts the distribution, so production pairs this with a refit
     * policy (e.g. rebuild via [[buildIvfIndexFrom]] once appends exceed
     * ~30% of the indexed count — both counts are one `count()` on the
-    * vectors layout away). */
+    * vectors layout away). Each append also adds a file per touched
+    * cell — [[compactIvfIndex]] is the periodic rewrite that keeps the
+    * probe's per-directory file count flat. */
   def appendToIvfIndex(spark: SparkSession, indexDir: String, newVectors: DataFrame): Unit = {
     GraftFunctions.register(spark)
     val cents = spark.read.parquet(s"$indexDir/centroids")
@@ -569,6 +571,69 @@ object Similarity {
       .parquet(s"$indexDir/vectors")
   }
 
+  /** C3b4 — index COMPACTION: rewrite the vectors layout so each cell
+    * holds few near-target-size files instead of the pile every
+    * [[appendToIvfIndex]] batch adds (one file per cell per writer
+    * task). At 100 TB the append path's small files are the probe
+    * killer — a year of hourly crawl batches turns an nprobe-pruned
+    * scan of 20 directories into tens of thousands of file opens — and
+    * the fix is the standard LSM move: periodically rewrite each
+    * partition at the target file size. Contents are untouched
+    * (same rows, same columns, signatures carried through — the spec
+    * pins byte-identical probe results and a byte-identical sorted
+    * table), only the file layout changes.
+    *
+    * File sizing is per cell: bytes-per-row is measured from the live
+    * layout, per-cell counts come from one k-row aggregate (the same
+    * O(k)=O(√n) driver exception as the centroid table), and each row
+    * is salted `pmod(xxhash64(vec_id), ceil(cellBytes/target))` so the
+    * `repartition(totalFiles, cell, salt)` exchange lands each output
+    * file's rows in one task — the write emits ~one file per (cell,
+    * salt) at ~targetFileBytes each, hot cells split, cold cells
+    * coalesce to one.
+    *
+    * Swap discipline: the rewrite lands in a staging dir under the
+    * index root, then `vectors` is moved aside and staging moved in
+    * (two ATOMIC_MOVEs). Unlike the build's single-rename publish this
+    * is NOT concurrent-reader-safe — compaction is a maintenance op
+    * for a quiesced index (single-writer window, the norm for vector
+    * stores). Crash-safety holds at every step: nothing is deleted
+    * until the new layout is in place, and a crash between the moves
+    * leaves the full old layout recoverable as `vectors.old_<appId>`. */
+  def compactIvfIndex(spark: SparkSession, indexDir: String,
+                      targetFileBytes: Long = 128L << 20): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val root = Paths.get(indexDir)
+    val vecDir = root.resolve("vectors")
+    val v = spark.read.parquet(vecDir.toString)
+    val totalBytes = Files.walk(vecDir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map(Files.size).sum
+    val counts = v.groupBy(col("cell").cast("int").as("cell")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val totalRows = counts.map(_._2).sum.max(1L)
+    val bytesPerRow = totalBytes.toDouble / totalRows
+    val filesPerCell = counts.map { case (c, n) =>
+      (c, math.max(1L, math.ceil(n * bytesPerRow / targetFileBytes).toLong))
+    }
+    val totalFiles = filesPerCell.map(_._2).sum.toInt
+    val staging = root.resolve(
+      s"vectors.compact_${spark.sparkContext.applicationId}")
+    v.join(broadcast(filesPerCell.toSeq.toDF("cell", "nf")), "cell")
+      .withColumn("salt", pmod(xxhash64(col("vec_id")), col("nf")))
+      .repartition(totalFiles, col("cell"), col("salt"))
+      .select(col("vec_id"), col("embedding"), col("sigs"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(staging.toString)
+    val old = root.resolve(s"vectors.old_${spark.sparkContext.applicationId}")
+    Files.move(vecDir, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(staging, vecDir, StandardCopyOption.ATOMIC_MOVE)
+    deleteTree(old)
+  }
+
   /** Registry wrapper for the append path: build a fresh index from a
     * deterministic 95% slice of `embeddings`, append the held-out 5%
     * (ids ≡ 7 mod 20) through [[appendToIvfIndex]], and run the
@@ -585,6 +650,24 @@ object Similarity {
     buildIvfIndexFrom(spark, e.filter(col("vec_id") % 20 =!= 7), idx.toString)
     appendToIvfIndex(spark, idx.toString,
       e.filter(col("vec_id") % 20 === 7).select(col("vec_id"), col("embedding")))
+    annIvfIndexed(spark, dir, idx.toString)
+  }
+
+  /** Registry wrapper for the full maintenance cycle: build on the 95%
+    * slice, append the held-out 5%, COMPACT, probe. Same quantizer seed
+    * and inputs as [[annIndexAppendQuery]], so its result must equal
+    * that query's byte-for-byte — compaction only changes file layout —
+    * which the spec asserts alongside the one-file-per-cell shape. */
+  def annIndexCompactQuery(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_ivf_compact_${key}_${spark.sparkContext.applicationId}")
+    deleteTree(idx)
+    val e = Relational.table(spark, dir, "embeddings")
+    buildIvfIndexFrom(spark, e.filter(col("vec_id") % 20 =!= 7), idx.toString)
+    appendToIvfIndex(spark, idx.toString,
+      e.filter(col("vec_id") % 20 === 7).select(col("vec_id"), col("embedding")))
+    compactIvfIndex(spark, idx.toString)
     annIvfIndexed(spark, dir, idx.toString)
   }
 
@@ -930,6 +1013,7 @@ object Similarity {
     "c3_ann_ivf" -> (annIvf _),
     "c3_ann_indexed" -> (annIvfIndexedQuery _),
     "c3_ann_index_append" -> (annIndexAppendQuery _),
+    "c3_ann_index_compact" -> (annIndexCompactQuery _),
     "c19_group_centroid" -> (groupCentroid _))
 
   /** The exact n-gram Jaccard pair SQL — the shared oracle of the exact

@@ -180,6 +180,52 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     assert(Similarity.queries("c3_ann_index_append")(spark, dir).collect().length === 10)
   }
 
+  test("C3 index compact: one file per cell, contents and probe byte-identical") {
+    import scala.jdk.CollectionConverters._
+    import java.nio.file.{Files, Paths}
+    val indexDir = Files.createTempDirectory("graft_ivf_compact_spec").toString
+    val e = Relational.table(spark, dir, "embeddings")
+    Similarity.buildIvfIndexFrom(spark, e.filter(col("vec_id") % 20 =!= 7), indexDir)
+    // two separate append batches pile extra files into the touched cells
+    Similarity.appendToIvfIndex(spark, indexDir,
+      e.filter(col("vec_id") % 40 === 7).select(col("vec_id"), col("embedding")))
+    Similarity.appendToIvfIndex(spark, indexDir,
+      e.filter(col("vec_id") % 40 === 27).select(col("vec_id"), col("embedding")))
+    def filesByCell = Files.walk(Paths.get(indexDir, "vectors")).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .toSeq.groupBy(_.getParent.getFileName.toString)
+    assert(filesByCell.values.exists(_.size >= 2),
+      "appends should have left at least one cell with multiple files")
+    def snapshot = spark.read.parquet(s"$indexDir/vectors")
+      .select(col("vec_id"), col("embedding"), col("sigs"), col("cell").cast("int"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getSeq[Long](2), r.getInt(3)))
+      .sortBy(_._1)
+    def probe = Similarity.annIvfIndexed(spark, dir, indexDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val (tableBefore, probeBefore) = (snapshot, probe)
+    Similarity.compactIvfIndex(spark, indexDir)
+    // contents untouched: every row (ids, vectors, signatures, cell) survives
+    assert(snapshot.toSeq === tableBefore.toSeq)
+    assert(probe === probeBefore)
+    // layout rewritten: exactly one file per cell at the default 128 MB target
+    val after = filesByCell
+    assert(after.nonEmpty && after.values.forall(_.size === 1),
+      s"cells with >1 file after compact: ${after.filter(_._2.size > 1).keys}")
+    // swap hygiene: no staging or old layout left behind
+    val leftovers = Files.list(Paths.get(indexDir)).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("vectors.")).toSeq
+    assert(leftovers.isEmpty, s"leftover swap dirs: $leftovers")
+    // the registry wrapper equals the append wrapper byte-for-byte: same
+    // slice, same seed — compaction may only change the file layout
+    val viaCompact = Similarity.queries("c3_ann_index_compact")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val viaAppend = Similarity.queries("c3_ann_index_append")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaCompact === viaAppend)
+  }
+
   test("C3 IVF kNN join: high recall@3 vs the brute-force join") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
