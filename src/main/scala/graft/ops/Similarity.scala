@@ -489,6 +489,12 @@ object Similarity {
     model.transform(e)
       .withColumn("sigs", expr(s"graft_srp_sign(embedding, 42L, $sigWords)"))
       .select(col("vec_id"), col("embedding"), col("sigs"), col("cell"))
+      // Cluster each cell into one task before the partitioned write:
+      // without this every task emits a file per cell it holds —
+      // tasks×cells files, ruinous at cluster scale (1000 executors ×
+      // √n cells). One corpus shuffle IS the index-build layout step;
+      // [[compactIvfIndex]]'s per-cell size targets take over from here.
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/vectors")
     val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
@@ -567,6 +573,13 @@ object Similarity {
       .withColumn("cell", element_at(nearestCellsCol(flat, dim, 1), 1))
       .withColumn("sigs", expr(s"graft_srp_sign(embedding, 42L, $sigWords)"))
       .select(col("vec_id"), col("embedding"), col("sigs"), col("cell"))
+      // One exchange of the (small) batch so each cell lands in exactly
+      // one task → at most one new file per touched cell per append.
+      // Without it every writer task emits a file per cell it holds
+      // (tasks×cells files per batch) — measured at sf10 that made 8
+      // appends of 5% cost MORE than a full rebuild, purely in file
+      // creation (IndexLifecycle rehearsal, BASELINE.md round 6).
+      .repartition(col("cell"))
       .write.mode("append").partitionBy("cell")
       .parquet(s"$indexDir/vectors")
   }

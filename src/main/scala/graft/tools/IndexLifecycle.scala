@@ -1,0 +1,91 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/**
+ * Rehearsal main for the persistent-IVF-index maintenance cycle
+ * (BASELINE.md round-6 index lifecycle): measure, at a given scale,
+ *
+ *   1. the initial build on a 95% corpus slice,
+ *   2. N micro-batch appends of the held-out 5% (the hourly-crawl
+ *      arrival pattern that fragments the cell directories),
+ *   3. probe latency on the fragmented layout + its file count,
+ *   4. compaction, then probe latency on the compacted layout,
+ *   5. a full rebuild over 100% — the cost the append path avoids.
+ *
+ * Usage: runMain graft.tools.IndexLifecycle <sfDir> [nAppendBatches]
+ * Prints one JSON line; probe timings are min-of-3.
+ */
+object IndexLifecycle {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val batches = if (args.length > 1) args(1).toInt else 8
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .appName("graft-index-lifecycle").master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.driver.memory", "8g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def sec[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def minOf3(body: => Unit): Double =
+      (1 to 3).map(_ => sec(body)._2).min
+
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val idx = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_ivf_lifecycle_${spark.sparkContext.applicationId}")
+    def vecFiles = Files.walk(idx.resolve("vectors")).iterator().asScala
+      .count(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = e.count()
+    val base = e.filter(col("vec_id") % 20 =!= 7)
+    val appendix = e.filter(col("vec_id") % 20 === 7)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("b", pmod(xxhash64(col("vec_id")), lit(batches)))
+
+    val (_, buildSec) = sec {
+      Similarity.buildIvfIndexFrom(spark, base, idx.toString)
+    }
+    val appendSecs = (0 until batches).map { b =>
+      sec {
+        Similarity.appendToIvfIndex(spark, idx.toString,
+          appendix.filter(col("b") === b).drop("b"))
+      }._2
+    }
+    val filesFragmented = vecFiles
+    val probeFragmented = minOf3 {
+      Similarity.annIvfIndexed(spark, sfDir, idx.toString).collect()
+    }
+    val (_, compactSec) = sec {
+      Similarity.compactIvfIndex(spark, idx.toString)
+    }
+    val filesCompacted = vecFiles
+    val probeCompacted = minOf3 {
+      Similarity.annIvfIndexed(spark, sfDir, idx.toString).collect()
+    }
+    val rebuild = Paths.get(s"$idx.rebuild")
+    val (_, rebuildSec) = sec {
+      Similarity.buildIvfIndexFrom(
+        spark, e.select(col("vec_id"), col("embedding")), rebuild.toString)
+    }
+
+    println(f"""{"n":$n,"batches":$batches,"build_sec":$buildSec%.1f,""" +
+      f""""append_total_sec":${appendSecs.sum}%.1f,""" +
+      f""""append_per_batch_sec":${appendSecs.sum / batches}%.2f,""" +
+      f""""files_fragmented":$filesFragmented,"files_compacted":$filesCompacted,""" +
+      f""""probe_fragmented_sec":$probeFragmented%.2f,""" +
+      f""""probe_compacted_sec":$probeCompacted%.2f,""" +
+      f""""compact_sec":$compactSec%.1f,"rebuild_sec":$rebuildSec%.1f}""")
+    spark.stop()
+  }
+}
