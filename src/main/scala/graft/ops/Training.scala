@@ -137,6 +137,62 @@ object Training {
       .orderBy("doc_id")
   }
 
+  /** C24b — the DEPLOYMENT shape of LM quality scoring: fit once on a
+    * reference corpus, persist the model, score every new crawl batch
+    * against it map-only. [[docLogprob]] fits on the corpus being
+    * scored — the right oracle for "profile this dataset", but its
+    * token-keyed exchange carries the corpus vocabulary, which the sf10
+    * rehearsal measured growing linearly with rows (BASELINE.md round
+    * 6). With a FIXED vocabulary none of that survives: the persisted
+    * LM broadcasts, the batch join is a BroadcastHashJoin, and the only
+    * exchange left is the per-doc aggregate's partial-agg shuffle —
+    * the op scores 100 TB of arrivals without ever shuffling a token.
+    *
+    * Out-of-vocabulary tokens (impossible in [[docLogprob]], routine
+    * here) score as a hapax would — `-ln(1/N)` micro-nats — the
+    * standard count-1 floor, computed from the persisted total so both
+    * engines derive it identically (same micro-nat rounding, same
+    * last-ulp caveat as the vocab rows). */
+  def fitUnigramLm(docs: DataFrame, lmDir: String): Unit = {
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = docs.agg(sum(size(split(col("text"), " "))).cast("long").as("n_total"))
+    vocab.crossJoin(broadcast(total))
+      .withColumn("nll", expr("cast(round(-ln(cnt * 1.0 / n_total) * 1000000, 0) as bigint)"))
+      .select(col("tok"), col("nll"))
+      .write.mode("overwrite").parquet(s"$lmDir/vocab")
+    total.coalesce(1).write.mode("overwrite").parquet(s"$lmDir/total")
+  }
+
+  /** Score a batch against a persisted LM: broadcast the vocab, left
+    * join (OOV → hapax floor), exact long sums per doc. Same output
+    * shape as [[docLogprob]]. */
+  def scoreWithLm(spark: SparkSession, docs: DataFrame, lmDir: String): DataFrame = {
+    val lm = spark.read.parquet(s"$lmDir/vocab")
+    val nTotal = spark.read.parquet(s"$lmDir/total").head().getLong(0)
+    val oovNll = math.round(math.log(nTotal.toDouble) * 1e6)
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .join(broadcast(lm), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("nll"), lit(oovNll))).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("s") / lit(1000000.0) / col("n_tokens"), 4).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
+  /** Registry wrapper: fit on the 95% slice (doc_id ≢ 7 mod 20),
+    * persist, score the held-out 5% — real OOV tokens, full hash-match
+    * oracle (the whole computation is SQL-expressible). */
+  def docLogprobLm(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val lmDir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_unigram_lm_${key}_${spark.sparkContext.applicationId}")
+    val docs = Relational.table(spark, dir, "documents")
+    fitUnigramLm(docs.filter(col("doc_id") % 20 =!= 7), lmDir.toString)
+    scoreWithLm(spark, docs.filter(col("doc_id") % 20 === 7), lmDir.toString)
+  }
+
   // ------------------------------------------ C25 deterministic shard shuffle
 
   /** Training shard count. 8 exercises multi-shard structure at test
@@ -187,6 +243,7 @@ object Training {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c23_dedup_passage" -> (dedupPassage _),
     "c24_doc_logprob" -> (docLogprob _),
+    "c24b_doc_logprob_lm" -> (docLogprobLm _),
     "c25_shard_shuffle" -> (shardShuffle _))
 
   // a def, not a val: the c25 entry embeds the session's EFFECTIVE
@@ -220,6 +277,21 @@ object Training {
         |  round(sum(nll) / 1000000.0 / count(*), 4) AS avg_nll
         |FROM toks JOIN scored USING (tok)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "c24b_doc_logprob_lm" ->
+      """WITH train AS (SELECT * FROM documents WHERE doc_id % 20 != 7),
+        |held AS (SELECT * FROM documents WHERE doc_id % 20 = 7),
+        |toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM train),
+        |vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(cnt) AS n_total FROM vocab),
+        |lm AS (SELECT tok,
+        |    cast(round(-ln(cnt * 1.0 / n_total) * 1000000, 0) as bigint) AS nll
+        |  FROM vocab, tot),
+        |oov AS (SELECT cast(round(ln(n_total) * 1000000, 0) as bigint) AS nll FROM tot),
+        |htoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM held)
+        |SELECT h.doc_id, count(*) AS n_tokens,
+        |  round(sum(coalesce(lm.nll, (SELECT nll FROM oov))) / 1000000.0 / count(*), 4) AS avg_nll
+        |FROM htoks h LEFT JOIN lm USING (tok)
+        |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
     "c25_shard_shuffle" ->
       s"""WITH t AS (SELECT doc_id, n_chars,
          |    md5(concat('shard:', cast(doc_id as varchar))) AS k FROM documents),

@@ -225,6 +225,18 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("CartesianProduct"), s"cartesian in logprob:\n$p")
   }
 
+  test("C24b: persisted-LM scoring broadcasts the vocab — no token-keyed exchange") {
+    val p = plan(Training.queries("c24b_doc_logprob_lm")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"LM join not broadcast:\n$p")
+    // the scored batch must never hash-shuffle on the token: the only
+    // exchanges allowed are the per-doc aggregate's (doc_id) and the
+    // LM FIT's vocab build (tok scoped to the fit subtree, which runs
+    // before the wrapper's score plan — the score plan here is fit-free)
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("tok"), s"scored batch shuffled on token: $l")
+    }
+  }
+
   test("C25: shard shuffle reads two columns and exchanges once before presentation") {
     val p = plan(Training.shardShuffle(spark, dir))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

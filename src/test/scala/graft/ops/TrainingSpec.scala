@@ -79,6 +79,30 @@ class TrainingSpec extends AnyFunSuite with SparkTestSession {
     assert(out(2L) === ((2L, d2)))
   }
 
+  test("scoreWithLm: persisted-LM scoring, hand-computed incl. the OOV hapax floor") {
+    // train corpus = "a a b" + "a c": N=5, cnt(a)=3, cnt(b)=cnt(c)=1;
+    // scored batch carries a known token and an OOV one
+    val lmDir = s"${System.getProperty("java.io.tmpdir")}/graft_trainspec_lm"
+    import spark.implicits._
+    val train = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    Training.fitUnigramLm(train, lmDir)
+    val batch = Seq((3L, "a zebra")).toDF("doc_id", "text")
+    val out = Training.scoreWithLm(spark, batch, lmDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def nll(cnt: Long) = math.round(-math.log(cnt / 5.0) * 1e6)
+    val oov = math.round(math.log(5.0) * 1e6) // hapax floor = -ln(1/N)
+    assert(oov === nll(1), "OOV floor must equal a count-1 token's surprisal")
+    val want = BigDecimal((nll(3) + oov) / 1e6 / 2)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(3L) === ((2L, want)))
+    // a second batch scores against the SAME persisted model — no refit:
+    // token 'b' keeps the surprisal fitted above
+    val out2 = Training.scoreWithLm(spark, Seq((9L, "b")).toDF("doc_id", "text"), lmDir)
+      .head()
+    assert(out2.getDouble(2) ===
+      BigDecimal(nll(1) / 1e6).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("docLogprob: rarer tokens score strictly higher than stopword soup") {
     val scored = Training.docLogprob(spark, sf)
     val byDoc = scored.agg(min(col("avg_nll")).as("lo"), max(col("avg_nll")).as("hi")).head()
