@@ -505,6 +505,35 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
   }
 
+  /** The index's LIVE vector set: the cell-partitioned layout minus any
+    * tombstoned ids. Deletes ([[deleteFromIvfIndex]]) are O(deletes)
+    * appends to a side table, never a layout rewrite — the LSM
+    * discipline again — and every index reader goes through this
+    * anti-join so a delete is visible to the next probe immediately.
+    * The tombstone table broadcasts: its size is bounded by compaction
+    * cadence ([[compactIvfIndex]] applies tombstones physically and
+    * clears them), so a fleet that compacts on schedule never
+    * accumulates more than one window of deletes here. No tombstones
+    * dir → the reader is the bare layout scan, anti-join-free. */
+  private def liveIndexVectors(spark: SparkSession, indexDir: String): DataFrame = {
+    val v = spark.read.parquet(s"$indexDir/vectors")
+    val t = java.nio.file.Paths.get(indexDir, "tombstones")
+    if (java.nio.file.Files.exists(t))
+      v.join(broadcast(spark.read.parquet(t.toString)), Seq("vec_id"), "left_anti")
+    else v
+  }
+
+  /** Delete vectors from the index by id: append the ids to the
+    * tombstone table — O(deletes) work, no touch of the vectors layout.
+    * Probes exclude tombstoned ids from the next read onward
+    * (idempotent: re-deleting an id, or an id already compacted away,
+    * is a no-op in the anti-join). [[compactIvfIndex]] makes deletes
+    * physical and resets the table. The opt-out / takedown /
+    * decontamination path of a production retrieval corpus. */
+  def deleteFromIvfIndex(spark: SparkSession, indexDir: String, ids: DataFrame): Unit =
+    ids.select(col("vec_id")).coalesce(1)
+      .write.mode("append").parquet(s"$indexDir/tombstones")
+
   /** Single-query ANN over a PERSISTENT index — [[annIvf]]'s semantics
     * (same quantizer seed → byte-identical results, asserted in the
     * spec) without the per-query fit: read k centroid rows, pick nprobe
@@ -516,7 +545,7 @@ object Similarity {
     val cents = spark.read.parquet(s"$indexDir/centroids")
       .select(col("cell"), col("centroid"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
-    val vectors = spark.read.parquet(s"$indexDir/vectors")
+    val vectors = liveIndexVectors(spark, indexDir)
     val qVec = vectors.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0)
     val probeCells = cents.map { case (i, c) =>
@@ -620,7 +649,10 @@ object Similarity {
     import spark.implicits._
     val root = Paths.get(indexDir)
     val vecDir = root.resolve("vectors")
-    val v = spark.read.parquet(vecDir.toString)
+    // live set only: the rewrite is where tombstoned rows become
+    // physically absent; the table clears AFTER the swap (idempotent —
+    // a crash in between leaves tombstones whose ids no longer match)
+    val v = liveIndexVectors(spark, indexDir)
     val totalBytes = Files.walk(vecDir).iterator().asScala
       .filter(p => Files.isRegularFile(p) &&
         p.getFileName.toString.endsWith(".parquet"))
@@ -645,6 +677,7 @@ object Similarity {
     Files.move(vecDir, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(staging, vecDir, StandardCopyOption.ATOMIC_MOVE)
     deleteTree(old)
+    deleteTree(root.resolve("tombstones")) // now physical; table resets
   }
 
   /** Registry wrapper for the append path: build a fresh index from a
@@ -680,6 +713,28 @@ object Similarity {
     buildIvfIndexFrom(spark, e.filter(col("vec_id") % 20 =!= 7), idx.toString)
     appendToIvfIndex(spark, idx.toString,
       e.filter(col("vec_id") % 20 === 7).select(col("vec_id"), col("embedding")))
+    compactIvfIndex(spark, idx.toString)
+    annIvfIndexed(spark, dir, idx.toString)
+  }
+
+  /** Registry wrapper for the delete path: build + append as above,
+    * probe, DELETE the probe's current top-3 ids (the takedown shape:
+    * remove exactly the vectors being served), compact, probe again.
+    * The returned top-10 provably excludes the deleted ids — pinned in
+    * the spec along with tombstone-only visibility (probe excludes
+    * before any rewrite) and physical removal after compaction. */
+  def annIndexDeleteQuery(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_ivf_delete_${key}_${spark.sparkContext.applicationId}")
+    deleteTree(idx)
+    val e = Relational.table(spark, dir, "embeddings")
+    buildIvfIndexFrom(spark, e.filter(col("vec_id") % 20 =!= 7), idx.toString)
+    appendToIvfIndex(spark, idx.toString,
+      e.filter(col("vec_id") % 20 === 7).select(col("vec_id"), col("embedding")))
+    val top3 = annIvfIndexed(spark, dir, idx.toString)
+      .limit(3).select(col("vec_id"))
+    deleteFromIvfIndex(spark, idx.toString, top3)
     compactIvfIndex(spark, idx.toString)
     annIvfIndexed(spark, dir, idx.toString)
   }
@@ -936,7 +991,7 @@ object Similarity {
     * (spec-pinned vs [[knnJoinIvf2]]). */
   def knnJoinIvf2Indexed(spark: SparkSession, dir: String, indexDir: String): DataFrame = {
     GraftFunctions.register(spark)
-    val vectors = spark.read.parquet(s"$indexDir/vectors")
+    val vectors = liveIndexVectors(spark, indexDir)
       .select(col("vec_id"), col("embedding"), col("cell"), col("sigs"))
       // one materialized read: the pipeline consumes this frame four
       // times (directory, probes, two re-rank fetches), and four scans
@@ -1027,6 +1082,7 @@ object Similarity {
     "c3_ann_indexed" -> (annIvfIndexedQuery _),
     "c3_ann_index_append" -> (annIndexAppendQuery _),
     "c3_ann_index_compact" -> (annIndexCompactQuery _),
+    "c3_ann_index_delete" -> (annIndexDeleteQuery _),
     "c19_group_centroid" -> (groupCentroid _))
 
   /** The exact n-gram Jaccard pair SQL — the shared oracle of the exact

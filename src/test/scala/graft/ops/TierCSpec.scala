@@ -226,6 +226,48 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     assert(viaCompact === viaAppend)
   }
 
+  test("C3 index delete: tombstone-first visibility, physical at compaction") {
+    import scala.jdk.CollectionConverters._
+    import java.nio.file.{Files, Paths}
+    val indexDir = Files.createTempDirectory("graft_ivf_delete_spec").toString
+    val e = Relational.table(spark, dir, "embeddings")
+    Similarity.buildIvfIndexFrom(spark, e, indexDir)
+    def probe = Similarity.annIvfIndexed(spark, dir, indexDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = probe
+    val victim = before.head._1
+    import spark.implicits._
+    Similarity.deleteFromIvfIndex(spark, indexDir, Seq(victim).toDF("vec_id"))
+    // 1. tombstone-only: the probe excludes the id IMMEDIATELY and the
+    //    rest of the ranking shifts up intact...
+    val after = probe
+    assert(!after.exists(_._1 === victim))
+    assert(after.take(9) === before.drop(1))
+    // ...but the row is still physically in the layout
+    assert(spark.read.parquet(s"$indexDir/vectors")
+      .filter(col("vec_id") === victim).count() === 1)
+    // 2. deletes are idempotent: re-deleting changes nothing
+    Similarity.deleteFromIvfIndex(spark, indexDir, Seq(victim).toDF("vec_id"))
+    assert(probe === after)
+    // 3. compaction makes it physical and clears the tombstone table;
+    //    the probe is unchanged by the rewrite
+    Similarity.compactIvfIndex(spark, indexDir)
+    assert(spark.read.parquet(s"$indexDir/vectors")
+      .filter(col("vec_id") === victim).count() === 0)
+    assert(!Files.exists(Paths.get(indexDir, "tombstones")))
+    assert(probe === after)
+    // registry wrapper: same build inputs + seed as the append wrapper,
+    // so what it deleted is exactly the append wrapper's top-3 — the
+    // served list must exclude those and open with append's ranks 4–10
+    val viaAppend = Similarity.queries("c3_ann_index_append")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val served = Similarity.queries("c3_ann_index_delete")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served.size === 10)
+    assert(served.take(7) === viaAppend.drop(3))
+    assert(viaAppend.take(3).forall { case (id, _) => !served.exists(_._1 == id) })
+  }
+
   test("C3 IVF kNN join: high recall@3 vs the brute-force join") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
