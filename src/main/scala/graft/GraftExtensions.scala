@@ -23,5 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hamming_topk"),
       GraftFunctions.hammingTopKInfo,
       GraftFunctions.hammingTopKBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      GraftFunctions.simHashInfo,
+      GraftFunctions.simHashBuilder))
   }
 }

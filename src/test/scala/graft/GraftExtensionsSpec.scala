@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The cluster wiring (`spark.sql.extensions=graft.GraftExtensions`)
+  * must expose exactly what the library-local
+  * `GraftFunctions.register` does — a function present in one path but
+  * not the other means SQL that works on a laptop fails on the
+  * cluster (graft_simhash was exactly that gap). Exercised through the
+  * same registerFunctions hook a session build uses. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("extensions inject every graft function register() exposes") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val reg = org.apache.spark.sql.GraftExtensionsTestBridge
+      .applyFunctions(ext, FunctionRegistry.builtin.clone())
+    val want = Seq("graft_cosine", "graft_srp_sign",
+      "graft_hamming_topk", "graft_simhash")
+    want.foreach { f =>
+      assert(reg.functionExists(FunctionIdentifier(f)),
+        s"$f missing from the extensions path")
+    }
+  }
+}
