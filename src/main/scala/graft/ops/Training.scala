@@ -153,9 +153,21 @@ object Training {
     * standard count-1 floor, computed from the persisted total so both
     * engines derive it identically (same micro-nat rounding, same
     * last-ulp caveat as the vocab rows). */
-  def fitUnigramLm(docs: DataFrame, lmDir: String): Unit = {
+  /** `minCount` prunes the persisted vocabulary: tokens seen fewer
+    * times are dropped and score as OOV (the hapax floor — for a
+    * count-1 token that IS its exact surprisal, so minCount=2 is
+    * lossless there). This is what bounds the broadcast at scale: the
+    * sf10 rehearsal's fit keeps 18M tokens at minCount=1 — a
+    * long-tail of junk hapaxes at the broadcast edge — and 1.5M at
+    * minCount=2 (BASELINE.md round 6); real deployments prune exactly
+    * this way because the tail is noise the floor models as well. On
+    * the sf10 rehearsal corpus minCount=2 collapses 18M tokens to 31 —
+    * its dupCap=1 junk is ALL doc-unique hapaxes; real corpora land
+    * between the extremes, which is why the knob is a parameter. */
+  def fitUnigramLm(docs: DataFrame, lmDir: String, minCount: Long = 1L): Unit = {
     val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
     val total = docs.agg(sum(size(split(col("text"), " "))).cast("long").as("n_total"))
     vocab.crossJoin(broadcast(total))
       .withColumn("nll", expr("cast(round(-ln(cnt * 1.0 / n_total) * 1000000, 0) as bigint)"))

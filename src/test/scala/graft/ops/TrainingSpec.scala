@@ -103,6 +103,22 @@ class TrainingSpec extends AnyFunSuite with SparkTestSession {
       BigDecimal(nll(1) / 1e6).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("fitUnigramLm minCount: pruned tokens fall to the OOV floor; kept ones keep their fit") {
+    val lmDir = s"${System.getProperty("java.io.tmpdir")}/graft_trainspec_lm_pruned"
+    import spark.implicits._
+    // N=5, cnt(a)=3, cnt(b)=2; minCount=3 drops b from the vocab
+    val train = Seq((1L, "a a a b b")).toDF("doc_id", "text")
+    Training.fitUnigramLm(train, lmDir, minCount = 3L)
+    assert(spark.read.parquet(s"$lmDir/vocab").collect().map(_.getString(0)).toSeq === Seq("a"))
+    def score(t: String) = Training.scoreWithLm(
+      spark, Seq((1L, t)).toDF("doc_id", "text"), lmDir).head().getDouble(2)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // kept token: fitted surprisal against the UNpruned total N=5
+    assert(score("a") === r4(math.round(-math.log(3 / 5.0) * 1e6) / 1e6))
+    // pruned token: the hapax floor, NOT its true cnt=2 surprisal
+    assert(score("b") === r4(math.round(math.log(5.0) * 1e6) / 1e6))
+  }
+
   test("docLogprob: rarer tokens score strictly higher than stopword soup") {
     val scored = Training.docLogprob(spark, sf)
     val byDoc = scored.agg(min(col("avg_nll")).as("lo"), max(col("avg_nll")).as("hi")).head()
