@@ -664,7 +664,9 @@ object Similarity {
     val filesPerCell = counts.map { case (c, n) =>
       (c, math.max(1L, math.ceil(n * bytesPerRow / targetFileBytes).toLong))
     }
-    val totalFiles = filesPerCell.map(_._2).sum.toInt
+    // max(1): a fully-tombstoned index still compacts to a valid
+    // (empty) layout instead of throwing on repartition(0)
+    val totalFiles = filesPerCell.map(_._2).sum.toInt.max(1)
     val staging = root.resolve(
       s"vectors.compact_${spark.sparkContext.applicationId}")
     v.join(broadcast(filesPerCell.toSeq.toDF("cell", "nf")), "cell")

@@ -226,6 +226,35 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     assert(viaCompact === viaAppend)
   }
 
+  test("C3 index compact: hot cells split to the file-size target, contents intact") {
+    import scala.jdk.CollectionConverters._
+    import java.nio.file.{Files, Paths}
+    val indexDir = Files.createTempDirectory("graft_ivf_split_spec").toString
+    val e = Relational.table(spark, dir, "embeddings")
+    Similarity.buildIvfIndexFrom(spark, e, indexDir)
+    val rowsBefore = spark.read.parquet(s"$indexDir/vectors").count()
+    def probe = Similarity.annIvfIndexed(spark, dir, indexDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = probe
+    // a 4 KB target forces ceil(cellBytes/target) > 1 on every real
+    // cell — the salted multi-file path the 128 MB default never takes
+    Similarity.compactIvfIndex(spark, indexDir, targetFileBytes = 4096L)
+    val byCell = Files.walk(Paths.get(indexDir, "vectors")).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .toSeq.groupBy(_.getParent.getFileName.toString)
+    assert(byCell.values.exists(_.size > 1),
+      s"no cell split at a 4KB target: ${byCell.view.mapValues(_.size).toMap}")
+    assert(spark.read.parquet(s"$indexDir/vectors").count() === rowsBefore)
+    assert(probe === before)
+    // and a re-compact at the default target coalesces back to one each
+    Similarity.compactIvfIndex(spark, indexDir)
+    val coalesced = Files.walk(Paths.get(indexDir, "vectors")).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .toSeq.groupBy(_.getParent.getFileName.toString)
+    assert(coalesced.values.forall(_.size === 1))
+    assert(probe === before)
+  }
+
   test("C3 index delete: tombstone-first visibility, physical at compaction") {
     import scala.jdk.CollectionConverters._
     import java.nio.file.{Files, Paths}
