@@ -272,6 +272,12 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     val after = probe
     assert(!after.exists(_._1 === victim))
     assert(after.take(9) === before.drop(1))
+    // plan shape: the tombstone exclusion is a BROADCAST anti-join —
+    // deletes must never cost the probe a shuffle
+    val p = Similarity.annIvfIndexed(spark, dir, indexDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"tombstone exclusion not a broadcast anti-join:\n$p")
     // ...but the row is still physically in the layout
     assert(spark.read.parquet(s"$indexDir/vectors")
       .filter(col("vec_id") === victim).count() === 1)
