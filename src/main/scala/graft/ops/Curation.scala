@@ -412,6 +412,46 @@ object Curation {
       .orderBy("lang", "source")
   }
 
+  // ------------------------------------------------ C26 per-source cap
+
+  /** C26 — per-source document cap: keep at most `cap` docs per source,
+    * chosen by a deterministic hash order (md5 over the doc id — the
+    * c25 key discipline: rerun-stable on any cluster, no RNG state).
+    * The domain-cap stage of crawl curation — without it one hot domain
+    * (SEO farms, boilerplate mirrors) owns an unbounded share of the
+    * corpus no matter how good the per-doc quality scores are.
+    *
+    * Scale shape: a single `row_number` window per source would put
+    * every hot domain's rows on one task — exactly the skew this op
+    * exists to fight. Instead the cap runs two-phase (the b20 salting
+    * discipline composed with top-k): rank within (source, salt) —
+    * the hot source spreads over `saltBuckets` tasks — keep each
+    * bucket's top `cap`, then rank the ≤ saltBuckets·cap survivors
+    * per source. Any global top-cap row is necessarily in its
+    * bucket's top cap, so phase 1 never discards a winner; phase 2's
+    * exchange carries at most saltBuckets·cap rows per source
+    * regardless of how hot the domain is. */
+  private val sourceCap = 10
+  private val saltBuckets = 8
+
+  def capPerSourceOn(docs: DataFrame, cap: Int = sourceCap): DataFrame = {
+    val keyed = docs
+      .withColumn("k", md5(concat(lit("cap:"), col("doc_id").cast("string"))))
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(saltBuckets)).cast("int"))
+    val local = Window.partitionBy(col("source"), col("salt"))
+      .orderBy(col("k"), col("doc_id"))
+    val global = Window.partitionBy(col("source"))
+      .orderBy(col("k"), col("doc_id"))
+    keyed
+      .withColumn("r1", row_number().over(local)).filter(col("r1") <= cap)
+      .withColumn("rank", row_number().over(global)).filter(col("rank") <= cap)
+      .select(col("doc_id"), col("source"), col("rank"))
+      .orderBy("source", "rank")
+  }
+
+  def capPerSource(spark: SparkSession, dir: String): DataFrame =
+    capPerSourceOn(Relational.table(spark, dir, "documents"))
+
   // --------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -422,7 +462,8 @@ object Curation {
     "c16_pii_redact" -> (piiRedact _),
     "c17_quality_repetition" -> (qualityRepetition _),
     "c18_mix_weights" -> (mixWeights _),
-    "c21_quality_stream" -> (qualityStream _))
+    "c21_quality_stream" -> (qualityStream _),
+    "c26_cap_per_source" -> (capPerSource _))
 
   // a def, not a val: the c15 entry embeds the session's EFFECTIVE
   // shard span (see effectiveShardSpan) at dump time
@@ -430,6 +471,14 @@ object Curation {
     // the oracle joins on the gram STRINGS; equality with the hashed
     // Spark path holds absent xxhash64 collisions (spec-proven at test
     // scale, probabilistically negligible beyond it)
+    "c26_cap_per_source" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    md5(concat('cap:', cast(doc_id as varchar))) AS k FROM documents),
+         |r AS (SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source ORDER BY k, doc_id) AS rank
+         |  FROM t)
+         |SELECT doc_id, source, rank FROM r WHERE rank <= $sourceCap
+         |ORDER BY source, rank""".stripMargin,
     "c12_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= $ngramN THEN

@@ -258,6 +258,27 @@ class CurationSpec extends AnyFunSuite with SparkTestSession {
       s"degenerate threshold split: $verdicts")
   }
 
+  test("capPerSourceOn: keeps the cap-smallest hash keys per source, dense ranks, rerun-stable") {
+    import spark.implicits._
+    // one hot source (30 docs) + one small source (3 docs, under the cap)
+    val docs = ((1L to 30L).map(i => (i, "hot")) ++ Seq((101L, "cold"), (102L, "cold"), (103L, "cold")))
+      .toDF("doc_id", "source")
+    val out = Curation.capPerSourceOn(docs, cap = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val hot = out.filter(_._2 == "hot")
+    val cold = out.filter(_._2 == "cold")
+    assert(hot.length === 10 && cold.length === 3, "cap binds only above the cap")
+    assert(hot.map(_._3).toSeq === (1 to 10) && cold.map(_._3).toSeq === (1 to 3))
+    // selection = the 10 smallest md5('cap:'+id) keys, recomputed independently
+    def key(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"cap:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = (1L to 30L).sortBy(id => (key(id), id)).take(10)
+    assert(hot.map(_._1).toSeq === want, "kept set must be the hash-order prefix")
+    // rerun-stable: same rows, same ranks
+    assert(Curation.capPerSourceOn(docs, cap = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq === out.toSeq)
+  }
+
   test("mixWeightsOn: √-temperature shares and epochs on crafted strata") {
     import spark.implicits._
     val docs = Seq(

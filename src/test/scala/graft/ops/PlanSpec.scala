@@ -237,6 +237,18 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("C26: the per-source cap ranks salted first — the hot-domain exchange carries salt") {
+    val p = plan(Curation.queries("c26_cap_per_source")(spark, dir))
+    // phase 1 must hash-partition on (source, salt): a plan whose only
+    // rank exchange keys on source alone has collapsed the hot domain
+    // back onto one task
+    assert(p.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("salt") && l.contains("source")),
+      s"no salted rank exchange in:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2,
+      s"expected the two-phase cap's two exchanges:\n$p")
+  }
+
   test("C25: shard shuffle reads two columns and exchanges once before presentation") {
     val p = plan(Training.shardShuffle(spark, dir))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
