@@ -126,9 +126,14 @@ object MakeScale {
         case "events" => d.withColumn("user_id",
           when(pmod(xxhash64(col("event_id")), lit(10)) < 3, lit(0L))
             .otherwise(col("user_id")))
-        case "documents" => d.withColumn("lang",
-          when(pmod(xxhash64(col("doc_id")), lit(10)) < 8, lit("en"))
-            .otherwise(col("lang")))
+        case "documents" => d
+          .withColumn("lang",
+            when(pmod(xxhash64(col("doc_id")), lit(10)) < 8, lit("en"))
+              .otherwise(col("lang")))
+          // the hot domain for c26: 80% of docs pile onto one source
+          .withColumn("source",
+            when(pmod(xxhash64(col("doc_id") + 17), lit(10)) < 8, lit("src0"))
+              .otherwise(col("source")))
         // 30% of orders onto one customer: the b20 salted-join hot key.
         // Key 1 exists in every copy (custkeys start at 1 and copy 0 is
         // unshifted), so referential integrity holds and the b4 oracle
