@@ -10,22 +10,10 @@ import graft.functions.GraftFunctions
   * native functions in every session of a cluster (the library-local
   * alternative is `GraftFunctions.register(spark)`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("graft_cosine"),
-      GraftFunctions.cosineInfo,
-      GraftFunctions.cosineBuilder))
-    ext.injectFunction((
-      FunctionIdentifier("graft_srp_sign"),
-      GraftFunctions.srpSignInfo,
-      GraftFunctions.srpSignBuilder))
-    ext.injectFunction((
-      FunctionIdentifier("graft_hamming_topk"),
-      GraftFunctions.hammingTopKInfo,
-      GraftFunctions.hammingTopKBuilder))
-    ext.injectFunction((
-      FunctionIdentifier("graft_simhash"),
-      GraftFunctions.simHashInfo,
-      GraftFunctions.simHashBuilder))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    // driven by GraftFunctions.all — the same list register() iterates,
+    // so the two exposure paths cannot drift apart
+    GraftFunctions.all.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
 }

@@ -155,15 +155,21 @@ object GraftFunctions {
       s"graft_hamming_topk takes 5 arguments, got ${other.size}")
   }
 
+  /** The single source of truth for graft's native-function surface.
+    * Both registration paths (per-session `register`, cluster-wide
+    * `GraftExtensions`) iterate THIS list, so a function added here is
+    * exposed on both by construction — the graft_simhash
+    * laptop-works/cluster-fails gap cannot recur. */
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_cosine", cosineInfo, cosineBuilder),
+    ("graft_srp_sign", srpSignInfo, srpSignBuilder),
+    ("graft_hamming_topk", hammingTopKInfo, hammingTopKBuilder),
+    ("graft_simhash", simHashInfo, simHashBuilder))
+
   /** Idempotent per-session registration of graft's native functions. */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cosine", cosineBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_srp_sign", srpSignBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_hamming_topk", hammingTopKBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_simhash", simHashBuilder, "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 }

@@ -471,14 +471,6 @@ object Curation {
     // the oracle joins on the gram STRINGS; equality with the hashed
     // Spark path holds absent xxhash64 collisions (spec-proven at test
     // scale, probabilistically negligible beyond it)
-    "c26_cap_per_source" ->
-      s"""WITH t AS (SELECT doc_id, source,
-         |    md5(concat('cap:', cast(doc_id as varchar))) AS k FROM documents),
-         |r AS (SELECT doc_id, source,
-         |    row_number() OVER (PARTITION BY source ORDER BY k, doc_id) AS rank
-         |  FROM t)
-         |SELECT doc_id, source, rank FROM r WHERE rank <= $sourceCap
-         |ORDER BY source, rank""".stripMargin,
     "c12_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= $ngramN THEN
@@ -489,6 +481,14 @@ object Curation {
          |SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared
          |FROM g JOIN ev USING (gram) WHERE g.doc_id % 20 != 0
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "c26_cap_per_source" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    md5(concat('cap:', cast(doc_id as varchar))) AS k FROM documents),
+         |r AS (SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source ORDER BY k, doc_id) AS rank
+         |  FROM t)
+         |SELECT doc_id, source, rank FROM r WHERE rank <= $sourceCap
+         |ORDER BY source, rank""".stripMargin,
     "c13_sample_stratified" ->
       s"""SELECT doc_id, lang, ${bucketSql("doc_id")} AS bucket
          |FROM documents

@@ -546,8 +546,12 @@ object Similarity {
       .select(col("cell"), col("centroid"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
     val vectors = liveIndexVectors(spark, indexDir)
-    val qVec = vectors.filter(col("vec_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0)
+    val qRows = vectors.filter(col("vec_id") === 0)
+      .select(col("embedding")).take(1)
+    require(qRows.nonEmpty,
+      s"query vector vec_id=0 is not in the live index at $indexDir " +
+        "(tombstoned or never indexed) — probe with a live vector")
+    val qVec = qRows(0).getSeq[Float](0)
     val probeCells = cents.map { case (i, c) =>
       val d = c.zip(qVec).map { case (a, b) => (a - b).toDouble * (a - b) }.sum
       (i, d)
@@ -586,8 +590,42 @@ object Similarity {
     * ~30% of the indexed count — both counts are one `count()` on the
     * vectors layout away). Each append also adds a file per touched
     * cell — [[compactIvfIndex]] is the periodic rewrite that keeps the
-    * probe's per-directory file count flat. */
-  def appendToIvfIndex(spark: SparkSession, indexDir: String, newVectors: DataFrame): Unit = {
+    * probe's per-directory file count flat.
+    *
+    * Re-insert after delete THROWS until the delete is physical: a
+    * tombstoned id's old row is still in the layout, so "revoke the
+    * tombstone and append" would serve BOTH rows, and "keep the
+    * tombstone" would silently hide the new row and destroy it at the
+    * next compaction. Neither is acceptable silently (the c14 loud-throw
+    * doctrine), and resolving it at read time means per-probe MVCC the
+    * exchange-free read paths shouldn't pay — so the append checks its
+    * batch against the tombstone table (broadcast anti-join, O(batch))
+    * and rejects overlaps with the fix in the message: compact first
+    * (deletes become physical, table resets), then re-insert.
+    *
+    * Retry contract: pass `batchId` (caller-unique per logical batch)
+    * and a committed append becomes a no-op on re-run — the marker file
+    * is written AFTER the data commits, so a crashed attempt re-runs in
+    * full and only a crash inside the marker-write window (ms) can
+    * double-apply. Without `batchId`, retries are the caller's problem. */
+  def appendToIvfIndex(spark: SparkSession, indexDir: String, newVectors: DataFrame,
+                       batchId: Option[String] = None): Unit = {
+    import java.nio.file.{Files, Paths}
+    val marker = batchId.map(b => Paths.get(indexDir,
+      s"_appended_${b.replaceAll("[^A-Za-z0-9._-]", "_")}"))
+    if (marker.exists(Files.exists(_))) return
+    val tomb = Paths.get(indexDir, "tombstones")
+    if (Files.exists(tomb)) {
+      val clash = newVectors.select(col("vec_id"))
+        .join(broadcast(spark.read.parquet(tomb.toString)), Seq("vec_id"), "left_semi")
+        .limit(5).collect().map(_.getLong(0))
+      require(clash.isEmpty,
+        s"batch re-inserts tombstoned ids ${clash.mkString(", ")} — the old rows " +
+          s"are still physically in $indexDir/vectors, so appending now would " +
+          "either serve two rows per id or lose the new one. Run " +
+          "compactIvfIndex first (makes deletes physical, clears tombstones), " +
+          "then re-insert.")
+    }
     GraftFunctions.register(spark)
     val cents = spark.read.parquet(s"$indexDir/centroids")
       .select(col("cell"), col("centroid"))
@@ -611,6 +649,7 @@ object Similarity {
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell")
       .parquet(s"$indexDir/vectors")
+    marker.foreach(Files.createFile(_))
   }
 
   /** C3b4 — index COMPACTION: rewrite the vectors layout so each cell
@@ -659,8 +698,11 @@ object Similarity {
       .map(Files.size).sum
     val counts = v.groupBy(col("cell").cast("int").as("cell")).count()
       .collect().map(r => (r.getInt(0), r.getLong(1)))
-    val totalRows = counts.map(_._2).sum.max(1L)
-    val bytesPerRow = totalBytes.toDouble / totalRows
+    // bytes/row over the RAW layout (tombstoned rows still occupy the
+    // files being measured) — dividing by the live count would inflate
+    // the estimate ~2× after heavy deletes and halve the file sizes
+    val rawRows = spark.read.parquet(vecDir.toString).count().max(1L)
+    val bytesPerRow = totalBytes.toDouble / rawRows
     val filesPerCell = counts.map { case (c, n) =>
       (c, math.max(1L, math.ceil(n * bytesPerRow / targetFileBytes).toLong))
     }
@@ -691,9 +733,7 @@ object Similarity {
     * signature parity, planted-neighbor retrieval). */
   def annIndexAppendQuery(spark: SparkSession, dir: String): DataFrame = {
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_ivf_append_${key}_${spark.sparkContext.applicationId}")
-    deleteTree(idx) // the op under test IS build+append: always fresh
+    val idx = freshScratch(spark, s"graft_ivf_append_${key}_")
     val e = Relational.table(spark, dir, "embeddings")
     buildIvfIndexFrom(spark, e.filter(col("vec_id") % 20 =!= 7), idx.toString)
     appendToIvfIndex(spark, idx.toString,
@@ -708,9 +748,7 @@ object Similarity {
     * which the spec asserts alongside the one-file-per-cell shape. */
   def annIndexCompactQuery(spark: SparkSession, dir: String): DataFrame = {
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_ivf_compact_${key}_${spark.sparkContext.applicationId}")
-    deleteTree(idx)
+    val idx = freshScratch(spark, s"graft_ivf_compact_${key}_")
     val e = Relational.table(spark, dir, "embeddings")
     buildIvfIndexFrom(spark, e.filter(col("vec_id") % 20 =!= 7), idx.toString)
     appendToIvfIndex(spark, idx.toString,
@@ -727,9 +765,7 @@ object Similarity {
     * before any rewrite) and physical removal after compaction. */
   def annIndexDeleteQuery(spark: SparkSession, dir: String): DataFrame = {
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_ivf_delete_${key}_${spark.sparkContext.applicationId}")
-    deleteTree(idx)
+    val idx = freshScratch(spark, s"graft_ivf_delete_${key}_")
     val e = Relational.table(spark, dir, "embeddings")
     buildIvfIndexFrom(spark, e.filter(col("vec_id") % 20 =!= 7), idx.toString)
     appendToIvfIndex(spark, idx.toString,
@@ -1056,10 +1092,26 @@ object Similarity {
     indexPath.toString
   }
 
+  /** Per-app scratch dir under java.io.tmpdir with PREFIX GC: every
+    * leftover dir from previous runs of the same wrapper (any appId) is
+    * removed before the current one is handed out — without this each
+    * Verify/sweep run leaks a full index copy and repeated rehearsals
+    * fill /tmp ([[ensureIndex]] solves the same problem for the cached
+    * index via superseded-fingerprint GC; wrappers use this). Shared
+    * with graft.ops.Training's persisted-LM wrapper. */
+  private[ops] def freshScratch(spark: SparkSession, prefix: String): java.nio.file.Path = {
+    import scala.jdk.CollectionConverters._
+    val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.list(tmpRoot).iterator().asScala
+      .filter(_.getFileName.toString.startsWith(prefix))
+      .foreach(deleteTree)
+    tmpRoot.resolve(s"$prefix${spark.sparkContext.applicationId}")
+  }
+
   /** Race-tolerant recursive delete: two processes may GC the same
     * superseded index concurrently, so entries vanishing mid-walk are
     * the expected case, not an error. */
-  private def deleteTree(p: java.nio.file.Path): Unit =
+  private[graft] def deleteTree(p: java.nio.file.Path): Unit =
     try {
       import scala.jdk.CollectionConverters._
       if (java.nio.file.Files.exists(p))

@@ -198,8 +198,7 @@ object Training {
     * oracle (the whole computation is SQL-expressible). */
   def docLogprobLm(spark: SparkSession, dir: String): DataFrame = {
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val lmDir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_unigram_lm_${key}_${spark.sparkContext.applicationId}")
+    val lmDir = Similarity.freshScratch(spark, s"graft_unigram_lm_${key}_")
     val docs = Relational.table(spark, dir, "documents")
     fitUnigramLm(docs.filter(col("doc_id") % 20 =!= 7), lmDir.toString)
     scoreWithLm(spark, docs.filter(col("doc_id") % 20 === 7), lmDir.toString)

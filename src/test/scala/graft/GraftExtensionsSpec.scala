@@ -18,8 +18,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
     new GraftExtensions().apply(ext)
     val reg = org.apache.spark.sql.GraftExtensionsTestBridge
       .applyFunctions(ext, FunctionRegistry.builtin.clone())
-    val want = Seq("graft_cosine", "graft_srp_sign",
-      "graft_hamming_topk", "graft_simhash")
+    // derived from the shared list register() iterates — NOT hardcoded,
+    // so a function added to one path and forgotten on the other fails
+    // here instead of at cluster deploy
+    val want = graft.functions.GraftFunctions.all.map(_._1)
+    assert(want.size >= 4, "the shared function list lost entries")
     want.foreach { f =>
       assert(reg.functionExists(FunctionIdentifier(f)),
         s"$f missing from the extensions path")

@@ -291,7 +291,33 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
       .filter(col("vec_id") === victim).count() === 0)
     assert(!Files.exists(Paths.get(indexDir, "tombstones")))
     assert(probe === after)
-    // registry wrapper: same build inputs + seed as the append wrapper,
+    // 4. re-inserting a tombstoned id throws LOUDLY (old row still
+    //    physical → serving both or losing the new one are the silent
+    //    alternatives); after compaction the same append is legal
+    Similarity.deleteFromIvfIndex(spark, indexDir, Seq(after.head._1).toDF("vec_id"))
+    val reinsert = e.filter(col("vec_id") === after.head._1)
+      .select(col("vec_id"), col("embedding"))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(spark, indexDir, reinsert)
+    }
+    assert(ex.getMessage.contains("compactIvfIndex first"))
+    Similarity.compactIvfIndex(spark, indexDir)
+    Similarity.appendToIvfIndex(spark, indexDir, reinsert, batchId = Some("reins-1"))
+    assert(probe.head._1 === after.head._1, "re-inserted vector serves again")
+    // 5. batchId idempotence: replaying the committed batch is a no-op
+    val rowsNow = spark.read.parquet(s"$indexDir/vectors").count()
+    Similarity.appendToIvfIndex(spark, indexDir, reinsert, batchId = Some("reins-1"))
+    assert(spark.read.parquet(s"$indexDir/vectors").count() === rowsNow,
+      "replayed batch duplicated rows")
+    // 6. a deleted QUERY vector fails with a clear contract error, not
+    //    an empty-iterator crash
+    Similarity.deleteFromIvfIndex(spark, indexDir, Seq(0L).toDF("vec_id"))
+    val qex = intercept[IllegalArgumentException] {
+      Similarity.annIvfIndexed(spark, dir, indexDir).collect()
+    }
+    assert(qex.getMessage.contains("vec_id=0"))
+    // registry wrapper (fresh dirs, unaffected by the deletes above):
+    // same build inputs + seed as the append wrapper,
     // so what it deleted is exactly the append wrapper's top-3 — the
     // served list must exclude those and open with append's ranks 4–10
     val viaAppend = Similarity.queries("c3_ann_index_append")(spark, dir)
