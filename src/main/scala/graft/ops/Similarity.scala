@@ -1099,7 +1099,7 @@ object Similarity {
     * fill /tmp ([[ensureIndex]] solves the same problem for the cached
     * index via superseded-fingerprint GC; wrappers use this). Shared
     * with graft.ops.Training's persisted-LM wrapper. */
-  private[ops] def freshScratch(spark: SparkSession, prefix: String): java.nio.file.Path = {
+  private[graft] def freshScratch(spark: SparkSession, prefix: String): java.nio.file.Path = {
     import scala.jdk.CollectionConverters._
     val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     java.nio.file.Files.list(tmpRoot).iterator().asScala

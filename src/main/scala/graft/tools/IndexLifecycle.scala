@@ -40,8 +40,9 @@ object IndexLifecycle {
 
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
-    val idx = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_ivf_lifecycle_${spark.sparkContext.applicationId}")
+    // prefix-GC'd scratch: repeated rehearsals must not accumulate
+    // multi-hundred-MB index copies in /tmp
+    val idx = Similarity.freshScratch(spark, "graft_ivf_lifecycle_")
     def vecFiles = Files.walk(idx.resolve("vectors")).iterator().asScala
       .count(p => Files.isRegularFile(p) &&
         p.getFileName.toString.endsWith(".parquet"))
@@ -86,6 +87,8 @@ object IndexLifecycle {
       f""""probe_fragmented_sec":$probeFragmented%.2f,""" +
       f""""probe_compacted_sec":$probeCompacted%.2f,""" +
       f""""compact_sec":$compactSec%.1f,"rebuild_sec":$rebuildSec%.1f}""")
+    Similarity.deleteTree(idx)
+    Similarity.deleteTree(rebuild)
     spark.stop()
   }
 }
