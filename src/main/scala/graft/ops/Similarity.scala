@@ -78,7 +78,7 @@ object Similarity {
   /** The stateless banded-minhash projection, shared VERBATIM by the
     * batch candidate join below and the streaming composition (c22) —
     * one formula, two execution modes. */
-  private val minhashSigSql =
+  private[ops] val minhashSigSql =
     """transform(array(transform(shingles, s -> xxhash64(s))), hs ->
       |  transform(sequence(0, 63), i ->
       |    array_min(transform(hs, h -> xxhash64(h, i)))))[0]""".stripMargin
@@ -281,6 +281,153 @@ object Similarity {
         """round(size(array_intersect(sa, sb)) * 1.0D /
           |(size(sa) + size(sb) - size(array_intersect(sa, sb))), 4)""".stripMargin).as("j"))
       .filter(col("j") >= 0.8)
+  }
+
+  // ------------------------------------------------------------------
+  // C27 — PERSISTENT near-dup signature store: the c24b/IVF-index
+  // treatment applied to MinHash dedup. Every batch variant above
+  // re-shingles and re-signs the WHOLE corpus per run, and c22 keeps
+  // its bucket state only inside one streaming session — but the
+  // daily-crawl reality is "dedup this arrival batch against a 100 TB
+  // corpus", which must not pay a corpus-sized text pass per batch.
+  // The store persists three tables under an index dir:
+  //   shingles/  (doc_id, hs)   — distinct xxhash64'd 3-gram shingles
+  //   bands/     (bkh, doc_id)  — the doc's 16 banded-minhash bucket
+  //                               keys, each folded to ONE 8-byte
+  //                               xxhash64 of the (band, key) struct
+  //   pairs/     (da, db, j)    — the verified near-dup pair set so far
+  // A new batch shingles/signs ITSELF (Θ(batch) — the same stateless
+  // banded projection the batch join and c22 share), probes bands/ for
+  // arrival-vs-corpus candidates plus itself for arrival-vs-arrival,
+  // exact-verifies every candidate by hashed-shingle Jaccard against
+  // shingles/, and appends all three tables — so pairs/ stays COMPLETE:
+  // after build(95%) + append(5%) it equals the exact n-gram pair set
+  // on the union, the same ngramPairsOracle contract the batch
+  // composition (c2_dedup_ngram_scaled) and the stream (c22) obey.
+  //
+  // 100 TB shape: the per-batch cost never touches corpus TEXT. The
+  // candidate probe is a map-side scan of bands/ (16 × 16-byte rows
+  // per doc ≈ 1% of corpus bytes) against the BROADCAST arrival band
+  // keys — no corpus shuffle, no sort (c12 doctrine); the verify joins
+  // fetch only candidate docs' shingle sets from shingles/. Batches
+  // are caller-chunked to broadcast size (~100k docs); above that the
+  // same plan runs with the probe hinted shuffle_hash. Single-writer
+  // append contract like the IVF index; re-appending a batch is the
+  // caller's to prevent (or guard with a marker, as appendToIvfIndex).
+
+  /** Minhash signature computed from the HASHED shingle set instead of
+    * the raw strings. Bit-identical to [[minhashSigSql]]: that formula
+    * is `min over shingles of xxhash64(xxhash64(s), i)` and `hs` holds
+    * exactly `array_distinct(transform(shingles, s -> xxhash64(s)))` —
+    * a min is insensitive to the dedup, so hashing first changes
+    * nothing (pinned in TierCSpec). This is what lets the store verify
+    * AND re-sign from 8-byte longs without ever re-reading text. */
+  private[ops] val minhashSigFromHsSql =
+    """transform(array(hs), h0 ->
+      |  transform(sequence(0, 63), i ->
+      |    array_min(transform(h0, h -> xxhash64(h, i)))))[0]""".stripMargin
+
+  /** (doc_id, hs) → (bkh, doc_id): the 16 banded bucket keys, folded
+    * to one xxhash64 each. Folding the (band, key) struct to 8 bytes
+    * can only ADD candidates (a fold collision pairs two unrelated
+    * buckets — killed by exact verification), never lose one: equal
+    * slices always fold equal. */
+  private def bandKeysOf(sh: DataFrame): DataFrame =
+    sh.withColumn("sigs", expr(minhashSigFromHsSql))
+      .select(col("doc_id"), explode(expr(bandKeysSql)).as("bk"))
+      .select(xxhash64(col("bk")).as("bkh"), col("doc_id"))
+
+  /** Exact hashed-shingle Jaccard over candidate (da, db) pairs, with
+    * shingle sets fetched from `sh` — the one place candidate docs'
+    * (still only hashed) content is touched. */
+  private def verifyPairs(cands: DataFrame, sh: DataFrame): DataFrame =
+    cands
+      .join(sh.select(col("doc_id").as("da"), col("hs").as("ha")), Seq("da"))
+      .join(sh.select(col("doc_id").as("db"), col("hs").as("hb")), Seq("db"))
+      .select(col("da"), col("db"), expr(
+        """round(size(array_intersect(ha, hb)) * 1.0D /
+          |(size(ha) + size(hb) - size(array_intersect(ha, hb))), 4)""".stripMargin).as("j"))
+      .filter(col("j") >= 0.8)
+
+  /** (doc_id, hs) projection of a raw documents frame — the only pass
+    * that reads text; everything downstream is 8-byte longs. */
+  private def hashedShingles(spark: SparkSession, docs: DataFrame): DataFrame =
+    withShingles(docs.repartition(spark.sparkContext.defaultParallelism))
+      .select(col("doc_id"),
+        expr("array_distinct(transform(shingles, s -> xxhash64(s)))").as("hs"))
+
+  /** Build the store: one text pass writes shingles/, then bands/ and
+    * the corpus-internal pairs/ derive from the PERSISTED hashes (the
+    * shingle pass is the expensive one — recomputing it per derived
+    * table would triple the corpus read). */
+  def buildNearDupIndex(spark: SparkSession, docs: DataFrame, indexDir: String): Unit = {
+    hashedShingles(spark, docs)
+      .write.mode("overwrite").parquet(s"$indexDir/shingles")
+    val sh = spark.read.parquet(s"$indexDir/shingles")
+    bandKeysOf(sh).write.mode("overwrite").parquet(s"$indexDir/bands")
+    val bands = spark.read.parquet(s"$indexDir/bands")
+    val cands = bands.as("a").hint("shuffle_hash").join(bands.as("b"),
+        col("a.bkh") === col("b.bkh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    verifyPairs(cands, sh).write.mode("overwrite").parquet(s"$indexDir/pairs")
+  }
+
+  /** Dedup an arrival batch against the store WITHOUT re-signing the
+    * corpus, then append it. Returns nothing — the updated pairs/ is
+    * the result surface ([[nearDupIndexPairs]]); new-pair extraction is
+    * an anti-join away if a caller wants just the delta. Arrival ids
+    * must be new (guarded loudly, the appendToIvfIndex doctrine: a
+    * re-appended id would duplicate its band rows and self-pair). */
+  def appendToNearDupIndex(spark: SparkSession, indexDir: String, newDocs: DataFrame): Unit = {
+    // localCheckpoint: the arrival projection feeds four consumers
+    // (guard, candidates, verify, two appends) — without it each
+    // re-shingles the batch (same harness-local choice as knnJoinIvf2)
+    val arr = hashedShingles(spark, newDocs).localCheckpoint()
+    val corpusSh = spark.read.parquet(s"$indexDir/shingles")
+    val clash = corpusSh.select(col("doc_id"))
+      .join(broadcast(arr.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+      .limit(5).collect().map(_.getLong(0))
+    require(clash.isEmpty,
+      s"arrival batch re-inserts indexed doc ids ${clash.mkString(", ")} — " +
+        "appending would duplicate their band rows and emit self-pairs; " +
+        "dedup the batch against the store's ids first")
+    val arrBands = bandKeysOf(arr)
+    val corpusBands = spark.read.parquet(s"$indexDir/bands")
+    // candidates: arrival keys vs (corpus ∪ arrival) keys. The arrival
+    // side BROADCASTS, so the corpus bands scan is map-only — the whole
+    // probe is one pass over 16-byte rows with zero exchange of corpus
+    // data. least/greatest + distinct folds the doubled arrival-arrival
+    // matches and the multi-band collisions alike.
+    val allBands = corpusBands.unionByName(arrBands)
+    val cands = allBands.as("b")
+      .join(broadcast(arrBands).as("a"),
+        col("a.bkh") === col("b.bkh") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("da"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("db"))
+      .distinct()
+    val newPairs = verifyPairs(cands, corpusSh.unionByName(arr))
+    newPairs.write.mode("append").parquet(s"$indexDir/pairs")
+    arrBands.write.mode("append").parquet(s"$indexDir/bands")
+    arr.write.mode("append").parquet(s"$indexDir/shingles")
+  }
+
+  /** The store's verified near-dup pair set, total-ordered. */
+  def nearDupIndexPairs(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/pairs").orderBy("da", "db")
+
+  /** Registry wrapper: build the store on the 95% slice (doc_id ≢ 7
+    * mod 20 — the c24b split), append the held-out 5% as the arrival
+    * batch, read pairs/ back. Must hash-match the exact n-gram pair
+    * oracle over ALL documents — corpus-internal pairs from the build,
+    * arrival-crossing pairs from the append, none double-counted. */
+  def dedupIncrementalQuery(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val idx = freshScratch(spark, s"graft_neardup_idx_${key}_")
+    val docs = Relational.table(spark, dir, "documents")
+    buildNearDupIndex(spark, docs.filter(col("doc_id") % 20 =!= 7), idx.toString)
+    appendToNearDupIndex(spark, idx.toString, docs.filter(col("doc_id") % 20 === 7))
+    nearDupIndexPairs(spark, idx.toString)
   }
 
   // C2c — SimHash near-dup: 256-bit frequency-weighted token simhash
@@ -1128,6 +1275,7 @@ object Similarity {
     "c2_dedup_minhash" -> (dedupMinHash _),
     "c2_dedup_ngram_scaled" -> (dedupNgramScaled _),
     "c22_dedup_stream_near" -> (dedupStreamNear _),
+    "c27_dedup_incremental" -> (dedupIncrementalQuery _),
     "c2_dedup_simhash" -> (dedupSimHash _),
     "c2_dedup_cosine" -> (dedupCosine _),
     "c2_dedup_cosine_lsh" -> (dedupCosineLsh _),
@@ -1164,6 +1312,8 @@ object Similarity {
     "c2_dedup_ngram_scaled" -> ngramPairsOracle,
     // ... and so must the streaming composition, batch-split and all
     "c22_dedup_stream_near" -> ngramPairsOracle,
+    // ... and the persistent store after build(95%) + append(5%)
+    "c27_dedup_incremental" -> ngramPairsOracle,
     "c2_dedup_cosine" ->
       """SELECT a.vec_id AS va, b.vec_id AS vb,
         |  round(cast(list_cosine_similarity(cast(a.embedding as double[]),

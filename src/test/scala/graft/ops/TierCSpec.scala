@@ -36,6 +36,51 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
       s"minhash missed ${(exact -- approx).size} of ${exact.size} true pairs")
   }
 
+  test("C27 persistent near-dup store: build+append pair set = exact n-gram pairs") {
+    // the store's contract: after build(95%) + append(5%), pairs/ holds
+    // exactly the exact-path pair set on the union — corpus-internal
+    // pairs from the build, arrival-crossing ones from the append
+    val exact = Similarity.dedupNgram(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val store = Similarity.dedupIncrementalQuery(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    assert(store == exact,
+      s"store missed ${(exact -- store).size}, invented ${(store -- exact).size} of ${exact.size}")
+    // arrival-crossing pairs actually exercised: at least one pair
+    // touches a held-out (doc_id % 20 == 7) arrival id
+    assert(exact.exists(p => p._1 % 20 == 7 || p._2 % 20 == 7),
+      "split leaves no arrival-crossing pairs — spec would not test the append path")
+  }
+
+  test("C27 hs-based minhash signature is bit-identical to the string-based formula") {
+    // the store re-signs from persisted 8-byte hashes; the claim that
+    // min(xxhash64(xxhash64(s), i)) over a DISTINCT hash set equals the
+    // string formula over the raw multiset is load-bearing — pin it
+    val docs = Relational.table(spark, dir, "documents").limit(200)
+    val sh = docs.withColumn("shingles", expr(
+      """transform(array(split(text, ' ')), toks ->
+        |  array_distinct(CASE WHEN size(toks) < 3 THEN array(text)
+        |  ELSE transform(sequence(0, size(toks) - 3),
+        |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |  END))[0]""".stripMargin))
+    val both = sh
+      .withColumn("hs", expr("array_distinct(transform(shingles, s -> xxhash64(s)))"))
+      .withColumn("sig_str", expr(Similarity.minhashSigSql))
+      .withColumn("sig_hs", expr(Similarity.minhashSigFromHsSql))
+    assert(both.filter(col("sig_str") =!= col("sig_hs")).count() == 0)
+  }
+
+  test("C27 re-appending indexed ids is rejected loudly") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_c27_guard_").toString
+    val docs = Relational.table(spark, dir, "documents")
+    Similarity.buildNearDupIndex(spark, docs.filter(col("doc_id") < 100), idx)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToNearDupIndex(spark, idx, docs.filter(col("doc_id") < 10))
+    }
+    assert(e.getMessage.contains("re-inserts indexed doc ids"))
+  }
+
   test("C2 simhash: near-identical docs collide within hamming radius") {
     val exact = Similarity.dedupNgram(spark, dir)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
