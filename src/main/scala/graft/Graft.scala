@@ -16,6 +16,7 @@ object Graft {
       .master(master)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
     if (shufflePartitions > 0) b.config("spark.sql.shuffle.partitions", shufflePartitions)

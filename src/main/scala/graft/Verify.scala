@@ -15,6 +15,7 @@ object Verify {
       // events.ts is parquet TIMESTAMP(NANOS): read as long, convert in
       // Relational.events (Spark has no native nanos timestamp read)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // local mode needs no tight liveness detection: GC pauses under the
       // O(n²) baselines at large SF can exceed the 10s default heartbeat,
       // and a "dead" local executor takes the whole context down with it

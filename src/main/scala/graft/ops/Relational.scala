@@ -19,16 +19,27 @@ object Relational {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * only reads via `spark.sql.legacy.parquet.nanosAsLong` (set in every
-    * session builder here). Convert ns→µs with integer `div` (a double
-    * division would lose sub-µs bits at 1e18 magnitudes) — same floor
-    * semantics as DuckDB's ns→µs truncation, so oracles align. */
+  /** The events table has stored `ts` as parquet TIMESTAMP(NANOS) (read
+    * via `spark.sql.legacy.parquet.nanosAsLong`, set in every session
+    * builder here) and, since the round-7 testdata, TIMESTAMP(MICROS)
+    * with isAdjustedToUTC=false — which Spark 4 would surface as
+    * TIMESTAMP_NTZ and break every `unix_micros`/watermark consumer.
+    * Every builder therefore also sets
+    * `spark.sql.parquet.inferTimestampNTZ.enabled=false`, restoring the
+    * pre-3.4 read (LTZ carrying the same micros; the UTC session
+    * timezone keeps wall-clock semantics identical to DuckDB's naive
+    * timestamps). The ns branch converts ns→µs with integer `div` (a
+    * double division would lose sub-µs bits at 1e18 magnitudes) — same
+    * floor semantics as DuckDB's ns→µs truncation, so oracles align.
+    * The NTZ cast branch is belt-and-braces for sessions missing the
+    * conf: with a UTC session timezone it is value-identical. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }

@@ -536,27 +536,36 @@ object Similarity {
         |(x, d) -> cast(x + IF((xxhash64(concat('jit_', cast(d as string), '_', cast(vec_id as string))) & 1) = 1, 0.001D, -0.001D) as float))"""
         .stripMargin).as("embedding"),
       col("label"))
-    // 256-bit codegen'd signature (graft_srp_sign; word 0 reproduces the
-    // old srpSigExpr bit-for-bit — same seed-42 matrix prefix), banded
-    // 8×32 bits. The original 4×16-bit banding saturates its 65536-key
-    // space once n outgrows it: the sf100 rehearsal (4M rows incl. the
-    // planted noisy copies) averaged 61 rows per bucket, and the
-    // within-bucket pairing alone went quadratic — 723 s, 35× the sf10
-    // time on 10× the rows. 32-bit keys put the key space back above n
-    // (buckets are similarity-structured again, not birthday-collided),
-    // and 8 bands of the wider keys keep planted-dup recall ≥ 1−1e-7.
-    // Band keys must grow with log₂(n) — a fixed-width LSH bucket key
-    // is a scale ceiling, the same lesson as k ≈ √n for IVF cells.
+    // Band keys are sized from n AT RUNTIME — the round-6 lesson made
+    // structural. A fixed key width is a scale ceiling twice over: the
+    // original 4×16-bit banding birthday-saturated its 65536-key space
+    // at 4M rows (723 s — buckets collided by coincidence, not
+    // similarity), and the 8×32-bit rebanding that rescued it still
+    // grew 15.5× on the sf10→sf100 decade because the background pairs
+    // (this corpus' mode cos ≈ 0.5 → per-bit agreement p = 1 − 60°/180°
+    // = 2/3) collide in a 32-bit band at (2/3)³² ≈ 2e-6 — times n²/2
+    // pairs, a quadratically-growing candidate set. Sizing the key at
+    // log_{1/p}(n) bits (+4 margin) holds expected background
+    // candidates per band at ~O(n) at ANY scale: 32 bits below ~8e5
+    // rows, 42 at sf100's 4M, 56 by ~1e10. Planted near-dups (cos ≥
+    // 0.99 → p ≥ 0.997) still collide per band at ≥ 0.86 even at the
+    // 56-bit cap, so 8 bands keep recall ≥ 1 − 1e-7. Each band masks
+    // its OWN 64-plane word of the 512-bit codegen'd signature (word 0
+    // reproduces the old srpSigExpr bit-for-bit — same seed-42 matrix).
+    val n = base.count() * 2 // planted copies double the corpus
+    val bBits = math.min(56, math.max(32,
+      math.ceil(math.log(n.toDouble) / math.log(1.5)).toInt + 4))
+    val mask = (1L << bBits) - 1
     val e = base.unionByName(noisy)
       .repartition(spark.sparkContext.defaultParallelism)
-      .withColumn("sigs", expr("graft_srp_sign(embedding, 42L, 4)"))
+      .withColumn("sigs", expr("graft_srp_sign(embedding, 42L, 8)"))
     // sigs bound once inside the band transform — otherwise the optimizer
-    // may inline the whole 256-plane projection per band (see withShingles)
+    // may inline the whole 512-plane projection per band (see withShingles)
     val banded = e.select(col("vec_id"), col("embedding"),
       explode(expr(
-        """transform(array(sigs), sg ->
-          |  transform(sequence(0, 7), b -> named_struct(
-          |    'band', b, 'key', shiftright(sg[b div 2], (b % 2) * 32) & 4294967295L)))[0]""".stripMargin)).as("bk"))
+        s"""transform(array(sigs), sg ->
+           |  transform(sequence(0, 7), b -> named_struct(
+           |    'band', b, 'key', sg[b] & ${mask}L)))[0]""".stripMargin)).as("bk"))
     banded.as("a").hint("shuffle_hash").join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
@@ -633,6 +642,14 @@ object Similarity {
     val e = embeddings
       .withColumn("features", array_to_vector(expr("cast(embedding as array<double>)")))
     val model = fitCoarse(e)
+    // The layout lands in a fresh GENERATION dir (vectors.gNNNNN) and
+    // becomes live when Spark's _SUCCESS commits it — the IndexMeta
+    // protocol that replaced the round-6 java.nio directory renames
+    // (no atomic dir rename exists on S3/HDFS; max-committed-generation
+    // resolution needs none). A REBUILD over an existing index writes
+    // the next generation and GCs the old ones after commit, so a
+    // crash mid-rebuild leaves the previous generation live.
+    val (genDir, oldGens) = IndexMeta.nextGen(spark, indexDir)
     model.transform(e)
       .withColumn("sigs", expr(s"graft_srp_sign(embedding, 42L, $sigWords)"))
       .select(col("vec_id"), col("embedding"), col("sigs"), col("cell"))
@@ -643,13 +660,17 @@ object Similarity {
       // [[compactIvfIndex]]'s per-cell size targets take over from here.
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexDir/vectors")
+      .parquet(genDir)
     val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat).toSeq)
     }
     import spark.implicits._
     cents.toSeq.toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    oldGens.foreach(IndexMeta.delete(spark, _))
+    // stale tombstones name ids of the REPLACED corpus — they must not
+    // suppress rows of the rebuilt one
+    IndexMeta.delete(spark, s"$indexDir/tombstones")
   }
 
   /** The index's LIVE vector set: the cell-partitioned layout minus any
@@ -663,12 +684,18 @@ object Similarity {
     * accumulates more than one window of deletes here. No tombstones
     * dir → the reader is the bare layout scan, anti-join-free. */
   private def liveIndexVectors(spark: SparkSession, indexDir: String): DataFrame = {
-    val v = spark.read.parquet(s"$indexDir/vectors")
-    val t = java.nio.file.Paths.get(indexDir, "tombstones")
-    if (java.nio.file.Files.exists(t))
-      v.join(broadcast(spark.read.parquet(t.toString)), Seq("vec_id"), "left_anti")
+    val v = spark.read.parquet(liveVectorsPath(spark, indexDir))
+    val t = s"$indexDir/tombstones"
+    if (IndexMeta.exists(spark, t))
+      v.join(broadcast(spark.read.parquet(t)), Seq("vec_id"), "left_anti")
     else v
   }
+
+  /** The committed vectors layout a reader of this index resolves to
+    * right now (max committed generation — see [[IndexMeta]]).
+    * Exposed for specs and the lifecycle rehearsal tool. */
+  private[graft] def liveVectorsPath(spark: SparkSession, indexDir: String): String =
+    IndexMeta.requireLiveVectors(spark, indexDir)
 
   /** Delete vectors from the index by id: append the ids to the
     * tombstone table — O(deletes) work, no touch of the vectors layout.
@@ -757,22 +784,35 @@ object Similarity {
     * double-apply. Without `batchId`, retries are the caller's problem. */
   def appendToIvfIndex(spark: SparkSession, indexDir: String, newVectors: DataFrame,
                        batchId: Option[String] = None): Unit = {
-    import java.nio.file.{Files, Paths}
-    val marker = batchId.map(b => Paths.get(indexDir,
-      s"_appended_${b.replaceAll("[^A-Za-z0-9._-]", "_")}"))
-    if (marker.exists(Files.exists(_))) return
-    val tomb = Paths.get(indexDir, "tombstones")
-    if (Files.exists(tomb)) {
+    val marker = batchId.map(b =>
+      s"$indexDir/_appended_${b.replaceAll("[^A-Za-z0-9._-]", "_")}")
+    if (marker.exists(IndexMeta.exists(spark, _))) return
+    val vecDir = liveVectorsPath(spark, indexDir)
+    val tomb = s"$indexDir/tombstones"
+    if (IndexMeta.exists(spark, tomb)) {
       val clash = newVectors.select(col("vec_id"))
-        .join(broadcast(spark.read.parquet(tomb.toString)), Seq("vec_id"), "left_semi")
+        .join(broadcast(spark.read.parquet(tomb)), Seq("vec_id"), "left_semi")
         .limit(5).collect().map(_.getLong(0))
       require(clash.isEmpty,
         s"batch re-inserts tombstoned ids ${clash.mkString(", ")} — the old rows " +
-          s"are still physically in $indexDir/vectors, so appending now would " +
+          s"are still physically in $vecDir, so appending now would " +
           "either serve two rows per id or lose the new one. Run " +
           "compactIvfIndex first (makes deletes physical, clears tombstones), " +
           "then re-insert.")
     }
+    // ids already LIVE in the layout are rejected just as loudly: an
+    // overlapping append would serve two rows per id on every probe
+    // (round-6 advice — the overlap was silently accepted). Cost: a
+    // map-side scan of the layout's 8-byte id column against the
+    // broadcast batch ids — the one column parquet pruning keeps, a
+    // small fraction of index bytes, paid once per arrival batch.
+    val liveClash = spark.read.parquet(vecDir).select(col("vec_id"))
+      .join(broadcast(newVectors.select(col("vec_id"))), Seq("vec_id"), "left_semi")
+      .limit(5).collect().map(_.getLong(0))
+    require(liveClash.isEmpty,
+      s"batch re-inserts ids already live in the index ${liveClash.mkString(", ")} — " +
+        "every probe would serve two rows per id. Dedup the batch against " +
+        "the indexed ids first (or delete + compact to replace them).")
     GraftFunctions.register(spark)
     val cents = spark.read.parquet(s"$indexDir/centroids")
       .select(col("cell"), col("centroid"))
@@ -795,8 +835,8 @@ object Similarity {
       // creation (IndexLifecycle rehearsal, BASELINE.md round 6).
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell")
-      .parquet(s"$indexDir/vectors")
-    marker.foreach(Files.createFile(_))
+      .parquet(vecDir)
+    marker.foreach(IndexMeta.createMarker(spark, _))
   }
 
   /** C3b4 — index COMPACTION: rewrite the vectors layout so each cell
@@ -820,55 +860,58 @@ object Similarity {
     * salt) at ~targetFileBytes each, hot cells split, cold cells
     * coalesce to one.
     *
-    * Swap discipline: the rewrite lands in a staging dir under the
-    * index root, then `vectors` is moved aside and staging moved in
-    * (two ATOMIC_MOVEs). Unlike the build's single-rename publish this
-    * is NOT concurrent-reader-safe — compaction is a maintenance op
-    * for a quiesced index (single-writer window, the norm for vector
-    * stores). Crash-safety holds at every step: nothing is deleted
-    * until the new layout is in place, and a crash between the moves
-    * leaves the full old layout recoverable as `vectors.old_<appId>`. */
+    * Commit discipline: the rewrite lands in the next GENERATION dir
+    * and becomes live the instant Spark's `_SUCCESS` commits it —
+    * readers resolve the max committed generation, so there is no
+    * rename anywhere and the protocol works unchanged on S3/HDFS
+    * ([[IndexMeta]]). Crash-safe at every step: the old generation is
+    * deleted only after the new one is committed, and a crash before
+    * commit leaves the old one live (the orphan is swept by the next
+    * build/compact). The one remaining concurrency hazard is the final
+    * GC racing a reader that resolved the OLD generation before the
+    * commit — compaction stays a maintenance op for a quiesced index,
+    * but the unsafe window shrank from the whole double-rename swap to
+    * that single delete. */
   def compactIvfIndex(spark: SparkSession, indexDir: String,
                       targetFileBytes: Long = 128L << 20): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
     import spark.implicits._
-    val root = Paths.get(indexDir)
-    val vecDir = root.resolve("vectors")
+    val vecDir = liveVectorsPath(spark, indexDir)
     // live set only: the rewrite is where tombstoned rows become
-    // physically absent; the table clears AFTER the swap (idempotent —
+    // physically absent; the table clears AFTER the commit (idempotent —
     // a crash in between leaves tombstones whose ids no longer match)
     val v = liveIndexVectors(spark, indexDir)
-    val totalBytes = Files.walk(vecDir).iterator().asScala
-      .filter(p => Files.isRegularFile(p) &&
-        p.getFileName.toString.endsWith(".parquet"))
-      .map(Files.size).sum
+    val totalBytes = IndexMeta.bytesUnder(spark, vecDir, ".parquet")
     val counts = v.groupBy(col("cell").cast("int").as("cell")).count()
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     // bytes/row over the RAW layout (tombstoned rows still occupy the
     // files being measured) — dividing by the live count would inflate
     // the estimate ~2× after heavy deletes and halve the file sizes
-    val rawRows = spark.read.parquet(vecDir.toString).count().max(1L)
+    val rawRows = spark.read.parquet(vecDir).count().max(1L)
     val bytesPerRow = totalBytes.toDouble / rawRows
     val filesPerCell = counts.map { case (c, n) =>
       (c, math.max(1L, math.ceil(n * bytesPerRow / targetFileBytes).toLong))
     }
-    // max(1): a fully-tombstoned index still compacts to a valid
-    // (empty) layout instead of throwing on repartition(0)
-    val totalFiles = filesPerCell.map(_._2).sum.toInt.max(1)
-    val staging = root.resolve(
-      s"vectors.compact_${spark.sparkContext.applicationId}")
-    v.join(broadcast(filesPerCell.toSeq.toDF("cell", "nf")), "cell")
-      .withColumn("salt", pmod(xxhash64(col("vec_id")), col("nf")))
-      .repartition(totalFiles, col("cell"), col("salt"))
-      .select(col("vec_id"), col("embedding"), col("sigs"), col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(staging.toString)
-    val old = root.resolve(s"vectors.old_${spark.sparkContext.applicationId}")
-    Files.move(vecDir, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(staging, vecDir, StandardCopyOption.ATOMIC_MOVE)
-    deleteTree(old)
-    deleteTree(root.resolve("tombstones")) // now physical; table resets
+    val (nextDir, oldGens) = IndexMeta.nextGen(spark, indexDir)
+    if (counts.isEmpty) {
+      // a fully-tombstoned index compacts to ONE empty schema-bearing
+      // file, written non-partitioned (there are no cells left to
+      // partition by): an empty partitionBy write emits only _SUCCESS
+      // and the next read dies on schema inference (round-6 advice —
+      // the old max(1) guard claimed this case worked; it didn't)
+      v.select(col("vec_id"), col("embedding"), col("sigs"),
+          col("cell").cast("int").as("cell"))
+        .repartition(1)
+        .write.mode("overwrite").parquet(nextDir)
+    } else {
+      v.join(broadcast(filesPerCell.toSeq.toDF("cell", "nf")), "cell")
+        .withColumn("salt", pmod(xxhash64(col("vec_id")), col("nf")))
+        .repartition(filesPerCell.map(_._2).sum.toInt, col("cell"), col("salt"))
+        .select(col("vec_id"), col("embedding"), col("sigs"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(nextDir)
+    }
+    oldGens.foreach(IndexMeta.delete(spark, _))
+    IndexMeta.delete(spark, s"$indexDir/tombstones") // now physical; table resets
   }
 
   /** Registry wrapper for the append path: build a fresh index from a
@@ -1196,75 +1239,74 @@ object Similarity {
     twoLevelJoinOn(spark, vectors, flat, dim)
   }
 
-  /** Shared index-location contract of the registry wrappers: under
-    * java.io.tmpdir, keyed by the data dir AND a fingerprint of the
-    * embeddings files (names + sizes + mtimes). The fingerprint is the
-    * staleness guard: a regenerated corpus at the same path must get a
-    * fresh index — a path-only key would silently serve vectors from
-    * the previous corpus. Builds go to a process-unique staging dir and
-    * publish with one atomic rename, so two concurrent builders of the
-    * same index race harmlessly (loser discards its staging) and a
-    * reader can never observe a half-written index. A successful build
-    * then GCs superseded-fingerprint indexes of the same data dir. */
+  /** Shared index-location contract of the registry wrappers: under a
+    * scratch root (`graft.index.root` conf; default java.io.tmpdir),
+    * keyed by the data dir AND a fingerprint of the embeddings files
+    * (names + sizes + mtimes via `FileSystem.listStatus`). The
+    * fingerprint is the staleness guard: a regenerated corpus at the
+    * same path must get a fresh index — a path-only key would silently
+    * serve vectors from the previous corpus. Builds go DIRECTLY to a
+    * builder-unique dir (key + fingerprint + appId) and publish by
+    * writing centroids LAST: readiness = `centroids/_SUCCESS`, the
+    * same commit-marker resolution as the vectors generations — no
+    * renames anywhere, so the contract holds on object stores too.
+    * Concurrent builders of the same fingerprint build side by side
+    * (content is deterministic — the dirs are interchangeable) and
+    * readers take the first ready one. A successful build then GCs
+    * READY indexes of superseded fingerprints of the same data dir
+    * (in-flight builds are not ready and are never touched). */
   private def ensureIndex(spark: SparkSession, dir: String): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
-    val src = Paths.get(dir, "embeddings.parquet")
-    val fp = Files.walk(src).iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .map(f => s"${f.getFileName}:${Files.size(f)}:${
-        Files.getLastModifiedTime(f).toMillis}")
-      .toSeq.sorted.mkString("|").hashCode.toHexString
+    val files = IndexMeta.list(spark, s"$dir/embeddings.parquet").filter(_.isFile)
+    val fp = files.map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+      .sorted.mkString("|").hashCode.toHexString
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val tmpRoot = Paths.get(System.getProperty("java.io.tmpdir"))
-    val indexPath = tmpRoot.resolve(s"graft_ivf_index_${key}_$fp")
-    if (!Files.exists(indexPath.resolve("centroids"))) {
-      val staging = tmpRoot.resolve(
-        s"${indexPath.getFileName}.build_${spark.sparkContext.applicationId}")
-      buildIvfIndex(spark, dir, staging.toString)
-      try Files.move(staging, indexPath, StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileSystemException
-            if Files.exists(indexPath.resolve("centroids")) =>
-          deleteTree(staging) // lost the publish race — the winner's index serves
+    val tmpRoot = spark.conf.getOption("graft.index.root")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val prefix = s"graft_ivf_index_${key}_"
+    def ready(p: String) = IndexMeta.exists(spark, s"$p/centroids/_SUCCESS")
+    IndexMeta.list(spark, tmpRoot)
+      .filter(_.getPath.getName.startsWith(s"$prefix${fp}_"))
+      .map(_.getPath.toString).sorted.find(ready)
+      .getOrElse {
+        val mine = s"$tmpRoot/$prefix${fp}_${spark.sparkContext.applicationId}"
+        buildIvfIndex(spark, dir, mine)
+        IndexMeta.list(spark, tmpRoot)
+          .filter { st =>
+            val n = st.getPath.getName
+            n.startsWith(prefix) && !n.startsWith(s"$prefix${fp}_") &&
+              ready(st.getPath.toString)
+          }
+          .foreach(st => IndexMeta.delete(spark, st.getPath.toString))
+        mine
       }
-      Files.list(tmpRoot).iterator().asScala
-        .filter { p =>
-          val n = p.getFileName.toString
-          n.startsWith(s"graft_ivf_index_${key}_") && p != indexPath &&
-            !n.contains(".build_") // never touch another process's in-flight staging
-        }
-        .foreach(deleteTree)
-    }
-    indexPath.toString
   }
 
-  /** Per-app scratch dir under java.io.tmpdir with PREFIX GC: every
-    * leftover dir from previous runs of the same wrapper (any appId) is
-    * removed before the current one is handed out — without this each
-    * Verify/sweep run leaks a full index copy and repeated rehearsals
-    * fill /tmp ([[ensureIndex]] solves the same problem for the cached
-    * index via superseded-fingerprint GC; wrappers use this). Shared
-    * with graft.ops.Training's persisted-LM wrapper. */
-  private[graft] def freshScratch(spark: SparkSession, prefix: String): java.nio.file.Path = {
-    import scala.jdk.CollectionConverters._
-    val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    java.nio.file.Files.list(tmpRoot).iterator().asScala
-      .filter(_.getFileName.toString.startsWith(prefix))
-      .foreach(deleteTree)
-    tmpRoot.resolve(s"$prefix${spark.sparkContext.applicationId}")
-  }
+  private val scratchSeq = new java.util.concurrent.atomic.AtomicLong()
 
-  /** Race-tolerant recursive delete: two processes may GC the same
-    * superseded index concurrently, so entries vanishing mid-walk are
-    * the expected case, not an error. */
-  private[graft] def deleteTree(p: java.nio.file.Path): Unit =
-    try {
-      import scala.jdk.CollectionConverters._
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-    } catch { case scala.util.control.NonFatal(_) => () }
+  /** Per-CALL scratch dir under java.io.tmpdir, with SCOPED prefix GC:
+    * leftovers of finished runs (other-app dirs idle ≥ 30 minutes) are
+    * removed before a new dir is handed out — repeated Verify/sweep
+    * runs must not fill /tmp with index copies. Two round-6 advice
+    * findings are structural fixes here: GC never touches another LIVE
+    * process's dirs (the age gate — the old prefix GC deleted any
+    * match, racing concurrent runs), and never this app's own earlier
+    * dirs (a lazily-evaluated frame returned by an earlier wrapper
+    * call may still read them; per-call sequence numbers make reuse
+    * impossible instead). Shared with graft.ops.Training's
+    * persisted-LM wrapper and the lifecycle rehearsal tool. */
+  private[graft] def freshScratch(spark: SparkSession, prefix: String): String = {
+    val tmpRoot = System.getProperty("java.io.tmpdir")
+    val appId = spark.sparkContext.applicationId
+    val now = System.currentTimeMillis()
+    IndexMeta.list(spark, tmpRoot)
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith(prefix) && !n.contains(appId) &&
+          now - st.getModificationTime > 30 * 60 * 1000
+      }
+      .foreach(st => IndexMeta.delete(spark, st.getPath.toString))
+    s"$tmpRoot/$prefix${appId}_${scratchSeq.incrementAndGet()}"
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c3_knn_join_ivf2x" -> ((s: SparkSession, d: String) => knnJoinIvf2Indexed(s, d, ensureIndex(s, d))),

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.ops.Similarity
+import graft.ops.{IndexMeta, Similarity}
 
 /**
  * Rehearsal main for the persistent-IVF-index maintenance cycle
@@ -24,10 +24,12 @@ object IndexLifecycle {
     val sfDir = args(0)
     val batches = if (args.length > 1) args(1).toInt else 8
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // driver memory must come from JVM opts (-Xmx / spark.driver.memory
+    // at launch): setting it via the builder after the JVM is up is a
+    // no-op in local mode (round-6 advice)
     val spark = SparkSession.builder()
       .appName("graft-index-lifecycle").master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.driver.memory", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -38,14 +40,14 @@ object IndexLifecycle {
     def minOf3(body: => Unit): Double =
       (1 to 3).map(_ => sec(body)._2).min
 
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
     // prefix-GC'd scratch: repeated rehearsals must not accumulate
-    // multi-hundred-MB index copies in /tmp
+    // multi-hundred-MB index copies in /tmp. File counts go through
+    // the Hadoop listing helpers — the old Files.walk streams here
+    // were never closed (fd leak in a long-lived driver, round-6
+    // advice) and java.nio wouldn't see a non-local index anyway.
     val idx = Similarity.freshScratch(spark, "graft_ivf_lifecycle_")
-    def vecFiles = Files.walk(idx.resolve("vectors")).iterator().asScala
-      .count(p => Files.isRegularFile(p) &&
-        p.getFileName.toString.endsWith(".parquet"))
+    def vecFiles = IndexMeta.countUnder(spark,
+      Similarity.liveVectorsPath(spark, idx), ".parquet")
 
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val n = e.count()
@@ -74,10 +76,10 @@ object IndexLifecycle {
     val probeCompacted = minOf3 {
       Similarity.annIvfIndexed(spark, sfDir, idx.toString).collect()
     }
-    val rebuild = Paths.get(s"$idx.rebuild")
+    val rebuild = s"$idx.rebuild"
     val (_, rebuildSec) = sec {
       Similarity.buildIvfIndexFrom(
-        spark, e.select(col("vec_id"), col("embedding")), rebuild.toString)
+        spark, e.select(col("vec_id"), col("embedding")), rebuild)
     }
 
     println(f"""{"n":$n,"batches":$batches,"build_sec":$buildSec%.1f,""" +
@@ -87,8 +89,8 @@ object IndexLifecycle {
       f""""probe_fragmented_sec":$probeFragmented%.2f,""" +
       f""""probe_compacted_sec":$probeCompacted%.2f,""" +
       f""""compact_sec":$compactSec%.1f,"rebuild_sec":$rebuildSec%.1f}""")
-    Similarity.deleteTree(idx)
-    Similarity.deleteTree(rebuild)
+    IndexMeta.delete(spark, idx)
+    IndexMeta.delete(spark, rebuild)
     spark.stop()
   }
 }

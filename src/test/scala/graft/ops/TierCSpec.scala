@@ -198,7 +198,7 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     //    argmin squared-L2 recomputed independently, driver-side
     val cents = spark.read.parquet(s"$indexDir/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-    val appended = spark.read.parquet(s"$indexDir/vectors")
+    val appended = spark.read.parquet(Similarity.liveVectorsPath(spark, indexDir))
       .filter(col("vec_id") % 20 === 7 || col("vec_id") === 999999L)
       .select(col("vec_id"), col("embedding"), col("cell"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
@@ -211,7 +211,7 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     }
     // 2. appended signatures match a fresh graft_srp_sign of the same bytes
     graft.functions.GraftFunctions.register(spark)
-    val sigMismatch = spark.read.parquet(s"$indexDir/vectors")
+    val sigMismatch = spark.read.parquet(Similarity.liveVectorsPath(spark, indexDir))
       .filter(col("vec_id") % 20 === 7)
       .withColumn("fresh", expr("graft_srp_sign(embedding, 42L, 4)"))
       .filter(col("sigs") =!= col("fresh")).count()
@@ -236,12 +236,12 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
       e.filter(col("vec_id") % 40 === 7).select(col("vec_id"), col("embedding")))
     Similarity.appendToIvfIndex(spark, indexDir,
       e.filter(col("vec_id") % 40 === 27).select(col("vec_id"), col("embedding")))
-    def filesByCell = Files.walk(Paths.get(indexDir, "vectors")).iterator().asScala
+    def filesByCell = Files.walk(Paths.get(Similarity.liveVectorsPath(spark, indexDir).stripPrefix("file:"))).iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
       .toSeq.groupBy(_.getParent.getFileName.toString)
     assert(filesByCell.values.exists(_.size >= 2),
       "appends should have left at least one cell with multiple files")
-    def snapshot = spark.read.parquet(s"$indexDir/vectors")
+    def snapshot = spark.read.parquet(Similarity.liveVectorsPath(spark, indexDir))
       .select(col("vec_id"), col("embedding"), col("sigs"), col("cell").cast("int"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1), r.getSeq[Long](2), r.getInt(3)))
@@ -257,11 +257,13 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     val after = filesByCell
     assert(after.nonEmpty && after.values.forall(_.size === 1),
       s"cells with >1 file after compact: ${after.filter(_._2.size > 1).keys}")
-    // swap hygiene: no staging or old layout left behind
-    val leftovers = Files.list(Paths.get(indexDir)).iterator().asScala
+    // commit hygiene: exactly the live generation remains — superseded
+    // generations are GC'd after the new one commits
+    val gens = Files.list(Paths.get(indexDir)).iterator().asScala
       .map(_.getFileName.toString)
       .filter(n => n.startsWith("vectors.")).toSeq
-    assert(leftovers.isEmpty, s"leftover swap dirs: $leftovers")
+    assert(gens.size == 1 && gens.head.matches("vectors\\.g\\d{5}"),
+      s"expected one live generation dir, found: $gens")
     // the registry wrapper equals the append wrapper byte-for-byte: same
     // slice, same seed — compaction may only change the file layout
     val viaCompact = Similarity.queries("c3_ann_index_compact")(spark, dir)
@@ -277,23 +279,23 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     val indexDir = Files.createTempDirectory("graft_ivf_split_spec").toString
     val e = Relational.table(spark, dir, "embeddings")
     Similarity.buildIvfIndexFrom(spark, e, indexDir)
-    val rowsBefore = spark.read.parquet(s"$indexDir/vectors").count()
+    val rowsBefore = spark.read.parquet(Similarity.liveVectorsPath(spark, indexDir)).count()
     def probe = Similarity.annIvfIndexed(spark, dir, indexDir)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val before = probe
     // a 4 KB target forces ceil(cellBytes/target) > 1 on every real
     // cell — the salted multi-file path the 128 MB default never takes
     Similarity.compactIvfIndex(spark, indexDir, targetFileBytes = 4096L)
-    val byCell = Files.walk(Paths.get(indexDir, "vectors")).iterator().asScala
+    val byCell = Files.walk(Paths.get(Similarity.liveVectorsPath(spark, indexDir).stripPrefix("file:"))).iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
       .toSeq.groupBy(_.getParent.getFileName.toString)
     assert(byCell.values.exists(_.size > 1),
       s"no cell split at a 4KB target: ${byCell.view.mapValues(_.size).toMap}")
-    assert(spark.read.parquet(s"$indexDir/vectors").count() === rowsBefore)
+    assert(spark.read.parquet(Similarity.liveVectorsPath(spark, indexDir)).count() === rowsBefore)
     assert(probe === before)
     // and a re-compact at the default target coalesces back to one each
     Similarity.compactIvfIndex(spark, indexDir)
-    val coalesced = Files.walk(Paths.get(indexDir, "vectors")).iterator().asScala
+    val coalesced = Files.walk(Paths.get(Similarity.liveVectorsPath(spark, indexDir).stripPrefix("file:"))).iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
       .toSeq.groupBy(_.getParent.getFileName.toString)
     assert(coalesced.values.forall(_.size === 1))
@@ -324,7 +326,7 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       s"tombstone exclusion not a broadcast anti-join:\n$p")
     // ...but the row is still physically in the layout
-    assert(spark.read.parquet(s"$indexDir/vectors")
+    assert(spark.read.parquet(Similarity.liveVectorsPath(spark, indexDir))
       .filter(col("vec_id") === victim).count() === 1)
     // 2. deletes are idempotent: re-deleting changes nothing
     Similarity.deleteFromIvfIndex(spark, indexDir, Seq(victim).toDF("vec_id"))
@@ -332,7 +334,7 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     // 3. compaction makes it physical and clears the tombstone table;
     //    the probe is unchanged by the rewrite
     Similarity.compactIvfIndex(spark, indexDir)
-    assert(spark.read.parquet(s"$indexDir/vectors")
+    assert(spark.read.parquet(Similarity.liveVectorsPath(spark, indexDir))
       .filter(col("vec_id") === victim).count() === 0)
     assert(!Files.exists(Paths.get(indexDir, "tombstones")))
     assert(probe === after)
@@ -350,9 +352,9 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     Similarity.appendToIvfIndex(spark, indexDir, reinsert, batchId = Some("reins-1"))
     assert(probe.head._1 === after.head._1, "re-inserted vector serves again")
     // 5. batchId idempotence: replaying the committed batch is a no-op
-    val rowsNow = spark.read.parquet(s"$indexDir/vectors").count()
+    val rowsNow = spark.read.parquet(Similarity.liveVectorsPath(spark, indexDir)).count()
     Similarity.appendToIvfIndex(spark, indexDir, reinsert, batchId = Some("reins-1"))
-    assert(spark.read.parquet(s"$indexDir/vectors").count() === rowsNow,
+    assert(spark.read.parquet(Similarity.liveVectorsPath(spark, indexDir)).count() === rowsNow,
       "replayed batch duplicated rows")
     // 6. a deleted QUERY vector fails with a clear contract error, not
     //    an empty-iterator crash
@@ -372,6 +374,55 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     assert(served.size === 10)
     assert(served.take(7) === viaAppend.drop(3))
     assert(viaAppend.take(3).forall { case (id, _) => !served.exists(_._1 == id) })
+  }
+
+  test("C3 index: compacting a fully-tombstoned index leaves a valid empty layout") {
+    // round-6 advice: the old path wrote an empty partitionBy layout
+    // (only _SUCCESS), and the next read died on schema inference
+    import spark.implicits._
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_ivf_empty_spec").toString
+    val e = Relational.table(spark, dir, "embeddings").limit(50)
+    Similarity.buildIvfIndexFrom(spark, e.select(col("vec_id"), col("embedding")), indexDir)
+    Similarity.deleteFromIvfIndex(spark, indexDir, e.select(col("vec_id")))
+    Similarity.compactIvfIndex(spark, indexDir)
+    val back = spark.read.parquet(Similarity.liveVectorsPath(spark, indexDir))
+    assert(back.count() === 0)
+    assert(back.columns.toSeq === Seq("vec_id", "embedding", "sigs", "cell"))
+    // and the empty index accepts a fresh append (tombstones cleared)
+    Similarity.appendToIvfIndex(spark, indexDir,
+      e.limit(5).select(col("vec_id"), col("embedding")))
+    assert(spark.read.parquet(Similarity.liveVectorsPath(spark, indexDir)).count() === 5)
+  }
+
+  test("C3 index: readers ignore an uncommitted generation (crash-safe commit)") {
+    import java.nio.file.{Files, Paths}
+    val indexDir = Files.createTempDirectory("graft_ivf_crash_spec").toString
+    val e = Relational.table(spark, dir, "embeddings")
+    Similarity.buildIvfIndexFrom(spark, e.select(col("vec_id"), col("embedding")), indexDir)
+    val live = Similarity.liveVectorsPath(spark, indexDir)
+    assert(live.endsWith("vectors.g00000"))
+    // simulate a compaction that died before commit: a NEWER generation
+    // dir exists but has no _SUCCESS — resolution must stay on g00000
+    Files.createDirectories(Paths.get(indexDir, "vectors.g00001"))
+    assert(Similarity.liveVectorsPath(spark, indexDir) === live,
+      "an uncommitted generation must not become live")
+    // the next compaction writes PAST the orphan (never into it — a
+    // concurrent writer could still be filling it) and sweeps it
+    Similarity.compactIvfIndex(spark, indexDir)
+    assert(Similarity.liveVectorsPath(spark, indexDir).endsWith("vectors.g00002"))
+    assert(!Files.exists(Paths.get(indexDir, "vectors.g00001")))
+  }
+
+  test("C3 index append: ids already live in the layout are rejected loudly") {
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_ivf_dup_spec").toString
+    val e = Relational.table(spark, dir, "embeddings")
+    Similarity.buildIvfIndexFrom(spark,
+      e.filter(col("vec_id") < 100).select(col("vec_id"), col("embedding")), indexDir)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(spark, indexDir,
+        e.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding")))
+    }
+    assert(ex.getMessage.contains("already live"))
   }
 
   test("C3 IVF kNN join: high recall@3 vs the brute-force join") {
