@@ -249,13 +249,79 @@ object Training {
       .orderBy("shard", "pos")
   }
 
+  // ------------------------------------------ C25b shard-file writer
+
+  /** Character budget per shard FILE. 4000 cuts each testdata shard
+    * into several parts; production sets `graft.shard.maxChars` to the
+    * target training-file payload (hundreds of MB). Read by BOTH the
+    * writer and [[oracleSql]] (the c15/c25 def contract). */
+  private val maxShardCharsDefault = 4000L
+  private def effectiveMaxShardChars(spark: SparkSession): Long =
+    spark.conf.getOption("graft.shard.maxChars")
+      .map(_.toLong).getOrElse(maxShardCharsDefault)
+  private def activeMaxShardChars: Long =
+    SparkSession.getActiveSession.map(effectiveMaxShardChars)
+      .getOrElse(maxShardCharsDefault)
+
+  /** C25b — the shard WRITER that consumes [[shardShuffle]]'s plan:
+    * materialize the permutation as training files, one parquet file
+    * per (shard, part) with docs physically in `pos` order, parts cut
+    * at the char budget by each doc's START offset (`(cum_chars −
+    * n_chars) div budget` — a file may overflow by the tail of its
+    * last doc, never start one past the budget; the standard
+    * fixed-payload shard cut). This is the last physical step of the
+    * pipeline story c25 stopped short of (round-6 verdict): the plan
+    * columns existed, but nothing wrote or re-read actual shard files.
+    *
+    * Write shape: one exchange keyed (shard, part) puts each output
+    * file's rows in exactly one task, `sortWithinPartitions` orders
+    * them, and the partitioned write emits one file per directory —
+    * parallelism = shards × parts, each file written sequentially in
+    * pos order (what a training loader streams). */
+  def writeShards(spark: SparkSession, dir: String, outDir: String): Unit = {
+    val budget = effectiveMaxShardChars(spark)
+    val docs = Relational.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    shardShuffle(spark, dir)
+      .join(docs, "doc_id")
+      .withColumn("part", expr(s"(cum_chars - n_chars) div $budget"))
+      .select(col("shard"), col("part"), col("pos"), col("doc_id"),
+        col("n_chars"), col("text"))
+      .repartition(col("shard"), col("part"))
+      .sortWithinPartitions("shard", "part", "pos")
+      .write.mode("overwrite").partitionBy("shard", "part")
+      .parquet(outDir)
+  }
+
+  /** Registry wrapper: write the shards to scratch, then answer FROM
+    * THE FILES — per (shard, part) doc counts, payload chars, and an
+    * order-sensitive md5 over the doc_id sequence. Hash-matching the
+    * SQL oracle proves the written files carry exactly the planned
+    * permutation; the physical in-file ordering is pinned in the spec
+    * (parquet read order is not part of the oracle contract). */
+  def shardWriteQuery(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val out = Similarity.freshScratch(spark, s"graft_shards_${key}_")
+    writeShards(spark, dir, out)
+    spark.read.parquet(out)
+      .groupBy(col("shard").cast("long").as("shard"),
+        col("part").cast("long").as("part"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars"),
+        md5(concat_ws(",", expr(
+          "transform(array_sort(collect_list(struct(pos, doc_id))), s -> cast(s.doc_id as string))")))
+          .as("doc_md5"))
+      .orderBy("shard", "part")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c23_dedup_passage" -> (dedupPassage _),
     "c24_doc_logprob" -> (docLogprob _),
     "c24b_doc_logprob_lm" -> (docLogprobLm _),
-    "c25_shard_shuffle" -> (shardShuffle _))
+    "c25_shard_shuffle" -> (shardShuffle _),
+    "c25b_shard_write" -> (shardWriteQuery _))
 
   // a def, not a val: the c25 entry embeds the session's EFFECTIVE
   // shard count at dump time (c15 contract)
@@ -311,5 +377,19 @@ object Training {
          |  row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos,
          |  cast(sum(n_chars) OVER (PARTITION BY shard ORDER BY k, doc_id
          |    ROWS UNBOUNDED PRECEDING) as bigint) AS cum_chars
-         |FROM s ORDER BY shard, pos""".stripMargin)
+         |FROM s ORDER BY shard, pos""".stripMargin,
+    // same plan as c25, then each doc's START offset cuts parts at the
+    // char budget; the Spark side answers from the WRITTEN files
+    "c25b_shard_write" ->
+      s"""WITH t AS (SELECT doc_id, n_chars,
+         |    md5(concat('shard:', cast(doc_id as varchar))) AS k FROM documents),
+         |s AS (SELECT doc_id, n_chars, k, ${shardExpr(activeShardCount)} AS shard FROM t),
+         |p AS (SELECT doc_id, n_chars, shard,
+         |    row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos,
+         |    cast(sum(n_chars) OVER (PARTITION BY shard ORDER BY k, doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n_chars as bigint) AS start FROM s)
+         |SELECT shard, start // $activeMaxShardChars AS part,
+         |  count(*) AS n_docs, cast(sum(n_chars) as bigint) AS chars,
+         |  md5(string_agg(cast(doc_id as varchar), ',' ORDER BY pos)) AS doc_md5
+         |FROM p GROUP BY shard, part ORDER BY shard, part""".stripMargin)
 }

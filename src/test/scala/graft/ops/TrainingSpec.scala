@@ -166,4 +166,54 @@ class TrainingSpec extends AnyFunSuite with SparkTestSession {
       assert(r.getLong(2) - r.getLong(1) > 300, s"shard ${r.getLong(0)} spans too little")
     }
   }
+
+  test("writeShards: one file per (shard, part), docs physically in pos order, plan parity") {
+    import scala.jdk.CollectionConverters._
+    val out = java.nio.file.Files.createTempDirectory("graft_shards_spec").toString
+    Training.writeShards(spark, sf, out)
+    // one data file per (shard, part) directory — a training loader
+    // streams each file start-to-end
+    val partDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      .iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("part="))
+      .toSeq
+    assert(partDirs.nonEmpty)
+    partDirs.foreach { d =>
+      val files = java.nio.file.Files.list(d).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      assert(files.size === 1, s"$d holds ${files.size} files")
+      // PHYSICAL order inside the file: pos strictly increasing as read
+      val pos = spark.read.parquet(files.head.toString)
+        .select("pos").collect().map(_.getLong(0))
+      assert(pos.sameElements(pos.sorted), s"$d not written in pos order")
+      assert(pos.length > 0)
+    }
+    // the written rows ARE the plan: same (doc_id, shard, pos), with
+    // part = start-offset div budget, every doc exactly once
+    val plan = Training.shardShuffle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val written = spark.read.parquet(out)
+      .select(col("doc_id"), col("shard").cast("long"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(written === plan)
+    // parts cut at the budget: no doc STARTS past its part's boundary,
+    // and every non-final part of a shard is filled to >= the budget
+    // minus its last doc (i.e. the next doc would overflow)
+    val parts = Training.shardWriteQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byShard = parts.groupBy(_._1)
+    byShard.foreach { case (_, ps) =>
+      val sorted = ps.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(sorted.indices.map(_.toLong)),
+        "parts must be dense 0..k")
+      // cumulative chars of parts 0..i spans past i*budget for i>0:
+      // each part begins only once the budget boundary is crossed
+      val cum = sorted.map(_._4).scanLeft(0L)(_ + _).drop(1)
+      sorted.drop(1).zip(cum).foreach { case ((_, p, _, _), cumBefore) =>
+        assert(cumBefore >= p * 4000,
+          s"part $p started before the ${p * 4000}-char boundary (cum $cumBefore)")
+      }
+    }
+  }
 }
