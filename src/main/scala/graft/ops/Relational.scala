@@ -308,7 +308,15 @@ object Relational {
     * rehearsal actually hit (b19's ~95M session rows vs the 1 GiB
     * spark.driver.maxResultSize — see BASELINE.md round-6). */
   private[graft] def replayToSink(spark: SparkSession, streamed: DataFrame,
-      sinkName: String): DataFrame = {
+      sinkName: String): DataFrame =
+    replayToSink(spark, streamed, sinkName, _ => ())
+
+  /** As above, plus a hook invoked with the terminated query — lets
+    * specs read StateOperatorProgress (state row counts, evictions)
+    * without re-plumbing the replay harness. */
+  private[graft] def replayToSink(spark: SparkSession, streamed: DataFrame,
+      sinkName: String,
+      onDone: org.apache.spark.sql.streaming.StreamingQuery => Unit): DataFrame = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     // applicationId in the path: two concurrent sessions (e.g. the
@@ -326,6 +334,7 @@ object Relational {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    onDone(q)
     Files.createDirectories(out) // zero-batch streams never create it
     spark.read.schema(streamed.schema).parquet(out.toString)
   }

@@ -78,7 +78,7 @@ object Similarity {
   /** The stateless banded-minhash projection, shared VERBATIM by the
     * batch candidate join below and the streaming composition (c22) —
     * one formula, two execution modes. */
-  private[ops] val minhashSigSql =
+  private[graft] val minhashSigSql =
     """transform(array(transform(shingles, s -> xxhash64(s))), hs ->
       |  transform(sequence(0, 63), i ->
       |    array_min(transform(hs, h -> xxhash64(h, i)))))[0]""".stripMargin
@@ -236,6 +236,104 @@ object Similarity {
       .flatMapGroupsWithState[Seq[BucketDoc], (Long, Long, Double)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(bucketPairs _)
     Relational.replayToSink(spark, pairs.toDF("da", "db", "j"), "graft_c22_sink")
+      .distinct()
+      .orderBy("da", "db")
+  }
+
+  /** The c22b state transition: [[bucketPairs]] with a sliding
+    * event-time window. A doc's event time IS its id in seconds
+    * (`timestamp_seconds(doc_id)` upstream), so the window prune and
+    * the pair bound are the same arithmetic: an arrival pairs only
+    * against members within `windowSec`, members older than that are
+    * dropped BEFORE pairing (arrivals processed in ascending id order,
+    * so a pruned member can never be in-window for a later arrival),
+    * and the emitted set is EXACTLY { pairs: j ≥ 0.8 ∧ db − da ≤ W } —
+    * sharp semantics a SQL oracle can state, not "approximately
+    * bounded". Whole-bucket eviction rides the event-time timeout:
+    * when the watermark passes lastTs + W every member is out of
+    * window for ANY future arrival (staged replay feeds ascending
+    * event times, so future rows are never below the watermark), and
+    * the bucket's state row is removed — which is what bounds the
+    * store where c22's NoTimeout baseline grows forever. */
+  private[ops] def boundedBucketPairs(windowSec: Long)(
+      key: String,
+      rows: Iterator[(Long, Seq[Long], Int, Seq[Long], java.sql.Timestamp)],
+      state: org.apache.spark.sql.streaming.GroupState[Seq[BucketDoc]])
+      : Iterator[(Long, Long, Double)] = {
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val seen = state.getOption.getOrElse(Seq.empty)
+      val fresh = rows.map(t => BucketDoc(t._1, t._2)).toSeq
+        .distinctBy(_.id).sortBy(_.id)
+        .filterNot(d => seen.exists(_.id == d.id))
+      val out = Seq.newBuilder[(Long, Long, Double)]
+      var acc = seen
+      fresh.foreach { d =>
+        acc = acc.filter(o => d.id - o.id <= windowSec)
+        acc.foreach { o =>
+          val j = jaccardRounded(d.hs, o.hs)
+          if (j >= 0.8) out += ((math.min(d.id, o.id), math.max(d.id, o.id), j))
+        }
+        acc = acc :+ d
+      }
+      state.update(acc)
+      // evict once the watermark proves no future in-window arrival;
+      // +1s because the timestamp must exceed the watermark strictly
+      state.setTimeoutTimestamp((acc.map(_.id).max + windowSec) * 1000L + 1000L)
+      out.result().iterator
+    }
+  }
+
+  /** Near-dup window for the bounded stream, in event-time seconds
+    * (= id units here). Read by query AND oracle (c15 def contract). */
+  private def neardupWindowSec(spark: SparkSession): Long =
+    spark.conf.getOption("graft.neardup.windowSec").map(_.toLong).getOrElse(200L)
+  private def activeNeardupWindowSec: Long =
+    SparkSession.getActiveSession.map(neardupWindowSec).getOrElse(200L)
+
+  // C22b — BOUNDED-STATE streaming near-dup: the c22 pipeline with the
+  // production state discipline its doc comment promised (time-scoped
+  // membership + GroupStateTimeout eviction). Same stateless banded
+  // projection, same bucket state machine — but membership slides on
+  // event time, so the state store holds one window of docs per live
+  // bucket instead of the whole history, and idle buckets' rows are
+  // REMOVED by event-time timeout (spec-proven via
+  // StateOperatorProgress). The pair contract narrows exactly with it:
+  // emitted pairs are the exact n-gram pairs with db − da ≤ window —
+  // SQL-expressible, so this op stays hash-oracle-checked rather than
+  // dropping to a recall test.
+  def dedupStreamNearBounded(spark: SparkSession, dir: String): DataFrame =
+    dedupStreamNearBounded(spark, dir, _ => ())
+
+  private[graft] def dedupStreamNearBounded(spark: SparkSession, dir: String,
+      onDone: org.apache.spark.sql.streaming.StreamingQuery => Unit): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val w = neardupWindowSec(spark)
+    val docs = Relational.table(spark, dir, "documents")
+    val stage = Relational.stageSlices(spark, docs, col("doc_id"),
+      s"graft_c22b_stage_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val banded = withShingles(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage))
+      .withColumn("hs", expr("array_distinct(transform(shingles, s -> xxhash64(s)))"))
+      .withColumn("sigs", expr(minhashSigSql))
+      // +1: the stream's initial watermark is epoch 0, and the late-row
+      // filter drops events AT the watermark — an id-0 doc with ts =
+      // epoch 0 would silently vanish from batch one. A uniform shift
+      // changes no gap arithmetic.
+      .withColumn("ts", timestamp_seconds(col("doc_id") + 1))
+      .withWatermark("ts", "0 seconds")
+      // ts rides along to the stateful operator — the event-time
+      // timeout checker requires the watermarked column in its input
+      .select(col("doc_id"), col("hs"), explode(expr(bandKeysSql)).as("bk"), col("ts"))
+      .select(col("doc_id"), col("hs"), col("bk.band").as("band"), col("bk.key").as("key"), col("ts"))
+      .as[(Long, Seq[Long], Int, Seq[Long], java.sql.Timestamp)]
+    val pairs = banded
+      .groupByKey { case (_, _, band, key, _) => s"$band:${key.mkString(",")}" }
+      .flatMapGroupsWithState[Seq[BucketDoc], (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(boundedBucketPairs(w) _)
+    Relational.replayToSink(spark, pairs.toDF("da", "db", "j"), "graft_c22b_sink", onDone)
       .distinct()
       .orderBy("da", "db")
   }
@@ -1317,6 +1415,7 @@ object Similarity {
     "c2_dedup_minhash" -> (dedupMinHash _),
     "c2_dedup_ngram_scaled" -> (dedupNgramScaled _),
     "c22_dedup_stream_near" -> (dedupStreamNear _),
+    "c22b_dedup_stream_bounded" -> ((s: SparkSession, d: String) => dedupStreamNearBounded(s, d)),
     "c27_dedup_incremental" -> (dedupIncrementalQuery _),
     "c2_dedup_simhash" -> (dedupSimHash _),
     "c2_dedup_cosine" -> (dedupCosine _),
@@ -1333,22 +1432,31 @@ object Similarity {
     * path (c2_dedup_ngram), the batch LSH→exact composition
     * (c2_dedup_ngram_scaled), and the STREAMING LSH→exact composition
     * (c22_dedup_stream_near): all three must produce this exact result. */
-  private val ngramPairsOracle =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |sh AS (SELECT doc_id,
-      |  list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-      |    ELSE list_transform(generate_series(1, len(t) - 2),
-      |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END) AS shingles FROM toks),
-      |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-      |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-      |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
-      |SELECT da, db, round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS j
-      |FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
-      |WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.8
-      |ORDER BY da, db""".stripMargin
+  private def ngramPairsOracleWhere(extraWhere: String) =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT doc_id,
+       |  list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |    ELSE list_transform(generate_series(1, len(t) - 2),
+       |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END) AS shingles FROM toks),
+       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+       |SELECT da, db, round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS j
+       |FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+       |WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.8$extraWhere
+       |ORDER BY da, db""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  private val ngramPairsOracle = ngramPairsOracleWhere("")
+
+  // a def, not a val: the c22b entry embeds the session's EFFECTIVE
+  // near-dup window at dump time (the c15/c25 conf-threading contract)
+  def oracleSql: Map[String, String] = Map(
+    // the bounded stream emits exactly the in-window slice of the
+    // exact pair set — the window bound doubles as an id-gap clause
+    // because event time is the id in seconds
+    "c22b_dedup_stream_bounded" ->
+      ngramPairsOracleWhere(s" AND db - da <= $activeNeardupWindowSec"),
     "c2_dedup_ngram" -> ngramPairsOracle,
     // the scaled pipeline must produce exactly the exact-ngram result
     "c2_dedup_ngram_scaled" -> ngramPairsOracle,

@@ -185,4 +185,47 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(cross.nonEmpty,
       "no emitted pair spans micro-batches — cross-batch state is not being consulted")
   }
+
+  test("bounded-state near-dup stream: exact in-window pairs, state rows evicted") {
+    import graft.ops.Similarity
+    val w = 200L // the graft.neardup.windowSec default
+    var stateRows = Seq.empty[Long]
+    val stream = Similarity.dedupStreamNearBounded(spark, dir, q =>
+        stateRows = q.recentProgress.toSeq.flatMap(_.stateOperators.map(_.numRowsTotal)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = Similarity.dedupNgram(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // SHARP window semantics: emitted = exact pairs with gap <= w,
+    // nothing more, nothing less — eviction timing must not blur it
+    assert(stream === exact.filter(p => p._2 - p._1 <= w),
+      s"missing=${(exact.filter(p => p._2 - p._1 <= w) -- stream).take(3)} extra=${
+        (stream -- exact).take(3)}")
+    // the bound must BITE (an out-of-window pair exists and is absent)
+    // while in-window cross-batch pairs are still caught (slice width
+    // at sf0.001 is ~125 ids < w, so in-window pairs span slices)
+    assert(exact.exists(p => p._2 - p._1 > w), "no out-of-window pair to exclude")
+    val docs = Relational.table(spark, dir, "documents")
+      .agg(org.apache.spark.sql.functions.min("doc_id"),
+        org.apache.spark.sql.functions.max("doc_id")).head()
+    val step = Relational.sliceStep(docs.getLong(0), docs.getLong(1), Relational.replaySlices)
+    assert(stream.exists { case (da, db, _) =>
+      (da - docs.getLong(0)) / step != (db - docs.getLong(0)) / step },
+      "no in-window pair spans micro-batches")
+    // EVICTION: by end of replay the store must hold strictly fewer
+    // bucket rows than the corpus' distinct (band, key) buckets — the
+    // unbounded baseline retains every bucket it ever saw
+    val totalBuckets = Relational.table(spark, dir, "documents")
+      .withColumn("shingles", org.apache.spark.sql.functions.expr(
+        """transform(array(split(text, ' ')), toks ->
+          |  array_distinct(CASE WHEN size(toks) < 3 THEN array(text)
+          |  ELSE transform(sequence(0, size(toks) - 3),
+          |    i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+          |  END))[0]""".stripMargin))
+      .withColumn("sigs", org.apache.spark.sql.functions.expr(Similarity.minhashSigSql))
+      .selectExpr("explode(transform(array(sigs), sg -> transform(sequence(0, 15), b -> named_struct('band', b, 'key', slice(sg, b * 4 + 1, 4)))))")
+      .selectExpr("explode(col) as bk").distinct().count()
+    assert(stateRows.nonEmpty, "no StateOperatorProgress captured")
+    assert(stateRows.last < totalBuckets,
+      s"final state ${stateRows.last} did not evict below the ${totalBuckets}-bucket ceiling")
+  }
 }
