@@ -659,16 +659,27 @@ object Similarity {
       .withColumn("sigs", expr("graft_srp_sign(embedding, 42L, 8)"))
     // sigs bound once inside the band transform — otherwise the optimizer
     // may inline the whole 512-plane projection per band (see withShingles)
-    val banded = e.select(col("vec_id"), col("embedding"),
+    // Only (vec_id, band key) flows into the self-join, and the
+    // candidate distinct folds bare 16-byte id pairs — the
+    // minhashCandidates doctrine. The round-7 warm decade re-measure
+    // caught the old shape carrying BOTH 512-byte embeddings through
+    // the 8×-exploded join and the distinct: at sf100 that is a
+    // multi-GB spill-bound exchange (the last super-linear residue
+    // after the log(n) rebanding), while the two verify joins below
+    // fetch each candidate's embedding exactly once.
+    val banded = e.select(col("vec_id"),
       explode(expr(
         s"""transform(array(sigs), sg ->
            |  transform(sequence(0, 7), b -> named_struct(
            |    'band', b, 'key', sg[b] & ${mask}L)))[0]""".stripMargin)).as("bk"))
-    banded.as("a").hint("shuffle_hash").join(banded.as("b"),
+    val cands = banded.as("a").hint("shuffle_hash").join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
       .distinct()
+    val vecs = base.unionByName(noisy).select(col("vec_id"), col("embedding"))
+    cands
+      .join(vecs.select(col("vec_id").as("va"), col("embedding").as("ea")), Seq("va"))
+      .join(vecs.select(col("vec_id").as("vb"), col("embedding").as("eb")), Seq("vb"))
       .select(col("va"), col("vb"), round(cosineExpr("ea", "eb"), 4).as("cos"))
       .filter(col("cos") >= 0.99)
       .orderBy("va", "vb")
