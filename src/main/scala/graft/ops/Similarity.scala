@@ -449,7 +449,7 @@ object Similarity {
 
   /** (doc_id, hs) projection of a raw documents frame — the only pass
     * that reads text; everything downstream is 8-byte longs. */
-  private def hashedShingles(spark: SparkSession, docs: DataFrame): DataFrame =
+  private[graft] def hashedShingles(spark: SparkSession, docs: DataFrame): DataFrame =
     withShingles(docs.repartition(spark.sparkContext.defaultParallelism))
       .select(col("doc_id"),
         expr("array_distinct(transform(shingles, s -> xxhash64(s)))").as("hs"))
@@ -490,13 +490,25 @@ object Similarity {
       s"arrival batch re-inserts indexed doc ids ${clash.mkString(", ")} — " +
         "appending would duplicate their band rows and emit self-pairs; " +
         "dedup the batch against the store's ids first")
+    probeNearDupIndex(spark, indexDir, arr)
+      .write.mode("append").parquet(s"$indexDir/pairs")
+    bandKeysOf(arr).write.mode("append").parquet(s"$indexDir/bands")
+    arr.write.mode("append").parquet(s"$indexDir/shingles")
+  }
+
+  /** The arrival-batch probe plan: candidates from arrival keys vs
+    * (corpus ∪ arrival) keys, exact-verified. The arrival side
+    * BROADCASTS, so the corpus bands scan is map-only — the whole
+    * probe is one pass over 16-byte rows with ZERO exchange of corpus
+    * data (PlanSpec-pinned: one BroadcastHashJoin, no hash exchange on
+    * a band key anywhere). least/greatest + distinct folds the doubled
+    * arrival-arrival matches and the multi-band collisions alike.
+    * `arr` is the (doc_id, hs) arrival projection. */
+  private[graft] def probeNearDupIndex(spark: SparkSession, indexDir: String,
+      arr: DataFrame): DataFrame = {
     val arrBands = bandKeysOf(arr)
     val corpusBands = spark.read.parquet(s"$indexDir/bands")
-    // candidates: arrival keys vs (corpus ∪ arrival) keys. The arrival
-    // side BROADCASTS, so the corpus bands scan is map-only — the whole
-    // probe is one pass over 16-byte rows with zero exchange of corpus
-    // data. least/greatest + distinct folds the doubled arrival-arrival
-    // matches and the multi-band collisions alike.
+    val corpusSh = spark.read.parquet(s"$indexDir/shingles")
     val allBands = corpusBands.unionByName(arrBands)
     val cands = allBands.as("b")
       .join(broadcast(arrBands).as("a"),
@@ -504,10 +516,7 @@ object Similarity {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("da"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("db"))
       .distinct()
-    val newPairs = verifyPairs(cands, corpusSh.unionByName(arr))
-    newPairs.write.mode("append").parquet(s"$indexDir/pairs")
-    arrBands.write.mode("append").parquet(s"$indexDir/bands")
-    arr.write.mode("append").parquet(s"$indexDir/shingles")
+    verifyPairs(cands, corpusSh.unionByName(arr))
   }
 
   /** The store's verified near-dup pair set, total-ordered. */

@@ -237,6 +237,23 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("C27: the store probe broadcasts arrival keys — corpus bands never shuffle") {
+    import org.apache.spark.sql.functions.col
+    val idx = java.nio.file.Files.createTempDirectory("graft_c27_plan_").toString
+    val docs = Relational.table(spark, dir, "documents")
+    Similarity.buildNearDupIndex(spark, docs.filter(col("doc_id") % 20 =!= 7), idx)
+    val arr = Similarity.hashedShingles(spark, docs.filter(col("doc_id") % 20 === 7))
+    val p = plan(Similarity.probeNearDupIndex(spark, idx, arr))
+    // arrival keys are the broadcast build; the corpus bands scan is
+    // probed map-side — 16-byte rows, zero corpus-side exchange
+    assert(p.contains("BroadcastHashJoin"), s"arrival probe not broadcast:\n$p")
+    // no hash exchange may key on the band hash: that would mean the
+    // corpus bands table shuffles per arrival batch
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("bkh"), s"corpus bands shuffled on the band key: $l")
+    }
+  }
+
   test("C26: the per-source cap ranks salted first — the hot-domain exchange carries salt") {
     val p = plan(Curation.queries("c26_cap_per_source")(spark, dir))
     // phase 1 must hash-partition on (source, salt): a plan whose only
