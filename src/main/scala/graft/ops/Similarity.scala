@@ -476,8 +476,24 @@ object Similarity {
     * the result surface ([[nearDupIndexPairs]]); new-pair extraction is
     * an anti-join away if a caller wants just the delta. Arrival ids
     * must be new (guarded loudly, the appendToIvfIndex doctrine: a
-    * re-appended id would duplicate its band rows and self-pair). */
-  def appendToNearDupIndex(spark: SparkSession, indexDir: String, newDocs: DataFrame): Unit = {
+    * re-appended id would duplicate its band rows and self-pair).
+    *
+    * Crash contract: the three appends are not atomic. Pairs are
+    * computed BEFORE any table is touched, and shingles/ lands FIRST —
+    * so a crashed append either left nothing (clean re-run) or left at
+    * least the arrival ids in shingles/, which makes the bare re-run
+    * fail LOUDLY on the id guard instead of silently duplicating pair
+    * rows (the failure mode of a pairs-first order). With `batchId`
+    * the committed-append marker (written after all three tables, the
+    * appendToIvfIndex retry contract) makes re-runs of a COMPLETED
+    * batch no-ops; a batch that crashed mid-append is repaired by
+    * rebuilding the store — which is why production batches carry an
+    * id. */
+  def appendToNearDupIndex(spark: SparkSession, indexDir: String, newDocs: DataFrame,
+                           batchId: Option[String] = None): Unit = {
+    val marker = batchId.map(b =>
+      s"$indexDir/_appended_${b.replaceAll("[^A-Za-z0-9._-]", "_")}")
+    if (marker.exists(IndexMeta.exists(spark, _))) return
     // localCheckpoint: the arrival projection feeds four consumers
     // (guard, candidates, verify, two appends) — without it each
     // re-shingles the batch (same harness-local choice as knnJoinIvf2)
@@ -489,11 +505,17 @@ object Similarity {
     require(clash.isEmpty,
       s"arrival batch re-inserts indexed doc ids ${clash.mkString(", ")} — " +
         "appending would duplicate their band rows and emit self-pairs; " +
-        "dedup the batch against the store's ids first")
-    probeNearDupIndex(spark, indexDir, arr)
-      .write.mode("append").parquet(s"$indexDir/pairs")
-    bandKeysOf(arr).write.mode("append").parquet(s"$indexDir/bands")
+        "dedup the batch against the store's ids first" +
+        (if (batchId.isDefined) " (a batch that crashed mid-append needs a " +
+          "store rebuild; a completed batch re-run is already a marker no-op)"
+         else ""))
+    // materialize the pair delta before any table mutates: the probe
+    // must see the PRE-append store, not a half-appended one
+    val newPairs = probeNearDupIndex(spark, indexDir, arr).localCheckpoint()
     arr.write.mode("append").parquet(s"$indexDir/shingles")
+    bandKeysOf(arr).write.mode("append").parquet(s"$indexDir/bands")
+    newPairs.write.mode("append").parquet(s"$indexDir/pairs")
+    marker.foreach(IndexMeta.createMarker(spark, _))
   }
 
   /** The arrival-batch probe plan: candidates from arrival keys vs

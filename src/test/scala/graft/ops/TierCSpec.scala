@@ -81,6 +81,22 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     assert(e.getMessage.contains("re-inserts indexed doc ids"))
   }
 
+  test("C27 batchId makes a completed append replay a no-op") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_c27_batch_").toString
+    val docs = Relational.table(spark, dir, "documents")
+    Similarity.buildNearDupIndex(spark, docs.filter(col("doc_id") < 200), idx)
+    val batch = docs.filter(col("doc_id") >= 200 && col("doc_id") < 250)
+    Similarity.appendToNearDupIndex(spark, idx, batch, batchId = Some("day-1"))
+    val pairsAfter = Similarity.nearDupIndexPairs(spark, idx).count()
+    val shAfter = spark.read.parquet(s"$idx/shingles").count()
+    // replaying the committed batch must touch nothing — and without
+    // the marker the id guard would have thrown, so this also proves
+    // the marker short-circuits BEFORE the guard
+    Similarity.appendToNearDupIndex(spark, idx, batch, batchId = Some("day-1"))
+    assert(Similarity.nearDupIndexPairs(spark, idx).count() === pairsAfter)
+    assert(spark.read.parquet(s"$idx/shingles").count() === shAfter)
+  }
+
   test("C2 simhash: near-identical docs collide within hamming radius") {
     val exact = Similarity.dedupNgram(spark, dir)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
