@@ -91,42 +91,51 @@ private[graft] object IndexMeta {
     n
   }
 
-  // ------------------------------------------ vectors generations
+  // ------------------------------------------ table generations
 
-  private val genPrefix = "vectors.g"
-  def genName(i: Int): String = f"$genPrefix$i%05d"
+  def genName(table: String, i: Int): String = f"$table.g$i%05d"
+  def genName(i: Int): String = genName("vectors", i)
 
-  /** All generation dirs (committed or not) as (number, status). */
-  private def gens(spark: SparkSession, indexDir: String): Seq[(Int, FileStatus)] =
+  /** All generation dirs of `table` (committed or not). */
+  private def gens(spark: SparkSession, indexDir: String,
+      table: String): Seq[(Int, FileStatus)] = {
+    val prefix = s"$table.g"
     list(spark, indexDir).flatMap { st =>
       val n = st.getPath.getName
-      if (st.isDirectory && n.startsWith(genPrefix))
-        n.stripPrefix(genPrefix).toIntOption.map(_ -> st)
+      if (st.isDirectory && n.startsWith(prefix))
+        n.stripPrefix(prefix).toIntOption.map(_ -> st)
       else None
     }
+  }
 
-  /** Max COMMITTED generation (has `_SUCCESS`), if any. */
-  def liveGen(spark: SparkSession, indexDir: String): Option[Path] = {
+  /** Max COMMITTED generation of `table` (has `_SUCCESS`), if any. */
+  def liveGen(spark: SparkSession, indexDir: String,
+      table: String = "vectors"): Option[Path] = {
     val (fs, _) = fsFor(spark, indexDir)
-    gens(spark, indexDir)
+    gens(spark, indexDir, table)
       .filter { case (_, st) => fs.exists(new Path(st.getPath, "_SUCCESS")) }
       .sortBy(-_._1).headOption.map(_._2.getPath)
   }
 
-  /** The live vectors dir, or a contract error naming the index. */
-  def requireLiveVectors(spark: SparkSession, indexDir: String): String =
-    liveGen(spark, indexDir).getOrElse(sys.error(
-      s"no committed vectors generation under $indexDir — " +
-        "not an index (build one with buildIvfIndex) or a build crashed " +
+  /** The live dir of `table`, or a contract error naming the index. */
+  def requireLive(spark: SparkSession, indexDir: String, table: String): String =
+    liveGen(spark, indexDir, table).getOrElse(sys.error(
+      s"no committed $table generation under $indexDir — " +
+        "not an index (build one first) or a build crashed " +
         "before commit (re-run the build)")).toString
 
-  /** Path for the NEXT generation (max existing + 1, committed or not
-    * — an uncommitted crash leftover must not be overwritten while a
-    * concurrent writer could still be filling it). Also returns the
-    * superseded committed gens to delete after commit. */
-  def nextGen(spark: SparkSession, indexDir: String): (String, Seq[String]) = {
-    val all = gens(spark, indexDir)
-    val next = new Path(new Path(indexDir), genName(all.map(_._1).maxOption.getOrElse(-1) + 1))
+  def requireLiveVectors(spark: SparkSession, indexDir: String): String =
+    requireLive(spark, indexDir, "vectors")
+
+  /** Path for the NEXT generation of `table` (max existing + 1,
+    * committed or not — an uncommitted crash leftover must not be
+    * overwritten while a concurrent writer could still be filling it).
+    * Also returns every existing gen dir to delete after commit. */
+  def nextGen(spark: SparkSession, indexDir: String,
+      table: String = "vectors"): (String, Seq[String]) = {
+    val all = gens(spark, indexDir, table)
+    val next = new Path(new Path(indexDir),
+      genName(table, all.map(_._1).maxOption.getOrElse(-1) + 1))
     (next.toString, all.map(_._2.getPath.toString))
   }
 }

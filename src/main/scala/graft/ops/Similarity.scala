@@ -454,21 +454,36 @@ object Similarity {
       .select(col("doc_id"),
         expr("array_distinct(transform(shingles, s -> xxhash64(s)))").as("hs"))
 
+  /** The store's live table dir — same max-committed-generation
+    * resolution as the IVF vectors layout ([[IndexMeta]]), so builds,
+    * appends, and compactions commit without a single rename. */
+  private[graft] def nearDupTablePath(spark: SparkSession, indexDir: String,
+      table: String): String =
+    IndexMeta.requireLive(spark, indexDir, table)
+
+  private def storeTable(spark: SparkSession, indexDir: String, table: String): DataFrame =
+    spark.read.parquet(nearDupTablePath(spark, indexDir, table))
+
   /** Build the store: one text pass writes shingles/, then bands/ and
     * the corpus-internal pairs/ derive from the PERSISTED hashes (the
     * shingle pass is the expensive one — recomputing it per derived
-    * table would triple the corpus read). */
+    * table would triple the corpus read). Each table lands in a fresh
+    * generation dir; a rebuild supersedes the old generations only at
+    * commit. */
   def buildNearDupIndex(spark: SparkSession, docs: DataFrame, indexDir: String): Unit = {
-    hashedShingles(spark, docs)
-      .write.mode("overwrite").parquet(s"$indexDir/shingles")
-    val sh = spark.read.parquet(s"$indexDir/shingles")
-    bandKeysOf(sh).write.mode("overwrite").parquet(s"$indexDir/bands")
-    val bands = spark.read.parquet(s"$indexDir/bands")
+    val (shDir, oldSh) = IndexMeta.nextGen(spark, indexDir, "shingles")
+    hashedShingles(spark, docs).write.mode("overwrite").parquet(shDir)
+    val sh = spark.read.parquet(shDir)
+    val (bandDir, oldBands) = IndexMeta.nextGen(spark, indexDir, "bands")
+    bandKeysOf(sh).write.mode("overwrite").parquet(bandDir)
+    val bands = spark.read.parquet(bandDir)
     val cands = bands.as("a").hint("shuffle_hash").join(bands.as("b"),
         col("a.bkh") === col("b.bkh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    verifyPairs(cands, sh).write.mode("overwrite").parquet(s"$indexDir/pairs")
+    val (pairDir, oldPairs) = IndexMeta.nextGen(spark, indexDir, "pairs")
+    verifyPairs(cands, sh).write.mode("overwrite").parquet(pairDir)
+    (oldSh ++ oldBands ++ oldPairs).foreach(IndexMeta.delete(spark, _))
   }
 
   /** Dedup an arrival batch against the store WITHOUT re-signing the
@@ -498,7 +513,7 @@ object Similarity {
     // (guard, candidates, verify, two appends) — without it each
     // re-shingles the batch (same harness-local choice as knnJoinIvf2)
     val arr = hashedShingles(spark, newDocs).localCheckpoint()
-    val corpusSh = spark.read.parquet(s"$indexDir/shingles")
+    val corpusSh = storeTable(spark, indexDir, "shingles")
     val clash = corpusSh.select(col("doc_id"))
       .join(broadcast(arr.select(col("doc_id"))), Seq("doc_id"), "left_semi")
       .limit(5).collect().map(_.getLong(0))
@@ -512,11 +527,32 @@ object Similarity {
     // materialize the pair delta before any table mutates: the probe
     // must see the PRE-append store, not a half-appended one
     val newPairs = probeNearDupIndex(spark, indexDir, arr).localCheckpoint()
-    arr.write.mode("append").parquet(s"$indexDir/shingles")
-    bandKeysOf(arr).write.mode("append").parquet(s"$indexDir/bands")
-    newPairs.write.mode("append").parquet(s"$indexDir/pairs")
+    arr.write.mode("append").parquet(nearDupTablePath(spark, indexDir, "shingles"))
+    bandKeysOf(arr).write.mode("append").parquet(nearDupTablePath(spark, indexDir, "bands"))
+    newPairs.write.mode("append").parquet(nearDupTablePath(spark, indexDir, "pairs"))
     marker.foreach(IndexMeta.createMarker(spark, _))
   }
+
+  /** Store COMPACTION — the same LSM move as [[compactIvfIndex]]:
+    * every append adds a handful of files to each table, and a year of
+    * daily batches turns the map-side bands probe into tens of
+    * thousands of file opens (measured on the IVF side: the 50-batch
+    * sf100 soak degraded probes 6.8× purely in open cost). Each table
+    * rewrites at the target file size into its next generation and
+    * commits by `_SUCCESS` — contents untouched, no renames, crash at
+    * any point leaves the previous generation live. Maintenance op for
+    * a quiesced store (single writer), like the IVF compaction. */
+  def compactNearDupIndex(spark: SparkSession, indexDir: String,
+                          targetFileBytes: Long = 128L << 20): Unit =
+    Seq("shingles", "bands", "pairs").foreach { table =>
+      val live = nearDupTablePath(spark, indexDir, table)
+      val bytes = IndexMeta.bytesUnder(spark, live, ".parquet")
+      val nf = math.max(1L, math.ceil(bytes.toDouble / targetFileBytes).toLong).toInt
+      val (next, oldGens) = IndexMeta.nextGen(spark, indexDir, table)
+      spark.read.parquet(live).repartition(nf)
+        .write.mode("overwrite").parquet(next)
+      oldGens.foreach(IndexMeta.delete(spark, _))
+    }
 
   /** The arrival-batch probe plan: candidates from arrival keys vs
     * (corpus ∪ arrival) keys, exact-verified. The arrival side
@@ -529,8 +565,8 @@ object Similarity {
   private[graft] def probeNearDupIndex(spark: SparkSession, indexDir: String,
       arr: DataFrame): DataFrame = {
     val arrBands = bandKeysOf(arr)
-    val corpusBands = spark.read.parquet(s"$indexDir/bands")
-    val corpusSh = spark.read.parquet(s"$indexDir/shingles")
+    val corpusBands = storeTable(spark, indexDir, "bands")
+    val corpusSh = storeTable(spark, indexDir, "shingles")
     val allBands = corpusBands.unionByName(arrBands)
     val cands = allBands.as("b")
       .join(broadcast(arrBands).as("a"),
@@ -543,7 +579,7 @@ object Similarity {
 
   /** The store's verified near-dup pair set, total-ordered. */
   def nearDupIndexPairs(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/pairs").orderBy("da", "db")
+    storeTable(spark, indexDir, "pairs").orderBy("da", "db")
 
   /** Registry wrapper: build the store on the 95% slice (doc_id ≢ 7
     * mod 20 — the c24b split), append the held-out 5% as the arrival

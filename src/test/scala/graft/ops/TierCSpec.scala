@@ -88,13 +88,46 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     val batch = docs.filter(col("doc_id") >= 200 && col("doc_id") < 250)
     Similarity.appendToNearDupIndex(spark, idx, batch, batchId = Some("day-1"))
     val pairsAfter = Similarity.nearDupIndexPairs(spark, idx).count()
-    val shAfter = spark.read.parquet(s"$idx/shingles").count()
+    val shAfter = spark.read.parquet(Similarity.nearDupTablePath(spark, idx, "shingles")).count()
     // replaying the committed batch must touch nothing — and without
     // the marker the id guard would have thrown, so this also proves
     // the marker short-circuits BEFORE the guard
     Similarity.appendToNearDupIndex(spark, idx, batch, batchId = Some("day-1"))
     assert(Similarity.nearDupIndexPairs(spark, idx).count() === pairsAfter)
-    assert(spark.read.parquet(s"$idx/shingles").count() === shAfter)
+    assert(spark.read.parquet(Similarity.nearDupTablePath(spark, idx, "shingles")).count() === shAfter)
+  }
+
+  test("C27 store compaction: fewer files, pair set and probe untouched") {
+    import scala.jdk.CollectionConverters._
+    val idx = java.nio.file.Files.createTempDirectory("graft_c27_compact_").toString
+    val docs = Relational.table(spark, dir, "documents")
+    Similarity.buildNearDupIndex(spark, docs.filter(col("doc_id") < 300), idx)
+    // several small appends fragment each table
+    Seq((300L, 350L), (350L, 400L), (400L, 450L)).foreach { case (lo, hi) =>
+      Similarity.appendToNearDupIndex(spark, idx,
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi))
+    }
+    def files(table: String) = IndexMeta.countUnder(spark,
+      Similarity.nearDupTablePath(spark, idx, table), ".parquet")
+    def pairs = Similarity.nearDupIndexPairs(spark, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val (fragShingles, pairsBefore) = (files("shingles"), pairs)
+    assert(fragShingles > 1, "appends should have fragmented the shingles table")
+    Similarity.compactNearDupIndex(spark, idx)
+    // one target-size file per table at test scale; contents identical;
+    // only the live generations remain
+    Seq("shingles", "bands", "pairs").foreach { t =>
+      assert(files(t) === 1, s"$t not compacted")
+      val gens = java.nio.file.Files.list(java.nio.file.Paths.get(idx))
+        .iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith(s"$t.g")).toSeq
+      assert(gens.size === 1, s"superseded $t generations not swept: $gens")
+    }
+    assert(pairs === pairsBefore)
+    // the compacted store still accepts and scores arrivals
+    Similarity.appendToNearDupIndex(spark, idx,
+      docs.filter(col("doc_id") >= 450))
+    assert(pairs.size >= pairsBefore.size)
   }
 
   test("C2 simhash: near-identical docs collide within hamming radius") {
