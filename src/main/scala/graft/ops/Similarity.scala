@@ -980,15 +980,23 @@ object Similarity {
     // overlapping append would serve two rows per id on every probe
     // (round-6 advice — the overlap was silently accepted). Cost: a
     // map-side scan of the layout's 8-byte id column against the
-    // broadcast batch ids — the one column parquet pruning keeps, a
-    // small fraction of index bytes, paid once per arrival batch.
-    val liveClash = spark.read.parquet(vecDir).select(col("vec_id"))
-      .join(broadcast(newVectors.select(col("vec_id"))), Seq("vec_id"), "left_semi")
-      .limit(5).collect().map(_.getLong(0))
-    require(liveClash.isEmpty,
-      s"batch re-inserts ids already live in the index ${liveClash.mkString(", ")} — " +
-        "every probe would serve two rows per id. Dedup the batch against " +
-        "the indexed ids first (or delete + compact to replace them).")
+    // broadcast batch ids — the one column parquet pruning keeps, but
+    // the scan opens EVERY layout file, so on a fragmented layout it
+    // dominates append time (the 50-batch sf100 soak averaged ~20 s
+    // per 2k-vector batch, mostly file opens near the end —
+    // BASELINE.md round 7). The check is correctness-first and ON by
+    // default; `graft.index.appendIdCheck=false` is for callers whose
+    // id assignment is externally unique (e.g. monotone crawl ids),
+    // who then own the two-rows-per-id failure mode.
+    if (spark.conf.getOption("graft.index.appendIdCheck").forall(_.toBoolean)) {
+      val liveClash = spark.read.parquet(vecDir).select(col("vec_id"))
+        .join(broadcast(newVectors.select(col("vec_id"))), Seq("vec_id"), "left_semi")
+        .limit(5).collect().map(_.getLong(0))
+      require(liveClash.isEmpty,
+        s"batch re-inserts ids already live in the index ${liveClash.mkString(", ")} — " +
+          "every probe would serve two rows per id. Dedup the batch against " +
+          "the indexed ids first (or delete + compact to replace them).")
+    }
     GraftFunctions.register(spark)
     val cents = spark.read.parquet(s"$indexDir/centroids")
       .select(col("cell"), col("centroid"))
