@@ -452,18 +452,70 @@ object Curation {
   def capPerSource(spark: SparkSession, dir: String): DataFrame =
     capPerSourceOn(Relational.table(spark, dir, "documents"))
 
+  /** C28 — dedup clustering FROM THE STORE: [[dedupCluster]] with its
+    * edge generation replaced by the persistent near-dup signature
+    * store's pair table. c14 pays edge generation (shingle + sign +
+    * band join + verify — the expensive half, which is why it
+    * contracts exact dups first) on EVERY run; the store maintains the
+    * complete verified pair set incrementally as batches arrive
+    * (`Similarity.appendToNearDupIndex`), so re-clustering after an
+    * arrival costs ONLY label propagation over (da, db) id pairs —
+    * Θ(pairs · log diameter), no corpus text anywhere in the plan.
+    * Same oracle as c14 (the store's pair graph IS the exact n-gram
+    * pair graph, oracle-proven by c27): transitive closure over the
+    * near-dup edges, min id as the cluster label. Exact-duplicate
+    * texts share all shingles (J = 1 ≥ 0.8), so their edges are in the
+    * store and no separate contraction pass is needed. */
+  def dedupClusterIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val idx = Similarity.freshScratch(spark, s"graft_neardup_cluster_${key}_")
+    val docs = Relational.table(spark, dir, "documents")
+    Similarity.buildNearDupIndex(spark, docs.filter(col("doc_id") % 20 =!= 7), idx)
+    Similarity.appendToNearDupIndex(spark, idx, docs.filter(col("doc_id") % 20 === 7))
+    clusterPairs(spark,
+        Similarity.nearDupIndexPairs(spark, idx).select(col("da"), col("db")))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c12_decontaminate" -> (decontaminate _),
     "c13_sample_stratified" -> (sampleStratified _),
     "c14_dedup_cluster" -> (dedupCluster _),
+    "c28_dedup_cluster_incremental" -> (dedupClusterIncremental _),
     "c15_pack_sequences" -> (packSequences _),
     "c16_pii_redact" -> (piiRedact _),
     "c17_quality_repetition" -> (qualityRepetition _),
     "c18_mix_weights" -> (mixWeights _),
     "c21_quality_stream" -> (qualityStream _),
     "c26_cap_per_source" -> (capPerSource _))
+
+  /** Transitive closure of the exact near-dup pair graph — shared by
+    * c14 (per-run edge generation) and c28 (edges from the persistent
+    * store): both must produce this identical result. */
+  private val clusterClosureOracle =
+    """WITH RECURSIVE
+      |toks2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |    ELSE list_transform(generate_series(1, len(t) - 2),
+      |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END) AS shingles FROM toks2),
+      |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+      |np AS (SELECT da, db FROM pairs
+      |  JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      |  WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.8),
+      |edges AS (SELECT da AS src, db AS dst FROM np UNION ALL SELECT db, da FROM np),
+      |reach AS (
+      |  SELECT src AS id, src AS node FROM edges
+      |  UNION
+      |  SELECT r.id, e.dst FROM reach r JOIN edges e ON r.node = e.src)
+      |SELECT id AS doc_id, min(node) AS cluster_id FROM reach
+      |GROUP BY id ORDER BY doc_id""".stripMargin
 
   // a def, not a val: the c15 entry embeds the session's EFFECTIVE
   // shard span (see effectiveShardSpan) at dump time
@@ -497,27 +549,10 @@ object Curation {
     // transitive closure of the exact near-dup pair graph (same pair CTE
     // as the c8 oracle); UNION (distinct) in the recursive member
     // guarantees termination on cyclic dup graphs
-    "c14_dedup_cluster" ->
-      """WITH RECURSIVE
-        |toks2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT doc_id,
-        |  list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-        |    ELSE list_transform(generate_series(1, len(t) - 2),
-        |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END) AS shingles FROM toks2),
-        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-        |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
-        |np AS (SELECT da, db FROM pairs
-        |  JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
-        |  WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.8),
-        |edges AS (SELECT da AS src, db AS dst FROM np UNION ALL SELECT db, da FROM np),
-        |reach AS (
-        |  SELECT src AS id, src AS node FROM edges
-        |  UNION
-        |  SELECT r.id, e.dst FROM reach r JOIN edges e ON r.node = e.src)
-        |SELECT id AS doc_id, min(node) AS cluster_id FROM reach
-        |GROUP BY id ORDER BY doc_id""".stripMargin,
+    "c14_dedup_cluster" -> clusterClosureOracle,
+    // the store-fed clustering must produce the IDENTICAL closure —
+    // its pair table is the same exact n-gram pair graph (c27 contract)
+    "c28_dedup_cluster_incremental" -> clusterClosureOracle,
     "c15_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, lang, doc_id // $activeShardSpan AS shard,
          |  len(string_split(text, ' ')) AS n_tokens FROM documents),

@@ -82,6 +82,16 @@ class CurationSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("dedupClusterIncremental: store-fed clustering equals the per-run-edges result") {
+    // same closure, edges read from the persistent store instead of
+    // regenerated — the dedup pipeline's end-to-end composition
+    val viaStore = Curation.dedupClusterIncremental(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaEdges = Curation.dedupCluster(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStore.nonEmpty && viaStore === viaEdges)
+  }
+
   test("clusterPairs: exiting the round cap unconverged throws, not silently mislabels") {
     import spark.implicits._
     // a path graph 0-1-...-300 has diameter 300; even with pointer-
