@@ -837,13 +837,25 @@ object Similarity {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(genDir)
+    // The ids SIDECAR: a vec_id-only mirror of the layout's physical id
+    // set, kept so the append-time duplicate-id guard reads a handful of
+    // 8-byte-column files instead of opening every file of a fragmented
+    // layout (the 50-batch sf100 soak spent most of its 20 s/batch
+    // append cost in that guard's file opens — BASELINE.md round 7).
+    // Same generation protocol as the layout; appends add one file.
+    val (idsGen, oldIds) = IndexMeta.nextGen(spark, indexDir, "ids")
+    embeddings.select(col("vec_id"))
+      // parallel write, bounded file count (NOT coalesce(1): billions of
+      // 8-byte ids would then funnel through one task at cluster scale)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(idsGen)
     val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat).toSeq)
     }
     import spark.implicits._
     cents.toSeq.toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
-    oldGens.foreach(IndexMeta.delete(spark, _))
+    (oldGens ++ oldIds).foreach(IndexMeta.delete(spark, _))
     // stale tombstones name ids of the REPLACED corpus — they must not
     // suppress rows of the rebuilt one
     IndexMeta.delete(spark, s"$indexDir/tombstones")
@@ -978,25 +990,40 @@ object Similarity {
     }
     // ids already LIVE in the layout are rejected just as loudly: an
     // overlapping append would serve two rows per id on every probe
-    // (round-6 advice — the overlap was silently accepted). Cost: a
-    // map-side scan of the layout's 8-byte id column against the
-    // broadcast batch ids — the one column parquet pruning keeps, but
-    // the scan opens EVERY layout file, so on a fragmented layout it
-    // dominates append time (the 50-batch sf100 soak averaged ~20 s
-    // per 2k-vector batch, mostly file opens near the end —
-    // BASELINE.md round 7). The check is correctness-first and ON by
-    // default; `graft.index.appendIdCheck=false` is for callers whose
-    // id assignment is externally unique (e.g. monotone crawl ids),
-    // who then own the two-rows-per-id failure mode.
+    // (round-6 advice — the overlap was silently accepted). The check
+    // reads the ids SIDECAR (vec_id-only mirror, one small file per
+    // append since the last compaction) rather than the layout's id
+    // column — the round-7 soak showed the layout scan's file opens
+    // dominating append cost on a fragmented index (20 s/batch at
+    // 45k files; the sidecar holds the guard at O(#appends) opens).
+    // Pre-sidecar indexes (no ids.g* dir) fall back to the layout
+    // scan. Correctness-first and ON by default;
+    // `graft.index.appendIdCheck=false` is for callers whose id
+    // assignment is externally unique (e.g. monotone crawl ids), who
+    // then own the two-rows-per-id failure mode.
+    val idsGen = IndexMeta.liveGen(spark, indexDir, "ids").map(_.toString)
     if (spark.conf.getOption("graft.index.appendIdCheck").forall(_.toBoolean)) {
-      val liveClash = spark.read.parquet(vecDir).select(col("vec_id"))
+      val physicalIds = idsGen.map(spark.read.parquet(_))
+        .getOrElse(spark.read.parquet(vecDir).select(col("vec_id")))
+      val liveClash = physicalIds
         .join(broadcast(newVectors.select(col("vec_id"))), Seq("vec_id"), "left_semi")
         .limit(5).collect().map(_.getLong(0))
       require(liveClash.isEmpty,
         s"batch re-inserts ids already live in the index ${liveClash.mkString(", ")} — " +
           "every probe would serve two rows per id. Dedup the batch against " +
-          "the indexed ids first (or delete + compact to replace them).")
+          "the indexed ids first (or delete + compact to replace them). " +
+          "If a previous append of THIS batch crashed between its sidecar " +
+          "and layout writes, repair with rebuildIdsSidecar and re-run.")
     }
+    // Sidecar lands BEFORE the layout (one small file, job-committed):
+    // a crash between the two writes leaves the sidecar a SUPERSET of
+    // the layout, so the bare re-run fails LOUDLY on the guard above
+    // instead of a later overlapping batch silently passing it — the
+    // fail-loud-never-duplicate ordering doctrine of the near-dup
+    // store's shingles-first append. Repair = rebuildIdsSidecar (one
+    // layout scan, the old per-append guard cost paid once).
+    idsGen.foreach(g => newVectors.select(col("vec_id")).coalesce(1)
+      .write.mode("append").parquet(g))
     GraftFunctions.register(spark)
     val cents = spark.read.parquet(s"$indexDir/centroids")
       .select(col("cell"), col("centroid"))
@@ -1094,8 +1121,32 @@ object Similarity {
         .write.mode("overwrite").partitionBy("cell")
         .parquet(nextDir)
     }
+    // ids sidecar follows: the live id set, one generation, compacted
+    // back to few files (each append added one). Written while the old
+    // layout still exists — `v` reads from it. A crash before this
+    // write leaves the sidecar a superset of the new layout (contains
+    // the tombstoned-away ids): re-inserting those ids then fails
+    // loudly until rebuildIdsSidecar — never silently duplicates.
+    val (idsNext, oldIds) = IndexMeta.nextGen(spark, indexDir, "ids")
+    v.select(col("vec_id")).repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(idsNext)
     oldGens.foreach(IndexMeta.delete(spark, _))
+    oldIds.foreach(IndexMeta.delete(spark, _))
     IndexMeta.delete(spark, s"$indexDir/tombstones") // now physical; table resets
+  }
+
+  /** Repair the ids sidecar from the layout itself — the recovery op
+    * for an append that crashed between its sidecar and layout writes
+    * (sidecar superset → guard false-rejects that batch's retry) or a
+    * compaction that crashed before its sidecar rewrite. One full scan
+    * of the layout's 8-byte id column: the cost the sidecar saves on
+    * every append, paid once per repair. */
+  def rebuildIdsSidecar(spark: SparkSession, indexDir: String): Unit = {
+    val (idsNext, oldIds) = IndexMeta.nextGen(spark, indexDir, "ids")
+    spark.read.parquet(liveVectorsPath(spark, indexDir)).select(col("vec_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(idsNext)
+    oldIds.foreach(IndexMeta.delete(spark, _))
   }
 
   /** Registry wrapper for the append path: build a fresh index from a

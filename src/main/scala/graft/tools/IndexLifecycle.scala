@@ -85,6 +85,11 @@ object IndexLifecycle {
     println(f"""{"n":$n,"batches":$batches,"build_sec":$buildSec%.1f,""" +
       f""""append_total_sec":${appendSecs.sum}%.1f,""" +
       f""""append_per_batch_sec":${appendSecs.sum / batches}%.2f,""" +
+      // first vs last batch: a guard whose cost grows with layout
+      // fragmentation shows up as last >> first (the round-7 pre-sidecar
+      // soak); the ids sidecar should hold them level
+      f""""append_first_sec":${appendSecs.head}%.2f,""" +
+      f""""append_last_sec":${appendSecs.last}%.2f,""" +
       f""""files_fragmented":$filesFragmented,"files_compacted":$filesCompacted,""" +
       f""""probe_fragmented_sec":$probeFragmented%.2f,""" +
       f""""probe_compacted_sec":$probeCompacted%.2f,""" +

@@ -474,6 +474,60 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     assert(ex.getMessage.contains("already live"))
   }
 
+  test("C3 index: the ids sidecar mirrors the layout and bounds the guard's file opens") {
+    import scala.jdk.CollectionConverters._
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_ivf_ids_spec").toString
+    val e = Relational.table(spark, dir, "embeddings")
+    Similarity.buildIvfIndexFrom(spark,
+      e.filter(col("vec_id") < 300).select(col("vec_id"), col("embedding")), indexDir)
+    def sidecarIds() = {
+      val g = graft.ops.IndexMeta.liveGen(spark, indexDir, "ids").get.toString
+      spark.read.parquet(g).collect().map(_.getLong(0)).toSet
+    }
+    def layoutIds() =
+      spark.read.parquet(Similarity.liveVectorsPath(spark, indexDir))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    // 1. sidecar == layout after build, and after each append it grows
+    //    by exactly ONE file (the O(#appends) guard-cost claim)
+    assert(sidecarIds() === layoutIds())
+    val g = graft.ops.IndexMeta.liveGen(spark, indexDir, "ids").get.toString
+    def sidecarFiles() = java.nio.file.Files.list(java.nio.file.Paths.get(
+      g.stripPrefix("file:"))).iterator.asScala
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    val filesAfterBuild = sidecarFiles()
+    (0 until 3).foreach { i =>
+      Similarity.appendToIvfIndex(spark, indexDir,
+        e.filter(col("vec_id") >= 300 + i * 10 && col("vec_id") < 310 + i * 10)
+          .select(col("vec_id"), col("embedding")))
+    }
+    assert(sidecarIds() === layoutIds())
+    assert(sidecarFiles() === filesAfterBuild + 3,
+      "each append must add exactly one sidecar file")
+    // 2. delete + compact: the sidecar rewrites to the LIVE set in a
+    //    fresh generation with few files
+    import spark.implicits._
+    Similarity.deleteFromIvfIndex(spark, indexDir, Seq(305L, 315L).toDF("vec_id"))
+    Similarity.compactIvfIndex(spark, indexDir)
+    assert(sidecarIds() === layoutIds())
+    assert(!sidecarIds().contains(305L) && !sidecarIds().contains(315L))
+    // 3. crashed-append repair: simulate an append that committed its
+    //    sidecar write but died before the layout write — the bare
+    //    retry fails LOUDLY (sidecar superset, never silent dup), and
+    //    rebuildIdsSidecar restores the guard from the layout itself
+    val gNow = graft.ops.IndexMeta.liveGen(spark, indexDir, "ids").get.toString
+    val orphan = e.filter(col("vec_id") === 400).select(col("vec_id"))
+    orphan.coalesce(1).write.mode("append").parquet(gNow)
+    val retry = e.filter(col("vec_id") === 400).select(col("vec_id"), col("embedding"))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(spark, indexDir, retry)
+    }
+    assert(ex.getMessage.contains("rebuildIdsSidecar"))
+    Similarity.rebuildIdsSidecar(spark, indexDir)
+    Similarity.appendToIvfIndex(spark, indexDir, retry)
+    assert(sidecarIds() === layoutIds())
+    assert(sidecarIds().contains(400L))
+  }
+
   test("C3 IVF kNN join: high recall@3 vs the brute-force join") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
