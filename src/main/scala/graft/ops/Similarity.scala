@@ -796,6 +796,124 @@ object Similarity {
       .limit(10)
   }
 
+  // C3f — IVF-PQ: product-quantized ANN, the memory-bound 100 TB path.
+  // Public technique: Jégou/Douze/Schmid, "Product Quantization for
+  // Nearest Neighbor Search" (TPAMI 2011) — the IVFADC layout FAISS
+  // ships. The flat IVF variants above carry full float vectors through
+  // the probe scan: at 100 TB of embeddings the scan is memory/IO-bound
+  // long before it is flop-bound. PQ splits each d-dim vector into M
+  // subspaces, quantizes each against its own 256-entry codebook, and
+  // stores ONE byte per subspace — here packed into a single BIGINT
+  // column (M=8 codes × 8 bits = 64 bits), so the per-vector probe
+  // payload drops from d×4 bytes to 8 (d=64 → 32×; production d=1024 →
+  // 512×). The probe is asymmetric-distance computation (ADC): the
+  // query precomputes, per (subspace, code), the inner product and
+  // squared norm of the codebook entry — two M×256-double tables that
+  // ship as plan literals — and each candidate's approximate cosine is
+  // M table lookups, no float-array access at all. The top `shortlist`
+  // ADC survivors alone get exact re-ranking against their real
+  // embeddings. Raw-vector codebooks (FAISS by_residual=false): at our
+  // similarity regime the residual refinement buys little and keeps the
+  // encode path a pure map. Approximate → rows-only; recall@10 vs the
+  // exact c3_sim_topk pinned in the spec.
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val e0 = Relational.table(spark, dir, "embeddings")
+    val dim = e0.select(size(col("embedding"))).head().getInt(0)
+    val m = 8
+    require(dim % m == 0, s"embedding dim $dim not divisible by $m PQ subspaces")
+    val dsub = dim / m
+    val n = e0.count()
+    // ≤256 codebook entries per subspace (codes must fit a byte); small
+    // corpora train fewer — KMeans needs k ≤ points
+    val ksub = math.min(256L, math.max(4L, n / 2)).toInt
+    val e = e0.withColumn("features",
+      array_to_vector(expr("cast(embedding as array<double>)")))
+    val model = fitCoarse(e)
+    val assigned = model.transform(e)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    // per-subspace codebooks on the deterministic hash-bucket sample
+    // (c13 doctrine, same budget rule as fitCoarse)
+    val budget = 64L * ksub
+    val train = if (n <= budget) e0
+      else e0.filter(xxhash64(col("vec_id")) % lit(math.max(1L, n / budget)) === 0)
+    val books: Array[Array[Float]] = (0 until m).map { s =>
+      val sv = train.select(array_to_vector(
+        expr(s"cast(slice(embedding, ${s * dsub + 1}, $dsub) as array<double>)"))
+        .as("features"))
+      val km = new org.apache.spark.ml.clustering.KMeans()
+        .setK(ksub).setSeed(42L + s).setMaxIter(10)
+        .setFeaturesCol("features").setPredictionCol("code").fit(sv)
+      val cs = km.clusterCenters
+      val flat = new Array[Float](cs.length * dsub)
+      cs.zipWithIndex.foreach { case (c, j) =>
+        val arr = c.toArray
+        var t = 0
+        while (t < dsub) { flat(j * dsub + t) = arr(t).toFloat; t += 1 }
+      }
+      flat
+    }.toArray
+    // ENCODE, map-side and codegen'd: per subspace the same NearestCells
+    // kernel the cell assignment uses (argmin L2 over the codebook),
+    // then the M byte-codes pack into one long — the entire PQ
+    // representation of a vector is an 8-byte column
+    val codeCols = (0 until m).map { s =>
+      element_at(nearestCellsColOf(
+        expr(s"slice(embedding, ${s * dsub + 1}, $dsub)"),
+        books(s), dsub, 1), 1)
+    }
+    val packed = codeCols.zipWithIndex.map { case (c, s) =>
+      shiftleft(c.cast("long"), (m - 1 - s) * 8)
+    }.reduce(_.bitwiseOR(_))
+    val coded = assigned.withColumn("pq", packed)
+      .select(col("vec_id"), col("cell"), col("pq"))
+    // ADC tables for the vec_id=0 query (fixed 256 stride so the lookup
+    // index is s*256 + code regardless of the trained k)
+    val qVec = e0.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val qNorm = math.sqrt(qVec.map(x => x.toDouble * x).sum)
+    val ipT = new Array[Double](m * 256)
+    val nrT = new Array[Double](m * 256)
+    for (s <- 0 until m; j <- 0 until books(s).length / dsub) {
+      var ip = 0.0; var nr = 0.0
+      var t = 0
+      while (t < dsub) {
+        val c = books(s)(j * dsub + t).toDouble
+        ip += c * qVec(s * dsub + t); nr += c * c; t += 1
+      }
+      ipT(s * 256 + j) = ip; nrT(s * 256 + j) = nr
+    }
+    val probeCells = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      val d = c.toArray.zip(qVec.map(_.toDouble)).map { case (a, b) => (a - b) * (a - b) }.sum
+      (i, d)
+    }.sortBy(_._2).take(nprobe(spark)).map(_._1)
+    // the ADC scan touches only (vec_id, cell, pq) — 8 bytes of code per
+    // candidate, the float arrays stay unread until the re-rank join
+    val short = coded
+      .filter(col("vec_id") =!= 0 && col("cell").isin(probeCells.toSeq: _*))
+      .withColumn("ipt", typedlit(ipT.toSeq))
+      .withColumn("nrt", typedlit(nrT.toSeq))
+      .withColumn("asim", expr(
+        s"""aggregate(sequence(0, ${m - 1}),
+           |  named_struct('ip', 0D, 'nr', 0D),
+           |  (acc, s) -> named_struct(
+           |    'ip', acc.ip + element_at(ipt,
+           |      cast(s * 256 + (shiftright(pq, (${m - 1} - s) * 8) & 255) + 1 as int)),
+           |    'nr', acc.nr + element_at(nrt,
+           |      cast(s * 256 + (shiftright(pq, (${m - 1} - s) * 8) & 255) + 1 as int))),
+           |  acc -> acc.ip / (greatest(sqrt(acc.nr), 1e-12D) * ${qNorm}D))""".stripMargin))
+      .orderBy(col("asim").desc, col("vec_id").asc)
+      .limit(shortlistGlobal(spark))
+      .select(col("vec_id"))
+    // exact re-rank of the shortlist only: Θ(shortlist·d) float work
+    val q = e0.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    short.join(e0.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosineExpr("embedding", "qv"), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   /** C3b2 — PERSISTENT IVF index: build once, query many. Every IVF
     * query above re-fits the quantizer and re-assigns the corpus —
     * identical work per query until the corpus changes, and at 100 TB
@@ -1267,10 +1385,16 @@ object Similarity {
     (flat, dim)
   }
 
-  private def nearestCellsCol(flat: Array[Float], dim: Int, nprobe: Int): org.apache.spark.sql.Column = {
+  private def nearestCellsCol(flat: Array[Float], dim: Int, nprobe: Int): org.apache.spark.sql.Column =
+    nearestCellsColOf(col("embedding"), flat, dim, nprobe)
+
+  /** [[NearestCells]] over an arbitrary array<float> column — the PQ
+    * encoder reuses the argmin-L2 kernel per subspace slice. */
+  private def nearestCellsColOf(child: org.apache.spark.sql.Column,
+      flat: Array[Float], dim: Int, nprobe: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graft.{GraftColumns => ExpressionUtils}
     ExpressionUtils.column(graft.functions.NearestCells(
-      ExpressionUtils.expression(col("embedding")), flat, dim, nprobe))
+      ExpressionUtils.expression(child), flat, dim, nprobe))
   }
 
   private def nearestCellsCol(
@@ -1559,6 +1683,7 @@ object Similarity {
     "c2_dedup_cosine_lsh" -> (dedupCosineLsh _),
     "c3_sim_topk" -> (simTopK _),
     "c3_ann_ivf" -> (annIvf _),
+    "c3_ann_ivfpq" -> (annIvfPq _),
     "c3_ann_indexed" -> (annIvfIndexedQuery _),
     "c3_ann_index_append" -> (annIndexAppendQuery _),
     "c3_ann_index_compact" -> (annIndexCompactQuery _),

@@ -153,6 +153,26 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     assert(recall >= 0.5, s"IVF recall $recall below 0.5")
   }
 
+  test("C3 IVF-PQ: 8-byte codes + ADC shortlist keep exact-top-k recall") {
+    // at sf0.001 every cell is probed (nprobe ≥ k) and the shortlist
+    // nearly exhausts the corpus, so any miss here is PQ quantization
+    // loss itself — the re-rank must hold recall at the flat-IVF bar
+    val exact = Similarity.simTopK(spark, dir).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val pq = Similarity.annIvfPq(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(pq.length === 10)
+    val recall = exact.count(pq.map(_._1).toSet.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"IVF-PQ recall@10 $recall below 0.8")
+    // the re-rank is EXACT cosine: every served similarity must equal
+    // the brute-force value for that id
+    val exactSims = Similarity.simTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    pq.filter(p => exactSims.contains(p._1)).foreach { case (id, s) =>
+      assert(s === exactSims(id), s"re-ranked sim for $id diverges from exact")
+    }
+  }
+
   test("C3 persistent IVF index: partition-pruned probes, byte-identical to the per-query fit") {
     val indexDir = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
     Similarity.buildIvfIndex(spark, dir, indexDir)
