@@ -692,15 +692,22 @@ object Similarity {
   // hash-signed ±0.001 jitter) — the standard construction for
   // validating a near-dup pipeline end-to-end. Rows-only check; recall
   // vs the planted truth asserted in the spec.
+  /** Deterministic planted near-duplicates (vec_id + 100000, per-dim
+    * hash-signed ±0.001 jitter) — shared by the embedding near-dup
+    * validators: the testdata has no natural high-cosine pairs (max
+    * ≈ 0.51), so each variant validates end-to-end against this
+    * planted truth. */
+  private def plantedNoisy(base: DataFrame): DataFrame = base.select(
+    (col("vec_id") + 100000L).as("vec_id"),
+    expr("""zip_with(embedding, sequence(0, size(embedding) - 1),
+      |(x, d) -> cast(x + IF((xxhash64(concat('jit_', cast(d as string), '_', cast(vec_id as string))) & 1) = 1, 0.001D, -0.001D) as float))"""
+      .stripMargin).as("embedding"),
+    col("label"))
+
   def dedupCosineLsh(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val base = Relational.table(spark, dir, "embeddings")
-    val noisy = base.select(
-      (col("vec_id") + 100000L).as("vec_id"),
-      expr("""zip_with(embedding, sequence(0, size(embedding) - 1),
-        |(x, d) -> cast(x + IF((xxhash64(concat('jit_', cast(d as string), '_', cast(vec_id as string))) & 1) = 1, 0.001D, -0.001D) as float))"""
-        .stripMargin).as("embedding"),
-      col("label"))
+    val noisy = plantedNoisy(base)
     // Band keys are sized from n AT RUNTIME — the round-6 lesson made
     // structural. A fixed key width is a scale ceiling twice over: the
     // original 4×16-bit banding birthday-saturated its 65536-key space
@@ -750,6 +757,52 @@ object Similarity {
       .select(col("va"), col("vb"), round(cosineExpr("ea", "eb"), 4).as("cos"))
       .filter(col("cos") >= 0.99)
       .orderBy("va", "vb")
+  }
+
+  // C2g — SEMANTIC dedup (SemDeDup shape). Public technique: Abbas,
+  // Tirumala, Simig, Ganguli, Morcos — "SemDeDup: Data-efficient
+  // learning at web-scale through semantic deduplication" (2023).
+  // Where the LSH variant above hashes for candidates, SemDeDup
+  // k-means-clusters the embedding space and compares pairs ONLY
+  // within a cluster: candidate generation is a cell equi-join, so no
+  // global pairing step exists at any scale, and per-cluster all-pairs
+  // work is n·(n/k) — with the √n coarse quantizer reused verbatim
+  // from the IVF family that is Θ(n^1.5) comparisons; production
+  // corpora hold cluster POPULATION constant instead (the paper's
+  // k ≈ n/1000), making the comparison volume linear. Within-cluster
+  // pairs with cosine ≥ 0.99 are semantic duplicates; the keep rule
+  // (lowest vec_id survives) emits each dropped vector with its
+  // witness. Approximate — a pair straddling a cluster boundary is
+  // never compared, the paper's accepted price of linearity —
+  // → rows-only; planted recall + keep-rule semantics in the spec.
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val base = Relational.table(spark, dir, "embeddings")
+    val all = base.unionByName(plantedNoisy(base))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("features",
+        array_to_vector(expr("cast(embedding as array<double>)")))
+    val model = fitCoarse(all)
+    val a = model.transform(all)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    // bare-id candidates (the minhashCandidates doctrine): only
+    // (vec_id, cell) rides the 8-byte self-join; embeddings are
+    // fetched once each in the verify joins
+    val ids = a.select(col("vec_id"), col("cell"))
+    val cands = ids.as("x").hint("shuffle_hash").join(ids.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
+    val vecs = a.select(col("vec_id"), col("embedding"))
+    val pairs = cands
+      .join(vecs.select(col("vec_id").as("va"), col("embedding").as("ea")), Seq("va"))
+      .join(vecs.select(col("vec_id").as("vb"), col("embedding").as("eb")), Seq("vb"))
+      .select(col("va"), col("vb"), round(cosineExpr("ea", "eb"), 4).as("cos"))
+      .filter(col("cos") >= 0.99)
+    // keep rule: a vector is dropped iff a lower-id in-cluster
+    // duplicate exists; emit (dropped, kept_by witness, similarity)
+    pairs.groupBy(col("vb").as("vec_id"))
+      .agg(min(col("va")).as("kept_by"), max(col("cos")).as("cos"))
+      .orderBy("vec_id")
   }
 
   // C3 — brute-force cosine top-k for the vec_id=0 query vector
@@ -1681,6 +1734,7 @@ object Similarity {
     "c2_dedup_simhash" -> (dedupSimHash _),
     "c2_dedup_cosine" -> (dedupCosine _),
     "c2_dedup_cosine_lsh" -> (dedupCosineLsh _),
+    "c2_dedup_semantic" -> (dedupSemantic _),
     "c3_sim_topk" -> (simTopK _),
     "c3_ann_ivf" -> (annIvf _),
     "c3_ann_ivfpq" -> (annIvfPq _),

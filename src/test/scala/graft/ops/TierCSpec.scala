@@ -146,6 +146,23 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     assert(planted == n, s"recovered $planted of $n planted duplicates")
   }
 
+  test("C2 SemDeDup: planted duplicates drop with their base twin as witness") {
+    val drops = Similarity.dedupSemantic(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val n = Relational.table(spark, dir, "embeddings").count()
+    // every planted noisy copy (id + 100000) lands in its twin's
+    // cluster (±0.001 jitter cannot cross a centroid boundary here)
+    // and the keep rule names the LOWEST-id duplicate — the base twin
+    val planted = drops.filter { case (dropped, keptBy) =>
+      dropped >= 100000L && keptBy == dropped - 100000L
+    }
+    assert(planted.size == n, s"recovered ${planted.size} of $n planted duplicates")
+    // no base vector is dropped: the corpus has no natural ≥0.99 pair,
+    // and planted ids order above every base id
+    assert(drops.keys.forall(_ >= 100000L),
+      s"base vectors wrongly dropped: ${drops.keys.filter(_ < 100000L).take(5)}")
+  }
+
   test("C3 IVF ANN: high recall vs exact top-k") {
     val exact = Similarity.simTopK(spark, dir).select("vec_id").collect().map(_.getLong(0)).toSet
     val approx = Similarity.annIvf(spark, dir).select("vec_id").collect().map(_.getLong(0)).toSet
