@@ -188,7 +188,51 @@ object Pipeline {
       .orderBy(col("cnt").desc, col("tok").asc)
       .limit(100)
 
+  // C29 — LEARNED quality classifier: the fastText-style linear filter
+  // every production pretraining pipeline runs (public pattern: GPT-3's
+  // logistic-regression WebText filter, LLaMA's fastText quality
+  // classifier — a cheap linear model fitted on a small curated/weak
+  // label set scores the whole corpus). Deployment shape mirrors c24b:
+  // FIT on the 95% split, SCORE the held-out 5% — the expensive fit
+  // runs once, scoring an arrival batch is one broadcast of the weight
+  // vector and a map-only pass. Features are hashed token counts
+  // (HashingTF, 4096 buckets — the hashing trick keeps the feature
+  // space fixed no matter the vocabulary, so the model never grows with
+  // the corpus); the weak label here is the median split of the shipped
+  // c4 quality heuristic, standing in for the curated seed set the
+  // production run would supply. LBFGS float sums are partition-order
+  // sensitive → rows-only; held-out agreement with the weak labeler is
+  // pinned in the spec.
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.HashingTF
+    import org.apache.spark.ml.functions.vector_to_array
+    val scored = Relational.table(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_cnt", expr(s"size(filter(toks, t -> t in $stopList))"))
+      .withColumn("q",
+        least(col("n_tokens") * lit(1.0) / 100.0, lit(1.0)) * 0.5
+          + (lit(1.0) - col("stop_cnt") * lit(1.0) / col("n_tokens")) * 0.5)
+    // median split → balanced classes by construction; approxQuantile is
+    // a driver O(1) scalar (the centroid-table exception)
+    val med = scored.stat.approxQuantile("q", Array(0.5), 0.001).head
+    val labeled = scored.withColumn("label", (col("q") >= med).cast("double"))
+    val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
+      .setNumFeatures(4096)
+    val train = tf.transform(labeled.filter(col("doc_id") % 20 =!= 7))
+    val holdout = tf.transform(labeled.filter(col("doc_id") % 20 === 7))
+    val lr = new LogisticRegression().setMaxIter(30).setRegParam(1e-3)
+      .setLabelCol("label").setFeaturesCol("features")
+    lr.fit(train).transform(holdout)
+      .select(col("doc_id"), col("label").as("weak_label"),
+        col("prediction").as("predicted"),
+        round(element_at(vector_to_array(col("probability")), 2), 4).as("p_keep"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c29_quality_classifier" -> (qualityClassifier _),
     "c20_vocab_topk" -> (vocabTopK _),
     "c8_clean_corpus" -> (cleanCorpus _),
     "c9_dedup_stream" -> (dedupStream _),

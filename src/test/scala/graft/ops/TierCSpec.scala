@@ -146,6 +146,20 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     assert(planted == n, s"recovered $planted of $n planted duplicates")
   }
 
+  test("C29 quality classifier: held-out agreement with the weak labeler") {
+    // sf0.01: the sf0.001 holdout is 3 docs — too small to measure
+    val out = Pipeline.qualityClassifier(spark, "/root/testdata/sf0.01").collect()
+    assert(out.length >= 20, s"holdout unexpectedly small: ${out.length}")
+    val agree = out.count(r => r.getDouble(1) == r.getDouble(2))
+    val rate = agree.toDouble / out.length
+    assert(rate >= 0.8, s"classifier agrees with weak labels on $rate of holdout")
+    // probabilities are real probabilities, and agreement is not the
+    // degenerate all-one-class predictor
+    assert(out.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    assert(out.map(_.getDouble(2)).distinct.length == 2,
+      "predictor collapsed to a single class")
+  }
+
   test("C2 SemDeDup: planted duplicates drop with their base twin as witness") {
     val drops = Similarity.dedupSemantic(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
