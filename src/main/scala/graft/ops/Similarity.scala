@@ -784,13 +784,31 @@ object Similarity {
         array_to_vector(expr("cast(embedding as array<double>)")))
     val model = fitCoarse(all)
     val a = model.transform(all)
-      .select(col("vec_id"), col("embedding"), col("cell"))
-    // bare-id candidates (the minhashCandidates doctrine): only
-    // (vec_id, cell) rides the 8-byte self-join; embeddings are
-    // fetched once each in the verify joins
-    val ids = a.select(col("vec_id"), col("cell"))
+      .withColumn("sigs", expr("graft_srp_sign(embedding, 42L, 4)"))
+      .select(col("vec_id"), col("embedding"), col("sigs"), col("cell"))
+    // Within-cluster candidates ride a (vec_id, sigs, cell) projection
+    // — 40-byte rows (minhashCandidates doctrine) — and the SRP Hamming
+    // screen sits INSIDE the join condition: with √n cells the
+    // enumerated pair volume is Θ(n^1.5), and materializing it through
+    // the verify joins is the sf100 killer, so background pairs must
+    // die during the hash-join probe itself. A ≥0.99-cosine pair
+    // disagrees on ~4.6% of SRP planes (E[hamming] ≈ 12/256, the ≤32
+    // bar is ~6σ above), while this corpus' background pairs (cos ≈
+    // 0.5) sit at ~85/256 (~6σ below) — so survivors ≈ true near-dups,
+    // each enumerated candidate costs 4 XOR+popcount word ops, and
+    // only survivors reach the exact-cosine verify joins. Production
+    // corpora additionally hold cluster POPULATION constant (k = n/pop
+    // instead of √n) to make enumeration itself linear.
+    val ids = a.select(col("vec_id"), col("cell"), col("sigs"))
+    // four unrolled word popcounts, NOT aggregate(zip_with(...)): a HOF
+    // in the join predicate allocates arrays per ENUMERATED pair — the
+    // round-6 allocation-storm trap, fatal at Θ(n^1.5) enumerations —
+    // while GetArrayItem + bit_count stay inside codegen
+    val hamming = (0 until 4).map(i =>
+      expr(s"bit_count(x.sigs[$i] ^ y.sigs[$i])")).reduce(_ + _)
     val cands = ids.as("x").hint("shuffle_hash").join(ids.as("y"),
-        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id") &&
+          (hamming <= 32))
       .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
     val vecs = a.select(col("vec_id"), col("embedding"))
     val pairs = cands
