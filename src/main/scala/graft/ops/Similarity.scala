@@ -887,28 +887,21 @@ object Similarity {
   // similarity regime the residual refinement buys little and keeps the
   // encode path a pure map. Approximate → rows-only; recall@10 vs the
   // exact c3_sim_topk pinned in the spec.
-  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(spark)
-    val e0 = Relational.table(spark, dir, "embeddings")
-    val dim = e0.select(size(col("embedding"))).head().getInt(0)
-    val m = 8
-    require(dim % m == 0, s"embedding dim $dim not divisible by $m PQ subspaces")
+  private val pqSubspaces = 8
+
+  /** Fit the M per-subspace PQ codebooks (≤256 entries each — codes
+    * must fit a byte) on the deterministic hash-bucket sample (c13
+    * doctrine, same budget rule as fitCoarse): a CONSTANT-size fit at
+    * every corpus scale — the decade table's "fit-constant" term.
+    * Returns flattened (k×dsub) float matrices, one per subspace. */
+  private def fitPqBooks(e0: DataFrame, n: Long, dim: Int): Array[Array[Float]] = {
+    val m = pqSubspaces
     val dsub = dim / m
-    val n = e0.count()
-    // ≤256 codebook entries per subspace (codes must fit a byte); small
-    // corpora train fewer — KMeans needs k ≤ points
     val ksub = math.min(256L, math.max(4L, n / 2)).toInt
-    val e = e0.withColumn("features",
-      array_to_vector(expr("cast(embedding as array<double>)")))
-    val model = fitCoarse(e)
-    val assigned = model.transform(e)
-      .select(col("vec_id"), col("embedding"), col("cell"))
-    // per-subspace codebooks on the deterministic hash-bucket sample
-    // (c13 doctrine, same budget rule as fitCoarse)
     val budget = 64L * ksub
     val train = if (n <= budget) e0
       else e0.filter(xxhash64(col("vec_id")) % lit(math.max(1L, n / budget)) === 0)
-    val books: Array[Array[Float]] = (0 until m).map { s =>
+    (0 until m).map { s =>
       val sv = train.select(array_to_vector(
         expr(s"cast(slice(embedding, ${s * dsub + 1}, $dsub) as array<double>)"))
         .as("features"))
@@ -924,24 +917,37 @@ object Similarity {
       }
       flat
     }.toArray
-    // ENCODE, map-side and codegen'd: per subspace the same NearestCells
-    // kernel the cell assignment uses (argmin L2 over the codebook),
-    // then the M byte-codes pack into one long — the entire PQ
-    // representation of a vector is an 8-byte column
+  }
+
+  /** The packed PQ code of `embedding`: per-subspace argmin-L2 via the
+    * same codegen'd NearestCells kernel the cell assignment uses, M
+    * byte-codes packed into ONE long — the entire PQ representation of
+    * a vector is an 8-byte column. Map-side, no shuffle. */
+  private def pqPackedCol(books: Array[Array[Float]], dsub: Int): org.apache.spark.sql.Column = {
+    val m = books.length
     val codeCols = (0 until m).map { s =>
       element_at(nearestCellsColOf(
         expr(s"slice(embedding, ${s * dsub + 1}, $dsub)"),
         books(s), dsub, 1), 1)
     }
-    val packed = codeCols.zipWithIndex.map { case (c, s) =>
+    codeCols.zipWithIndex.map { case (c, s) =>
       shiftleft(c.cast("long"), (m - 1 - s) * 8)
     }.reduce(_.bitwiseOR(_))
-    val coded = assigned.withColumn("pq", packed)
-      .select(col("vec_id"), col("cell"), col("pq"))
-    // ADC tables for the vec_id=0 query (fixed 256 stride so the lookup
-    // index is s*256 + code regardless of the trained k)
-    val qVec = e0.filter(col("vec_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0).toArray
+  }
+
+  /** The shared ADC probe tail: score `coded` (vec_id, cell, pq) rows
+    * for `qVec` by table lookups, shortlist, exact-rerank against
+    * `vecs` (vec_id, embedding — caller scopes it to the probed cells
+    * so the re-rank join partition-prunes). The two M×256 tables
+    * (inner product, squared norm per (subspace, code), fixed 256
+    * stride regardless of trained k) are computed driver-side and ship
+    * as plan literals; the ADC scan touches only 8 code bytes per
+    * candidate — float arrays stay unread until the re-rank join. */
+  private def pqProbe(spark: SparkSession, coded: DataFrame, vecs: DataFrame,
+      books: Array[Array[Float]], qVec: Array[Float],
+      probeCells: Seq[Int]): DataFrame = {
+    val m = books.length
+    val dsub = qVec.length / m
     val qNorm = math.sqrt(qVec.map(x => x.toDouble * x).sum)
     val ipT = new Array[Double](m * 256)
     val nrT = new Array[Double](m * 256)
@@ -954,14 +960,8 @@ object Similarity {
       }
       ipT(s * 256 + j) = ip; nrT(s * 256 + j) = nr
     }
-    val probeCells = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      val d = c.toArray.zip(qVec.map(_.toDouble)).map { case (a, b) => (a - b) * (a - b) }.sum
-      (i, d)
-    }.sortBy(_._2).take(nprobe(spark)).map(_._1)
-    // the ADC scan touches only (vec_id, cell, pq) — 8 bytes of code per
-    // candidate, the float arrays stay unread until the re-rank join
     val short = coded
-      .filter(col("vec_id") =!= 0 && col("cell").isin(probeCells.toSeq: _*))
+      .filter(col("vec_id") =!= 0 && col("cell").isin(probeCells: _*))
       .withColumn("ipt", typedlit(ipT.toSeq))
       .withColumn("nrt", typedlit(nrT.toSeq))
       .withColumn("asim", expr(
@@ -976,13 +976,158 @@ object Similarity {
       .orderBy(col("asim").desc, col("vec_id").asc)
       .limit(shortlistGlobal(spark))
       .select(col("vec_id"))
-    // exact re-rank of the shortlist only: Θ(shortlist·d) float work
-    val q = e0.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    short.join(e0.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    import spark.implicits._
+    val q = Seq(Tuple1(qVec.toSeq)).toDF("qv")
+    short.join(vecs.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .crossJoin(broadcast(q))
       .select(col("vec_id"), round(cosineExpr("embedding", "qv"), 4).as("sim"))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(10)
+  }
+
+  private def nearestCellsTo(centroids: Array[org.apache.spark.ml.linalg.Vector],
+      qVec: Array[Float], np: Int): Seq[Int] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      val d = c.toArray.zip(qVec.map(_.toDouble)).map { case (a, b) => (a - b) * (a - b) }.sum
+      (i, d)
+    }.sortBy(_._2).take(np).map(_._1).toSeq
+
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val e0 = Relational.table(spark, dir, "embeddings")
+    val dim = e0.select(size(col("embedding"))).head().getInt(0)
+    require(dim % pqSubspaces == 0,
+      s"embedding dim $dim not divisible by $pqSubspaces PQ subspaces")
+    val dsub = dim / pqSubspaces
+    val n = e0.count()
+    val e = e0.withColumn("features",
+      array_to_vector(expr("cast(embedding as array<double>)")))
+    val model = fitCoarse(e)
+    val assigned = model.transform(e)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val books = fitPqBooks(e0, n, dim)
+    val coded = assigned.withColumn("pq", pqPackedCol(books, dsub))
+      .select(col("vec_id"), col("cell"), col("pq"))
+    val qVec = e0.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val probeCells = nearestCellsTo(model.clusterCenters, qVec, nprobe(spark))
+    pqProbe(spark, coded,
+      assigned.filter(col("cell").isin(probeCells: _*)),
+      books, qVec, probeCells)
+  }
+
+  /** C3f2 — PERSIST the PQ sidecar on an existing index: `books` (one
+    * row per (subspace, code) centroid) and `codes` (vec_id, pq,
+    * cell-partitioned EXACTLY like the vectors layout, so ADC probes
+    * get the same parquet partition pruning), both committed under the
+    * IndexMeta generation protocol. The sidecar is a DERIVED projection
+    * of ONE vectors generation — each books row records which
+    * (`from_vectors`), and the probe REFUSES loudly when the live
+    * vectors generation has moved on (an append or compaction made the
+    * codes incomplete or stale): re-running this op is the repair, at
+    * encode cost (one linear map pass), never a quantizer refit of the
+    * coarse level. Deletes need NO rebuild — tombstones anti-join the
+    * codes scan exactly as they do the vectors scan. */
+  /** The codes↔vectors consistency key: generation name + file count +
+    * total bytes of the live layout. An APPEND does not bump the
+    * generation (it adds files inside it) — a generation-name-only key
+    * would serve codes that silently miss the appended vectors, so the
+    * file census is part of the key. One recursive listing, no file
+    * opens. */
+  private def vectorsFingerprint(spark: SparkSession, indexDir: String): String = {
+    val p = liveVectorsPath(spark, indexDir)
+    s"${new org.apache.hadoop.fs.Path(p).getName}:" +
+      s"${IndexMeta.countUnder(spark, p, ".parquet")}:" +
+      s"${IndexMeta.bytesUnder(spark, p, ".parquet")}"
+  }
+
+  def addPqToIndex(spark: SparkSession, indexDir: String): Unit = {
+    GraftFunctions.register(spark)
+    val vecPath = liveVectorsPath(spark, indexDir)
+    val vecGen = vectorsFingerprint(spark, indexDir)
+    val v = spark.read.parquet(vecPath)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val dim = v.select(size(col("embedding"))).head().getInt(0)
+    val n = v.count()
+    val books = fitPqBooks(v, n, dim)
+    val dsub = dim / pqSubspaces
+    import spark.implicits._
+    val (booksGen, oldBooks) = IndexMeta.nextGen(spark, indexDir, "books")
+    books.zipWithIndex.flatMap { case (flat, s) =>
+      (0 until flat.length / dsub).map { j =>
+        (s, j, flat.slice(j * dsub, (j + 1) * dsub).toSeq, vecGen)
+      }
+    }.toSeq.toDF("sub", "code", "centroid", "from_vectors")
+      .coalesce(1).write.mode("overwrite").parquet(booksGen)
+    val (codesGen, oldCodes) = IndexMeta.nextGen(spark, indexDir, "codes")
+    v.withColumn("pq", pqPackedCol(books, dsub))
+      .select(col("vec_id"), col("pq"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(codesGen)
+    (oldBooks ++ oldCodes).foreach(IndexMeta.delete(spark, _))
+  }
+
+  /** ADC probe over the PERSISTED codes — no fit, no encode: read the
+    * k-row books table driver-side, partition-prune the codes layout to
+    * nprobe cells, score by table lookups, exact-rerank against the
+    * probed cells of the vectors layout. Tombstoned ids are excluded
+    * from both scans (delete visibility without a sidecar rebuild). */
+  def annIvfPqIndexed(spark: SparkSession, dir: String, indexDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val vecGenLive = vectorsFingerprint(spark, indexDir)
+    val bookRows = spark.read.parquet(
+        IndexMeta.requireLive(spark, indexDir, "books"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2), r.getString(3)))
+    val from = bookRows.head._4
+    require(from == vecGenLive,
+      s"PQ sidecar is STALE: codes were encoded from layout [$from] but " +
+        s"the live layout is [$vecGenLive] (an append or compaction changed " +
+        "it). Serving them would silently miss or misplace vectors — run " +
+        "addPqToIndex to re-derive the sidecar, then probe again.")
+    val dsub = bookRows.head._3.length
+    val books = bookRows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val flat = new Array[Float](sorted.length * dsub)
+      sorted.foreach { case (_, j, c, _) =>
+        var t = 0
+        while (t < dsub) { flat(j * dsub + t) = c(t); t += 1 }
+      }
+      flat
+    }.toArray
+    val vectors = liveIndexVectors(spark, indexDir)
+    val qRows = vectors.filter(col("vec_id") === 0)
+      .select(col("embedding")).take(1)
+    require(qRows.nonEmpty,
+      s"query vector vec_id=0 is not in the live index at $indexDir " +
+        "(tombstoned or never indexed) — probe with a live vector")
+    val qVec = qRows(0).getSeq[Float](0).toArray
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .select(col("cell"), col("centroid"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    val probeCells = cents.map { case (i, c) =>
+      val d = c.zip(qVec).map { case (a, b) => (a - b).toDouble * (a - b) }.sum
+      (i, d)
+    }.sortBy(_._2).take(nprobe(spark)).map(_._1).toSeq
+    val codes0 = spark.read.parquet(IndexMeta.requireLive(spark, indexDir, "codes"))
+    val tomb = s"$indexDir/tombstones"
+    val codes = if (IndexMeta.exists(spark, tomb))
+      codes0.join(broadcast(spark.read.parquet(tomb)), Seq("vec_id"), "left_anti")
+    else codes0
+    pqProbe(spark, codes,
+      vectors.filter(col("cell").isin(probeCells: _*)),
+      books, qVec, probeCells)
+  }
+
+  /** Registry wrapper: [[ensureIndex]] the shared per-dir index, derive
+    * the PQ sidecar if absent or stale, probe from the persisted codes. */
+  def annIvfPqIndexedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ensureIndex(spark, dir)
+    val fresh = IndexMeta.liveGen(spark, idx, "books").exists { g =>
+      spark.read.parquet(g.toString).select(col("from_vectors")).head().getString(0) ==
+        vectorsFingerprint(spark, idx)
+    }
+    if (!fresh) addPqToIndex(spark, idx)
+    annIvfPqIndexed(spark, dir, idx)
   }
 
   /** C3b2 — PERSISTENT IVF index: build once, query many. Every IVF
@@ -1756,6 +1901,7 @@ object Similarity {
     "c3_sim_topk" -> (simTopK _),
     "c3_ann_ivf" -> (annIvf _),
     "c3_ann_ivfpq" -> (annIvfPq _),
+    "c3_ann_ivfpq_indexed" -> (annIvfPqIndexedQuery _),
     "c3_ann_indexed" -> (annIvfIndexedQuery _),
     "c3_ann_index_append" -> (annIndexAppendQuery _),
     "c3_ann_index_compact" -> (annIndexCompactQuery _),

@@ -204,6 +204,47 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("C3 PQ sidecar: persisted codes serve the probe; staleness refuses; re-derive repairs") {
+    val indexDir = java.nio.file.Files.createTempDirectory("graft_pq_sidecar_spec").toString
+    Similarity.buildIvfIndex(spark, dir, indexDir)
+    Similarity.addPqToIndex(spark, indexDir)
+    val served = Similarity.annIvfPqIndexed(spark, dir, indexDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(served.length === 10)
+    // the persisted-codes probe holds the per-query fit's recall bar vs
+    // exact (codebooks are refit on the layout's partitioning, so
+    // low-bit KMeans divergence forbids byte-parity as the assertion)
+    val exact = Similarity.simTopK(spark, dir).collect().map(_.getLong(0)).toSet
+    val recall = exact.count(served.map(_._1).toSet.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"persisted-PQ recall@10 $recall below 0.8")
+    // re-ranked sims are exact cosine
+    val exactSims = Similarity.simTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    served.filter(p => exactSims.contains(p._1)).foreach { case (id, s) =>
+      assert(s === exactSims(id), s"served sim for $id diverges from exact")
+    }
+    // an APPEND (same generation dir, new files) must flip the sidecar
+    // stale — a generation-name-only key would silently serve codes
+    // missing the appended vectors
+    import spark.implicits._
+    val e = Relational.table(spark, dir, "embeddings")
+    // plant an exact copy of the query vector under a fresh id: its
+    // cosine is 1.0, so the repaired codes path MUST serve it at #1
+    val extra = e.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+    Similarity.appendToIvfIndex(spark, indexDir, extra)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.annIvfPqIndexed(spark, dir, indexDir).collect()
+    }
+    assert(ex.getMessage.contains("STALE"))
+    // repair = re-derive (encode-only pass); the appended twin serves
+    Similarity.addPqToIndex(spark, indexDir)
+    val after = Similarity.annIvfPqIndexed(spark, dir, indexDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(after.head._1 === 500000L && after.head._2 === 1.0,
+      s"appended exact twin of the query not served first: ${after.toSeq}")
+  }
+
   test("C3 persistent IVF index: partition-pruned probes, byte-identical to the per-query fit") {
     val indexDir = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
     Similarity.buildIvfIndex(spark, dir, indexDir)
