@@ -1052,6 +1052,18 @@ object Similarity {
     val books = fitPqBooks(v, n, dim)
     val dsub = dim / pqSubspaces
     import spark.implicits._
+    // CODES land first, BOOKS last — the "centroids last" publish
+    // doctrine: books carry the freshness fingerprint, so writing them
+    // first would open a crash window where fresh-looking books pair
+    // with the PREVIOUS codes generation and the probe silently serves
+    // stale codes. With books last, every crash window leaves either
+    // old books (stale fingerprint → loud refusal → re-derive) or an
+    // orphaned uncommitted generation readers never resolve.
+    val (codesGen, oldCodes) = IndexMeta.nextGen(spark, indexDir, "codes")
+    v.withColumn("pq", pqPackedCol(books, dsub))
+      .select(col("vec_id"), col("pq"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(codesGen)
     val (booksGen, oldBooks) = IndexMeta.nextGen(spark, indexDir, "books")
     books.zipWithIndex.flatMap { case (flat, s) =>
       (0 until flat.length / dsub).map { j =>
@@ -1059,11 +1071,6 @@ object Similarity {
       }
     }.toSeq.toDF("sub", "code", "centroid", "from_vectors")
       .coalesce(1).write.mode("overwrite").parquet(booksGen)
-    val (codesGen, oldCodes) = IndexMeta.nextGen(spark, indexDir, "codes")
-    v.withColumn("pq", pqPackedCol(books, dsub))
-      .select(col("vec_id"), col("pq"), col("cell"))
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(codesGen)
     (oldBooks ++ oldCodes).foreach(IndexMeta.delete(spark, _))
   }
 
