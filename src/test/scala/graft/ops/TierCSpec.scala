@@ -208,8 +208,14 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     val indexDir = java.nio.file.Files.createTempDirectory("graft_pq_sidecar_spec").toString
     Similarity.buildIvfIndex(spark, dir, indexDir)
     Similarity.addPqToIndex(spark, indexDir)
-    val served = Similarity.annIvfPqIndexed(spark, dir, indexDir)
-      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val probe = Similarity.annIvfPqIndexed(spark, dir, indexDir)
+    // the ADC scan over the codes layout must PARTITION-PRUNE to the
+    // probed cells, exactly like the vectors probe — a codes scan that
+    // lists every cell directory forfeits the sidecar's point
+    val plan = probe.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell[^\\]]*\\]".r.findFirstIn(plan).isDefined,
+      s"codes scan does not partition-prune on cell:\n$plan")
+    val served = probe.collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(served.length === 10)
     // the persisted-codes probe holds the per-query fit's recall bar vs
     // exact (codebooks are refit on the layout's partitioning, so
