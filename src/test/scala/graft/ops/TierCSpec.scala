@@ -161,7 +161,15 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("C2 SemDeDup: planted duplicates drop with their base twin as witness") {
-    val drops = Similarity.dedupSemantic(spark, dir).collect()
+    val df = Similarity.dedupSemantic(spark, dir)
+    // the Hamming screen must ride the join CONDITION as unrolled
+    // popcounts — a HOF (zip_with/aggregate) there allocates per
+    // enumerated pair, the allocation-storm trap at Θ(n^1.5) pairs
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("bit_count"), "Hamming screen missing from the plan")
+    assert(!plan.contains("zip_with"),
+      "screen regressed to a HOF in the join condition")
+    val drops = df.collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     val n = Relational.table(spark, dir, "embeddings").count()
     // every planted noisy copy (id + 100000) lands in its twin's
