@@ -164,10 +164,17 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     val df = Similarity.dedupSemantic(spark, dir)
     // the Hamming screen must ride the join CONDITION as unrolled
     // popcounts — a HOF (zip_with/aggregate) there allocates per
-    // enumerated pair, the allocation-storm trap at Θ(n^1.5) pairs
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("bit_count"), "Hamming screen missing from the plan")
-    assert(!plan.contains("zip_with"),
+    // enumerated pair, the allocation-storm trap at Θ(n^1.5) pairs.
+    // (optimizedPlan, not executedPlan: AQE's top-level string elides
+    // the inner join subtree where the condition lives)
+    // (scoped to the join's own line: zip_with legitimately appears in
+    // the planted-noisy JITTER projection elsewhere in the plan)
+    val plan = df.queryExecution.optimizedPlan.toString
+    val joinLine = plan.linesIterator.find(_.contains("bit_count"))
+    assert(joinLine.isDefined, "Hamming screen missing from the plan")
+    assert(joinLine.get.contains("Join"),
+      s"popcounts not in a join condition: ${joinLine.get.trim.take(120)}")
+    assert(!joinLine.get.contains("lambdafunction"),
       "screen regressed to a HOF in the join condition")
     val drops = df.collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
