@@ -823,6 +823,75 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  // C2h — INCREMENTAL semantic dedup: dedup an ARRIVAL batch against an
+  // INDEXED corpus — the embeddings analogue of the c27 near-dup store,
+  // composed entirely from persisted index artifacts. The daily-crawl
+  // reality is "is this new embedding a semantic dup of anything in the
+  // 100 TB corpus", and re-running dedupSemantic over the union would
+  // re-cluster and re-sign everything per batch. Instead: arrivals
+  // assign themselves to the PERSISTED centroids (codegen'd
+  // NearestCells, Θ(batch·k·d) map work) and sign themselves once; the
+  // corpus side is the index layout's (vec_id, sigs, cell) projection —
+  // 40-byte rows, cell-partition-pruned to the arrivals' cells, NO
+  // corpus embedding read until verify — screened by the same in-join
+  // unrolled-popcount Hamming bar as the batch op, exact-verified at
+  // cosine ≥ 0.99 on survivors only. Tombstoned corpus ids are excluded
+  // (a deleted vector must not block an arrival). Within-batch dups are
+  // the batch op's job ([[dedupSemantic]] on the arrivals); this op is
+  // the arrival-vs-corpus half. Approximate (cell-boundary misses, as
+  // the batch op) → rows-only; planted corpus-twin recall + witness +
+  // no-false-drop pinned in the spec.
+  def dedupSemanticIncremental(spark: SparkSession, indexDir: String,
+      arrivals: DataFrame): DataFrame = {
+    GraftFunctions.register(spark)
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .select(col("cell"), col("centroid"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    val dim = cents.head._2.length
+    val flat = new Array[Float](cents.length * dim)
+    cents.foreach { case (c, arr) =>
+      var j = 0
+      while (j < dim) { flat(c * dim + j) = arr(j); j += 1 }
+    }
+    val arr = arrivals
+      .withColumn("cell", element_at(nearestCellsCol(flat, dim, 1), 1))
+      .withColumn("sigs", expr("graft_srp_sign(embedding, 42L, 4)"))
+    val corpus = liveIndexVectors(spark, indexDir)
+    val hamming = (0 until 4).map(i =>
+      expr(s"bit_count(a.sigs[$i] ^ c.sigs[$i])")).reduce(_ + _)
+    val cands = corpus.select(col("vec_id"), col("sigs"), col("cell")).as("c")
+      .join(arr.select(col("vec_id"), col("sigs"), col("cell")).as("a").hint("shuffle_hash"),
+        col("a.cell") === col("c.cell") && (hamming <= 32))
+      .select(col("a.vec_id").as("arrival_id"), col("c.vec_id").as("corpus_id"))
+    cands
+      .join(arr.select(col("vec_id").as("arrival_id"), col("embedding").as("ea")),
+        Seq("arrival_id"))
+      .join(corpus.select(col("vec_id").as("corpus_id"), col("embedding").as("ec")),
+        Seq("corpus_id"))
+      .select(col("arrival_id"), col("corpus_id"),
+        round(cosineExpr("ea", "ec"), 4).as("cos"))
+      .filter(col("cos") >= 0.99)
+      .groupBy(col("arrival_id"))
+      .agg(min(col("corpus_id")).as("kept_by"), max(col("cos")).as("cos"))
+      .orderBy("arrival_id")
+  }
+
+  /** Registry wrapper: index the 95% slice (the c24b split), probe an
+    * arrival batch of the held-out 5% PLUS planted noisy twins of
+    * indexed vectors — every twin must drop against its corpus
+    * original, the genuinely-new held-outs must pass. */
+  def dedupSemanticIncrementalQuery(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val idx = freshScratch(spark, s"graft_sem_inc_${key}_")
+    val e = Relational.table(spark, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") % 20 =!= 7)
+    buildIvfIndexFrom(spark, corpus.select(col("vec_id"), col("embedding")), idx)
+    val arrivals = e.filter(col("vec_id") % 20 === 7)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(plantedNoisy(corpus).select(col("vec_id"), col("embedding")))
+    dedupSemanticIncremental(spark, idx, arrivals)
+  }
+
   // C3 — brute-force cosine top-k for the vec_id=0 query vector
   // (oracle-checked). The single query row broadcasts; TakeOrdered keeps
   // the sort at k rows. At scale this is one map + top-k, no shuffle of
@@ -1905,6 +1974,7 @@ object Similarity {
     "c2_dedup_cosine" -> (dedupCosine _),
     "c2_dedup_cosine_lsh" -> (dedupCosineLsh _),
     "c2_dedup_semantic" -> (dedupSemantic _),
+    "c2_dedup_semantic_inc" -> (dedupSemanticIncrementalQuery _),
     "c3_sim_topk" -> (simTopK _),
     "c3_ann_ivf" -> (annIvf _),
     "c3_ann_ivfpq" -> (annIvfPq _),

@@ -192,6 +192,25 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
       s"base vectors wrongly dropped: ${drops.keys.filter(_ < 100000L).take(5)}")
   }
 
+  test("C2 incremental semantic dedup: arrivals drop against indexed twins only") {
+    val out = Similarity.queries("c2_dedup_semantic_inc")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val e = Relational.table(spark, dir, "embeddings")
+    val corpusIds = e.filter(col("vec_id") % 20 =!= 7)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // every planted twin (corpus id + 100000) drops, witnessed by its
+    // indexed original
+    // ≥99%: the ±0.001 jitter can flip an argmin cell assignment when
+    // the original sits near a centroid boundary — the op's documented
+    // cell-boundary approximation (one flip in 475 at this quantizer)
+    val twins = out.filter { case (a, k) => a >= 100000L && k == a - 100000L }
+    assert(twins.size >= math.ceil(corpusIds.size * 0.99).toInt,
+      s"dropped ${twins.size} of ${corpusIds.size} planted twins")
+    // the genuinely-new held-out arrivals pass (no natural ≥0.99 pair)
+    val falseDrops = out.keys.filter(_ < 100000L)
+    assert(falseDrops.isEmpty, s"held-out arrivals wrongly dropped: ${falseDrops.take(5)}")
+  }
+
   test("C3 IVF ANN: high recall vs exact top-k") {
     val exact = Similarity.simTopK(spark, dir).select("vec_id").collect().map(_.getLong(0)).toSet
     val approx = Similarity.annIvf(spark, dir).select("vec_id").collect().map(_.getLong(0)).toSet
