@@ -241,6 +241,27 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  // B30 — correlated EXISTS / NOT EXISTS: the remaining SQL-surface
+  // shape b22's scalar subquery doesn't cover. Catalyst decorrelates
+  // both into joins (EXISTS → left-semi, NOT EXISTS → left-anti) — at
+  // scale these are one shuffle each, never a per-row subquery loop,
+  // which is exactly why the SQL surface can be offered at 100 TB.
+  // Customers WITH at least one urgent order and WITHOUT any open
+  // order; identical SQL runs in DuckDB as the oracle.
+  def sqlExists(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "customer").createOrReplaceTempView("customer")
+    table(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   // B23 — pivot: order counts per status × priority
   def pivotOp(spark: SparkSession, dir: String): DataFrame = {
     val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
@@ -537,6 +558,7 @@ object Relational {
     "b13_scalar_funcs" -> (scalarFuncs _),
     "b13b_scalar_funcs2" -> (scalarFuncs2 _),
     "b22_sql_subquery" -> (sqlSubquery _),
+    "b30_sql_exists" -> (sqlExists _),
     "b23_pivot" -> (pivotOp _),
     "b14_approx_distinct" -> (approxDistinct _),
     "b15_events_window" -> (eventsWindowBatch _),
@@ -658,6 +680,15 @@ object Relational {
         |  greatest(o_totalprice, 50000.0) AS floor50k,
         |  cast(sign(o_totalprice - 150000) as int) AS vs150k
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "b30_sql_exists" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
     "b22_sql_subquery" ->
       """SELECT c_custkey, round(c_acctbal, 4) AS bal FROM customer
         |WHERE c_acctbal > (SELECT sum(cast(round(c_acctbal * 10000, 0) as bigint)) / 10000.0 / count(*)

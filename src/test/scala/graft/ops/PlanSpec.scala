@@ -26,6 +26,12 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"scan reads unreferenced columns: $readSchema")
   }
 
+  test("B30: EXISTS/NOT EXISTS decorrelate to semi/anti joins, no per-row subquery") {
+    val p = plan(Relational.sqlExists(spark, dir))
+    assert(p.contains("LeftSemi"), s"EXISTS not decorrelated to a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS not decorrelated to an anti join:\n$p")
+  }
+
   test("B5: fixed-size dims broadcast; fact joins do not nest loops") {
     val p = plan(Relational.joinMulti(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"nation/region not broadcast:\n$p")
