@@ -183,6 +183,24 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  // B31 — offset/distribution window battery: lag, lead, ntile,
+  // first_value — the remaining window shapes b10 (rank) and b11
+  // (running frame) don't cover. All over one total-ordered window
+  // ((o_orderdate, o_orderkey) is unique per customer), so both
+  // engines compute identical rows; one sort per partition at scale,
+  // exactly like the rank window.
+  def windowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    table(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"),
+        ntile(4).over(w).as("quartile"),
+        first(col("o_orderkey")).over(w).as("first_key"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   // B12 — rollup revenue by (nation, order priority)
   def groupingSets(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "orders")
@@ -559,6 +577,7 @@ object Relational {
     "b13b_scalar_funcs2" -> (scalarFuncs2 _),
     "b22_sql_subquery" -> (sqlSubquery _),
     "b30_sql_exists" -> (sqlExists _),
+    "b31_window_funcs" -> (windowFuncs _),
     "b23_pivot" -> (pivotOp _),
     "b14_approx_distinct" -> (approxDistinct _),
     "b15_events_window" -> (eventsWindowBatch _),
@@ -680,6 +699,15 @@ object Relational {
         |  greatest(o_totalprice, 50000.0) AS floor50k,
         |  cast(sign(o_totalprice - 150000) as int) AS vs150k
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "b31_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_orderkey, 1) OVER w AS prev_key,
+        |  lead(o_orderkey, 1) OVER w AS next_key,
+        |  ntile(4) OVER w AS quartile,
+        |  first_value(o_orderkey) OVER w AS first_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "b30_sql_exists" ->
       """SELECT c_custkey, c_mktsegment FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o
