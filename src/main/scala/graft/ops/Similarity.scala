@@ -853,8 +853,16 @@ object Similarity {
       var j = 0
       while (j < dim) { flat(c * dim + j) = arr(j); j += 1 }
     }
+    // each arrival probes its nearest `graft.semdedup.probeCells`
+    // (default 2) cells, not 1: a twin pair straddling a centroid
+    // boundary lands in ADJACENT cells (the batch op's documented miss
+    // class — measured 1-in-475 planted at nprobe=1), and the second-
+    // nearest cell catches exactly that at 2× probe cost. Map-side
+    // explode; the corpus side is untouched.
+    val np = spark.conf.getOption("graft.semdedup.probeCells")
+      .map(_.toInt).getOrElse(2)
     val arr = arrivals
-      .withColumn("cell", element_at(nearestCellsCol(flat, dim, 1), 1))
+      .withColumn("cell", explode(nearestCellsCol(flat, dim, np)))
       .withColumn("sigs", expr("graft_srp_sign(embedding, 42L, 4)"))
     val corpus = liveIndexVectors(spark, indexDir)
     val hamming = (0 until 4).map(i =>
@@ -864,7 +872,9 @@ object Similarity {
         col("a.cell") === col("c.cell") && (hamming <= 32))
       .select(col("a.vec_id").as("arrival_id"), col("c.vec_id").as("corpus_id"))
     cands
-      .join(arr.select(col("vec_id").as("arrival_id"), col("embedding").as("ea")),
+      // embeddings fetched from the UN-exploded arrivals frame — the
+      // probe-cell explode above would otherwise double every verify row
+      .join(arrivals.select(col("vec_id").as("arrival_id"), col("embedding").as("ea")),
         Seq("arrival_id"))
       .join(corpus.select(col("vec_id").as("corpus_id"), col("embedding").as("ec")),
         Seq("corpus_id"))
