@@ -867,8 +867,14 @@ object Similarity {
     val corpus = liveIndexVectors(spark, indexDir)
     val hamming = (0 until 4).map(i =>
       expr(s"bit_count(a.sigs[$i] ^ c.sigs[$i])")).reduce(_ + _)
+    // the arrival side BROADCASTS (c27 probe doctrine): the corpus
+    // sigs scan stays map-only — zero corpus-side exchange, which at
+    // 100 TB is the difference between a pruned 40-byte-row scan and a
+    // corpus shuffle. Batches are caller-chunked to broadcast size
+    // (~100k rows ≈ 5 MB of (id, sigs, cell)); above that the same
+    // plan runs with the probe hinted shuffle_hash.
     val cands = corpus.select(col("vec_id"), col("sigs"), col("cell")).as("c")
-      .join(arr.select(col("vec_id"), col("sigs"), col("cell")).as("a").hint("shuffle_hash"),
+      .join(broadcast(arr.select(col("vec_id"), col("sigs"), col("cell"))).as("a"),
         col("a.cell") === col("c.cell") && (hamming <= 32))
       .select(col("a.vec_id").as("arrival_id"), col("c.vec_id").as("corpus_id"))
     cands

@@ -193,7 +193,15 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("C2 incremental semantic dedup: arrivals drop against indexed twins only") {
-    val out = Similarity.queries("c2_dedup_semantic_inc")(spark, dir).collect()
+    val df = Similarity.queries("c2_dedup_semantic_inc")(spark, dir)
+    // c27 probe doctrine: the arrival side broadcasts, the corpus sigs
+    // scan is map-only — no hash exchange on the cell key anywhere
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"arrival probe is not a broadcast join:\n$plan")
+    assert(!plan.contains("hashpartitioning(cell"),
+      s"corpus side pays a cell-key exchange:\n$plan")
+    val out = df.collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     val e = Relational.table(spark, dir, "embeddings")
     val corpusIds = e.filter(col("vec_id") % 20 =!= 7)
