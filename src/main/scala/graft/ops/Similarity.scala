@@ -692,13 +692,25 @@ object Similarity {
   // hash-signed ±0.001 jitter) — the standard construction for
   // validating a near-dup pipeline end-to-end. Rows-only check; recall
   // vs the planted truth asserted in the spec.
-  /** Deterministic planted near-duplicates (vec_id + 100000, per-dim
-    * hash-signed ±0.001 jitter) — shared by the embedding near-dup
-    * validators: the testdata has no natural high-cosine pairs (max
-    * ≈ 0.51), so each variant validates end-to-end against this
+  /** Planted-twin id offset: 100000 (the historical constant) or just
+    * past the corpus' max id, whichever is larger. A FIXED offset
+    * collides with real vec_ids once the corpus passes 100k rows
+    * (round-7 advice: at sf10/sf100 the fixed +100000 put two different
+    * vectors under one id, corrupting the planted construction and its
+    * no-base-vector-dropped invariant) — deriving it from the data
+    * makes the construction valid at every scale. One O(1)-result agg. */
+  private[graft] def plantedOffset(base: DataFrame): Long =
+    math.max(100000L, base.agg(max(col("vec_id"))).head().getLong(0) + 1L)
+
+  /** Deterministic planted near-duplicates (vec_id + plantedOffset,
+    * per-dim hash-signed ±0.001 jitter) — shared by the embedding
+    * near-dup validators: the testdata has no natural high-cosine pairs
+    * (max ≈ 0.51), so each variant validates end-to-end against this
     * planted truth. */
-  private def plantedNoisy(base: DataFrame): DataFrame = base.select(
-    (col("vec_id") + 100000L).as("vec_id"),
+  private def plantedNoisy(base: DataFrame): DataFrame = plantedNoisy(base, plantedOffset(base))
+
+  private def plantedNoisy(base: DataFrame, offset: Long): DataFrame = base.select(
+    (col("vec_id") + offset).as("vec_id"),
     expr("""zip_with(embedding, sequence(0, size(embedding) - 1),
       |(x, d) -> cast(x + IF((xxhash64(concat('jit_', cast(d as string), '_', cast(vec_id as string))) & 1) = 1, 0.001D, -0.001D) as float))"""
       .stripMargin).as("embedding"),
@@ -783,8 +795,13 @@ object Similarity {
       .withColumn("features",
         array_to_vector(expr("cast(embedding as array<double>)")))
     val model = fitCoarse(all)
+    // sigWords everywhere (never a literal width): the incremental op
+    // probes INDEX-persisted signatures, and a width drift between
+    // signer and index would make sigs[i] null past the end — the join
+    // condition then evaluates null and every duplicate silently passes
+    // as new (round-7 advice)
     val a = model.transform(all)
-      .withColumn("sigs", expr("graft_srp_sign(embedding, 42L, 4)"))
+      .withColumn("sigs", expr(s"graft_srp_sign(embedding, 42L, $sigWords)"))
       .select(col("vec_id"), col("embedding"), col("sigs"), col("cell"))
     // Within-cluster candidates ride a (vec_id, sigs, cell) projection
     // — 40-byte rows (minhashCandidates doctrine) — and the SRP Hamming
@@ -804,11 +821,11 @@ object Similarity {
     // in the join predicate allocates arrays per ENUMERATED pair — the
     // round-6 allocation-storm trap, fatal at Θ(n^1.5) enumerations —
     // while GetArrayItem + bit_count stay inside codegen
-    val hamming = (0 until 4).map(i =>
+    val hamming = (0 until sigWords).map(i =>
       expr(s"bit_count(x.sigs[$i] ^ y.sigs[$i])")).reduce(_ + _)
     val cands = ids.as("x").hint("shuffle_hash").join(ids.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id") &&
-          (hamming <= 32))
+          (hamming <= hammingBar))
       .select(col("x.vec_id").as("va"), col("y.vec_id").as("vb"))
     val vecs = a.select(col("vec_id"), col("embedding"))
     val pairs = cands
@@ -817,9 +834,12 @@ object Similarity {
       .select(col("va"), col("vb"), round(cosineExpr("ea", "eb"), 4).as("cos"))
       .filter(col("cos") >= 0.99)
     // keep rule: a vector is dropped iff a lower-id in-cluster
-    // duplicate exists; emit (dropped, kept_by witness, similarity)
+    // duplicate exists; emit (dropped, kept_by witness, similarity).
+    // min_by pairs cos with the EMITTED witness — a bare max(cos) could
+    // report a different witness' similarity when several ≥0.99
+    // witnesses exist (round-7 advice)
     pairs.groupBy(col("vb").as("vec_id"))
-      .agg(min(col("va")).as("kept_by"), max(col("cos")).as("cos"))
+      .agg(min(col("va")).as("kept_by"), min_by(col("cos"), col("va")).as("cos"))
       .orderBy("vec_id")
   }
 
@@ -861,11 +881,15 @@ object Similarity {
     // explode; the corpus side is untouched.
     val np = spark.conf.getOption("graft.semdedup.probeCells")
       .map(_.toInt).getOrElse(2)
+    // sigWords-driven width, never a literal: the corpus side's sigs are
+    // INDEX-persisted (written with sigWords at build/append time), and
+    // a drifted arrival width would null the join condition and silently
+    // pass every duplicate (round-7 advice)
     val arr = arrivals
       .withColumn("cell", explode(nearestCellsCol(flat, dim, np)))
-      .withColumn("sigs", expr("graft_srp_sign(embedding, 42L, 4)"))
+      .withColumn("sigs", expr(s"graft_srp_sign(embedding, 42L, $sigWords)"))
     val corpus = liveIndexVectors(spark, indexDir)
-    val hamming = (0 until 4).map(i =>
+    val hamming = (0 until sigWords).map(i =>
       expr(s"bit_count(a.sigs[$i] ^ c.sigs[$i])")).reduce(_ + _)
     // the arrival side BROADCASTS (c27 probe doctrine): the corpus
     // sigs scan stays map-only — zero corpus-side exchange, which at
@@ -875,7 +899,7 @@ object Similarity {
     // plan runs with the probe hinted shuffle_hash.
     val cands = corpus.select(col("vec_id"), col("sigs"), col("cell")).as("c")
       .join(broadcast(arr.select(col("vec_id"), col("sigs"), col("cell"))).as("a"),
-        col("a.cell") === col("c.cell") && (hamming <= 32))
+        col("a.cell") === col("c.cell") && (hamming <= hammingBar))
       .select(col("a.vec_id").as("arrival_id"), col("c.vec_id").as("corpus_id"))
     cands
       // embeddings fetched from the UN-exploded arrivals frame — the
@@ -887,8 +911,11 @@ object Similarity {
       .select(col("arrival_id"), col("corpus_id"),
         round(cosineExpr("ea", "ec"), 4).as("cos"))
       .filter(col("cos") >= 0.99)
+      // min_by: cos is the similarity to the EMITTED witness (see the
+      // batch op's keep-rule aggregate)
       .groupBy(col("arrival_id"))
-      .agg(min(col("corpus_id")).as("kept_by"), max(col("cos")).as("cos"))
+      .agg(min(col("corpus_id")).as("kept_by"),
+        min_by(col("cos"), col("corpus_id")).as("cos"))
       .orderBy("arrival_id")
   }
 
@@ -902,9 +929,13 @@ object Similarity {
     val e = Relational.table(spark, dir, "embeddings")
     val corpus = e.filter(col("vec_id") % 20 =!= 7)
     buildIvfIndexFrom(spark, corpus.select(col("vec_id"), col("embedding")), idx)
+    // offset from the FULL table: the held-out arrivals can carry ids
+    // above the corpus slice's max, and a slice-derived offset could
+    // land a planted twin on a held-out id
     val arrivals = e.filter(col("vec_id") % 20 === 7)
       .select(col("vec_id"), col("embedding"))
-      .unionByName(plantedNoisy(corpus).select(col("vec_id"), col("embedding")))
+      .unionByName(plantedNoisy(corpus, plantedOffset(e))
+        .select(col("vec_id"), col("embedding")))
     dedupSemanticIncremental(spark, idx, arrivals)
   }
 
@@ -1102,61 +1133,212 @@ object Similarity {
   }
 
   /** C3f2 — PERSIST the PQ sidecar on an existing index: `books` (one
-    * row per (subspace, code) centroid) and `codes` (vec_id, pq,
+    * row per (subspace, code) centroid), `codes` (vec_id, pq,
     * cell-partitioned EXACTLY like the vectors layout, so ADC probes
-    * get the same parquet partition pruning), both committed under the
-    * IndexMeta generation protocol. The sidecar is a DERIVED projection
-    * of ONE vectors generation — each books row records which
-    * (`from_vectors`), and the probe REFUSES loudly when the live
-    * vectors generation has moved on (an append or compaction made the
-    * codes incomplete or stale): re-running this op is the repair, at
-    * encode cost (one linear map pass), never a quantizer refit of the
-    * coarse level. Deletes need NO rebuild — tombstones anti-join the
-    * codes scan exactly as they do the vectors scan. */
-  /** The codes↔vectors consistency key: generation name + file count +
-    * total bytes of the live layout. An APPEND does not bump the
-    * generation (it adds files inside it) — a generation-name-only key
-    * would serve codes that silently miss the appended vectors, so the
-    * file census is part of the key. One recursive listing, no file
-    * opens. */
-  private def vectorsFingerprint(spark: SparkSession, indexDir: String): String = {
-    val p = liveVectorsPath(spark, indexDir)
-    s"${new org.apache.hadoop.fs.Path(p).getName}:" +
-      s"${IndexMeta.countUnder(spark, p, ".parquet")}:" +
-      s"${IndexMeta.bytesUnder(spark, p, ".parquet")}"
+    * get the same parquet partition pruning — the live codes are the
+    * UNION of a base generation plus one delta generation per repaired
+    * append), and `pqmeta` — the one COMMITTED binding of all three:
+    * which vector files are encoded (the census), which codes
+    * generations hold their codes, and which books generation encoded
+    * them. Readers resolve pqmeta's max committed generation and trust
+    * nothing not named there, so books and codes can never pair across
+    * states (round-7 advice: the old books-carry-the-fingerprint order
+    * had a crash window where fresh-looking books served codes encoded
+    * with never-persisted codebooks).
+    *
+    * Repair economics (the round-7 lead item): when the live layout
+    * grew only by APPENDED files — same vectors generation, every
+    * encoded file still present — the repair FREEZES the live books,
+    * encodes ONLY the new files (read directly via their census diff,
+    * Θ(batch)), and commits a codes DELTA generation. The quantizer
+    * didn't move, so frozen-book codes are byte-identical to what a
+    * full re-encode of those rows would produce (spec-pinned). The
+    * Θ(n) refit+re-encode now runs only when the layout itself was
+    * rewritten (compaction, rebuild) — exactly when the books' training
+    * distribution changed. Public FAISS practice: add_with_ids encodes
+    * arrivals against frozen codebooks; retrain is a maintenance op.
+    * Deletes need NO repair — tombstones anti-join the codes scan
+    * exactly as they do the vectors scan. */
+  private def pqKindVecgen = "vecgen"
+  private def pqKindVecfile = "vecfile"
+  private def pqKindCodes = "codesgen"
+  private def pqKindBooks = "booksgen"
+
+  /** The live layout's parquet-file census: "relpath:size" per data
+    * file, relative to the vectors generation dir. Appends only ADD
+    * entries (parquet files are immutable once committed), so census
+    * diff = the appended files — one recursive listing, no file opens. */
+  private def vecFileCensus(spark: SparkSession, vecPath: String): Seq[String] = {
+    val (fs, p) = IndexMeta.fsFor(spark, vecPath)
+    val base = fs.makeQualified(p).toString
+    val it = fs.listFiles(p, true)
+    val buf = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet"))
+        buf += s"${f.getPath.toString.stripPrefix(base).stripPrefix("/")}:${f.getLen}"
+    }
+    buf.result().sorted
   }
 
+  private[graft] final case class PqMeta(vecGen: String, vecFiles: Set[String],
+      codesGens: Seq[String], booksGen: String)
+
+  /** The committed sidecar state, if any: parse the live pqmeta rows. */
+  private[graft] def livePqMeta(spark: SparkSession, indexDir: String): Option[PqMeta] =
+    IndexMeta.liveGen(spark, indexDir, "pqmeta").map { g =>
+      val rows = spark.read.parquet(g.toString)
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      PqMeta(
+        rows.collectFirst { case (k, n) if k == pqKindVecgen => n }.get,
+        rows.collect { case (k, n) if k == pqKindVecfile => n }.toSet,
+        rows.collect { case (k, n) if k == pqKindCodes => n }.toSeq.sorted,
+        rows.collectFirst { case (k, n) if k == pqKindBooks => n }.get)
+    }
+
+  /** Commit a new pqmeta generation, then GC every sidecar dir it does
+    * NOT reference (superseded pqmeta/books/codes generations AND
+    * orphans of crashed repairs — single-writer maintenance contract,
+    * like compaction). */
+  private def commitPqMeta(spark: SparkSession, indexDir: String, vecGen: String,
+      census: Seq[String], codesGens: Seq[String], booksGen: String): Unit = {
+    import spark.implicits._
+    val (metaGen, _) = IndexMeta.nextGen(spark, indexDir, "pqmeta")
+    val rows = Seq((pqKindVecgen, vecGen), (pqKindBooks, booksGen)) ++
+      codesGens.map((pqKindCodes, _)) ++ census.map((pqKindVecfile, _))
+    rows.toDF("kind", "name").coalesce(1).write.mode("overwrite").parquet(metaGen)
+    val keep = codesGens.toSet + booksGen + new org.apache.hadoop.fs.Path(metaGen).getName
+    IndexMeta.list(spark, indexDir)
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isDirectory &&
+          (n.startsWith("codes.g") || n.startsWith("books.g") || n.startsWith("pqmeta.g")) &&
+          !keep.contains(n)
+      }
+      .foreach(st => IndexMeta.delete(spark, st.getPath.toString))
+  }
+
+  /** Sidecar freshness: the live pqmeta exists and its census names
+    * exactly the live layout's files. Appends make it stale by ADDING
+    * files (delta repair); compactions/rebuilds by replacing the
+    * generation (full re-derive). */
+  private[graft] def pqSidecarFresh(spark: SparkSession, indexDir: String): Boolean =
+    livePqMeta(spark, indexDir).exists { m =>
+      val vecPath = liveVectorsPath(spark, indexDir)
+      new org.apache.hadoop.fs.Path(vecPath).getName == m.vecGen &&
+        vecFileCensus(spark, vecPath).toSet == m.vecFiles
+    }
+
+  /** Read the persisted PQ codebooks of `booksGen` as flattened
+    * per-subspace matrices (the fitPqBooks shape). */
+  private def readPqBooks(spark: SparkSession, indexDir: String,
+      booksGen: String): Array[Array[Float]] = {
+    val rows = spark.read.parquet(s"$indexDir/$booksGen")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+    val dsub = rows.head._3.length
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val flat = new Array[Float](sorted.length * dsub)
+      sorted.foreach { case (_, j, c) =>
+        var t = 0
+        while (t < dsub) { flat(j * dsub + t) = c(t); t += 1 }
+      }
+      flat
+    }.toArray
+  }
+
+  /** The live codes set: union of the committed pqmeta's codes
+    * generations (each scan keeps its own cell partition pruning). */
+  private[graft] def pqCodesTable(spark: SparkSession, indexDir: String): DataFrame = {
+    val m = livePqMeta(spark, indexDir).getOrElse(sys.error(
+      s"no committed PQ sidecar under $indexDir — run addPqToIndex first"))
+    m.codesGens.map(g => spark.read.parquet(s"$indexDir/$g")
+        .select(col("vec_id"), col("pq"), col("cell")))
+      .reduce(_.unionByName(_))
+  }
+
+  /** Every live vector encoded against the PERSISTED (frozen) books —
+    * the spec's parity oracle for the delta path: delta-appended codes
+    * must equal this re-encode row-for-row, because the books did not
+    * move between the base encode and the delta. */
+  private[graft] def pqEncodeAllWithLiveBooks(spark: SparkSession, indexDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val m = livePqMeta(spark, indexDir).getOrElse(sys.error(
+      s"no committed PQ sidecar under $indexDir"))
+    val books = readPqBooks(spark, indexDir, m.booksGen)
+    val v = spark.read.parquet(liveVectorsPath(spark, indexDir))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val dim = v.select(size(col("embedding"))).head().getInt(0)
+    v.withColumn("pq", pqPackedCol(books, dim / pqSubspaces))
+      .select(col("vec_id"), col("pq"), col("cell"))
+  }
+
+  /** Derive or REPAIR the PQ sidecar. Fresh → no-op. Layout grew by
+    * appended files only → Θ(batch) delta: freeze the books, encode
+    * only the census-diff files, commit a codes delta generation.
+    * Layout rewritten (compaction/rebuild) or no sidecar yet → full
+    * derive (refit books on the live corpus, re-encode everything —
+    * the books' training distribution changed, so a refit is due
+    * anyway). Everything becomes visible in ONE pqmeta commit. */
   def addPqToIndex(spark: SparkSession, indexDir: String): Unit = {
     GraftFunctions.register(spark)
     val vecPath = liveVectorsPath(spark, indexDir)
-    val vecGen = vectorsFingerprint(spark, indexDir)
-    val v = spark.read.parquet(vecPath)
-      .select(col("vec_id"), col("embedding"), col("cell"))
-    val dim = v.select(size(col("embedding"))).head().getInt(0)
-    val n = v.count()
-    val books = fitPqBooks(v, n, dim)
-    val dsub = dim / pqSubspaces
-    import spark.implicits._
-    // CODES land first, BOOKS last — the "centroids last" publish
-    // doctrine: books carry the freshness fingerprint, so writing them
-    // first would open a crash window where fresh-looking books pair
-    // with the PREVIOUS codes generation and the probe silently serves
-    // stale codes. With books last, every crash window leaves either
-    // old books (stale fingerprint → loud refusal → re-derive) or an
-    // orphaned uncommitted generation readers never resolve.
-    val (codesGen, oldCodes) = IndexMeta.nextGen(spark, indexDir, "codes")
-    v.withColumn("pq", pqPackedCol(books, dsub))
-      .select(col("vec_id"), col("pq"), col("cell"))
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(codesGen)
-    val (booksGen, oldBooks) = IndexMeta.nextGen(spark, indexDir, "books")
-    books.zipWithIndex.flatMap { case (flat, s) =>
-      (0 until flat.length / dsub).map { j =>
-        (s, j, flat.slice(j * dsub, (j + 1) * dsub).toSeq, vecGen)
-      }
-    }.toSeq.toDF("sub", "code", "centroid", "from_vectors")
-      .coalesce(1).write.mode("overwrite").parquet(booksGen)
-    (oldBooks ++ oldCodes).foreach(IndexMeta.delete(spark, _))
+    val vecGen = new org.apache.hadoop.fs.Path(vecPath).getName
+    val census = vecFileCensus(spark, vecPath)
+    livePqMeta(spark, indexDir) match {
+      case Some(m) if m.vecGen == vecGen && m.vecFiles == census.toSet =>
+        () // fresh — nothing to repair
+      case Some(m) if m.vecGen == vecGen && m.vecFiles.subsetOf(census.toSet) =>
+        // append-only growth: encode ONLY the new files with the live
+        // (frozen) books — Θ(batch), never a refit or corpus re-encode
+        val newFiles = census.filterNot(m.vecFiles)
+          .map(e => s"$vecPath/${e.substring(0, e.lastIndexOf(':'))}")
+        val books = readPqBooks(spark, indexDir, m.booksGen)
+        val nv = spark.read.option("basePath", vecPath)
+          .parquet(newFiles: _*)
+          .select(col("vec_id"), col("embedding"), col("cell"))
+        val dim = nv.select(size(col("embedding"))).head().getInt(0)
+        val delta = nv.withColumn("pq", pqPackedCol(books, dim / pqSubspaces))
+          .select(col("vec_id"), col("pq"), col("cell"))
+          .localCheckpoint() // encoded once; consumed by count + write
+        // a row-empty delta (appended files carrying only footers) must
+        // not become a codes generation: an empty partitionBy write
+        // emits only _SUCCESS and the union read dies on schema
+        // inference (the compaction empty-write lesson)
+        val codesGens =
+          if (delta.isEmpty) m.codesGens
+          else {
+            val (codesGen, _) = IndexMeta.nextGen(spark, indexDir, "codes")
+            delta.repartition(col("cell"))
+              .write.mode("overwrite").partitionBy("cell").parquet(codesGen)
+            m.codesGens :+ new org.apache.hadoop.fs.Path(codesGen).getName
+          }
+        commitPqMeta(spark, indexDir, vecGen, census, codesGens, m.booksGen)
+      case _ =>
+        // full derive: fit books on the live corpus, encode everything
+        val v = spark.read.parquet(vecPath)
+          .select(col("vec_id"), col("embedding"), col("cell"))
+        val dim = v.select(size(col("embedding"))).head().getInt(0)
+        val n = v.count()
+        val books = fitPqBooks(v, n, dim)
+        val dsub = dim / pqSubspaces
+        import spark.implicits._
+        val (codesGen, _) = IndexMeta.nextGen(spark, indexDir, "codes")
+        v.withColumn("pq", pqPackedCol(books, dsub))
+          .select(col("vec_id"), col("pq"), col("cell"))
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(codesGen)
+        val (booksGen, _) = IndexMeta.nextGen(spark, indexDir, "books")
+        books.zipWithIndex.flatMap { case (flat, s) =>
+          (0 until flat.length / dsub).map { j =>
+            (s, j, flat.slice(j * dsub, (j + 1) * dsub).toSeq)
+          }
+        }.toSeq.toDF("sub", "code", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(booksGen)
+        commitPqMeta(spark, indexDir, vecGen, census,
+          Seq(new org.apache.hadoop.fs.Path(codesGen).getName),
+          new org.apache.hadoop.fs.Path(booksGen).getName)
+    }
   }
 
   /** ADC probe over the PERSISTED codes — no fit, no encode: read the
@@ -1166,26 +1348,21 @@ object Similarity {
     * from both scans (delete visibility without a sidecar rebuild). */
   def annIvfPqIndexed(spark: SparkSession, dir: String, indexDir: String): DataFrame = {
     GraftFunctions.register(spark)
-    val vecGenLive = vectorsFingerprint(spark, indexDir)
-    val bookRows = spark.read.parquet(
-        IndexMeta.requireLive(spark, indexDir, "books"))
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2), r.getString(3)))
-    val from = bookRows.head._4
-    require(from == vecGenLive,
-      s"PQ sidecar is STALE: codes were encoded from layout [$from] but " +
-        s"the live layout is [$vecGenLive] (an append or compaction changed " +
-        "it). Serving them would silently miss or misplace vectors — run " +
-        "addPqToIndex to re-derive the sidecar, then probe again.")
-    val dsub = bookRows.head._3.length
-    val books = bookRows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, rows) =>
-      val sorted = rows.sortBy(_._2)
-      val flat = new Array[Float](sorted.length * dsub)
-      sorted.foreach { case (_, j, c, _) =>
-        var t = 0
-        while (t < dsub) { flat(j * dsub + t) = c(t); t += 1 }
-      }
-      flat
-    }.toArray
+    val m = livePqMeta(spark, indexDir).getOrElse(sys.error(
+      s"no committed PQ sidecar under $indexDir — run addPqToIndex first"))
+    val vecPath = liveVectorsPath(spark, indexDir)
+    val liveCensus = vecFileCensus(spark, vecPath).toSet
+    require(new org.apache.hadoop.fs.Path(vecPath).getName == m.vecGen &&
+        m.vecFiles == liveCensus,
+      s"PQ sidecar is STALE: codes cover layout [${m.vecGen}] with " +
+        s"${m.vecFiles.size} files but the live layout is " +
+        s"[${new org.apache.hadoop.fs.Path(vecPath).getName}] with " +
+        s"${liveCensus.size} files (an append or compaction changed it). " +
+        "Serving them would silently miss or misplace vectors — run " +
+        "addPqToIndex to repair (Θ(batch) after an append: frozen books, " +
+        "delta encode of the new files; full re-derive only after a " +
+        "layout rewrite), then probe again.")
+    val books = readPqBooks(spark, indexDir, m.booksGen)
     val vectors = liveIndexVectors(spark, indexDir)
     val qRows = vectors.filter(col("vec_id") === 0)
       .select(col("embedding")).take(1)
@@ -1200,7 +1377,12 @@ object Similarity {
       val d = c.zip(qVec).map { case (a, b) => (a - b).toDouble * (a - b) }.sum
       (i, d)
     }.sortBy(_._2).take(nprobe(spark)).map(_._1).toSeq
-    val codes0 = spark.read.parquet(IndexMeta.requireLive(spark, indexDir, "codes"))
+    // base + delta codes generations, unioned — each scan keeps its own
+    // cell partition pruning, and [[compactIvfIndex]]-triggered full
+    // re-derives fold them back to one
+    val codes0 = m.codesGens.map(g => spark.read.parquet(s"$indexDir/$g")
+        .select(col("vec_id"), col("pq"), col("cell")))
+      .reduce(_.unionByName(_))
     val tomb = s"$indexDir/tombstones"
     val codes = if (IndexMeta.exists(spark, tomb))
       codes0.join(broadcast(spark.read.parquet(tomb)), Seq("vec_id"), "left_anti")
@@ -1211,14 +1393,11 @@ object Similarity {
   }
 
   /** Registry wrapper: [[ensureIndex]] the shared per-dir index, derive
-    * the PQ sidecar if absent or stale, probe from the persisted codes. */
+    * or delta-repair the PQ sidecar if absent or stale, probe from the
+    * persisted codes. */
   def annIvfPqIndexedQuery(spark: SparkSession, dir: String): DataFrame = {
     val idx = ensureIndex(spark, dir)
-    val fresh = IndexMeta.liveGen(spark, idx, "books").exists { g =>
-      spark.read.parquet(g.toString).select(col("from_vectors")).head().getString(0) ==
-        vectorsFingerprint(spark, idx)
-    }
-    if (!fresh) addPqToIndex(spark, idx)
+    if (!pqSidecarFresh(spark, idx)) addPqToIndex(spark, idx)
     annIvfPqIndexed(spark, dir, idx)
   }
 
@@ -1771,6 +1950,11 @@ object Similarity {
     * measured knee. `graft.ann.nprobe` tunes cell fan-out the same way
     * for both IVF variants. */
   private val sigWords = 4
+  /** Semantic-dedup Hamming screen bar, scaled to the signature width
+    * (≤32/256 bits at sigWords=4 — the ≥0.99-pair 6σ margin documented
+    * at the batch op). Derived, not a literal, so a sigWords change
+    * moves signer, index, and screen together. */
+  private val hammingBar = 8 * sigWords
   private def hammingPerCell(spark: SparkSession): Int =
     spark.conf.getOption("graft.ann.hammingPerCell").map(_.toInt).getOrElse(16)
   private def shortlistGlobal(spark: SparkSession): Int =

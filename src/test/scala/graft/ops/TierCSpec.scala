@@ -141,8 +141,12 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
 
   test("C2 cosine-LSH: recovers all planted noisy duplicates") {
     val pairs = Similarity.dedupCosineLsh(spark, dir).collect()
-    val n = Relational.table(spark, dir, "embeddings").count()
-    val planted = pairs.count(r => r.getLong(1) == r.getLong(0) + 100000L)
+    val e = Relational.table(spark, dir, "embeddings")
+    val n = e.count()
+    // data-derived offset (max(100000, maxId+1)) — a fixed constant
+    // collided with real ids past 100k rows (round-7 advice)
+    val off = Similarity.plantedOffset(e)
+    val planted = pairs.count(r => r.getLong(1) == r.getLong(0) + off)
     assert(planted == n, s"recovered $planted of $n planted duplicates")
   }
 
@@ -178,18 +182,20 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
       "screen regressed to a HOF in the join condition")
     val drops = df.collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
-    val n = Relational.table(spark, dir, "embeddings").count()
-    // every planted noisy copy (id + 100000) lands in its twin's
+    val e = Relational.table(spark, dir, "embeddings")
+    val n = e.count()
+    val off = Similarity.plantedOffset(e)
+    // every planted noisy copy (id + plantedOffset) lands in its twin's
     // cluster (±0.001 jitter cannot cross a centroid boundary here)
     // and the keep rule names the LOWEST-id duplicate — the base twin
     val planted = drops.filter { case (dropped, keptBy) =>
-      dropped >= 100000L && keptBy == dropped - 100000L
+      dropped >= off && keptBy == dropped - off
     }
     assert(planted.size == n, s"recovered ${planted.size} of $n planted duplicates")
     // no base vector is dropped: the corpus has no natural ≥0.99 pair,
     // and planted ids order above every base id
-    assert(drops.keys.forall(_ >= 100000L),
-      s"base vectors wrongly dropped: ${drops.keys.filter(_ < 100000L).take(5)}")
+    assert(drops.keys.forall(_ >= off),
+      s"base vectors wrongly dropped: ${drops.keys.filter(_ < off).take(5)}")
   }
 
   test("C2 incremental semantic dedup: arrivals drop against indexed twins only") {
@@ -204,18 +210,19 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     val out = df.collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     val e = Relational.table(spark, dir, "embeddings")
-    val corpusIds = e.filter(col("vec_id") % 20 =!= 7)
-      .select("vec_id").collect().map(_.getLong(0)).toSet
-    // every planted twin (corpus id + 100000) drops, witnessed by its
-    // indexed original
+    val corpus = e.filter(col("vec_id") % 20 =!= 7)
+    val corpusIds = corpus.select("vec_id").collect().map(_.getLong(0)).toSet
+    val off = Similarity.plantedOffset(e)
+    // every planted twin (corpus id + plantedOffset) drops, witnessed
+    // by its indexed original
     // full recall: the ±0.001 jitter can flip an argmin assignment to
     // the SECOND-nearest cell (measured 1-in-475 at probeCells=1), and
     // the arrival-side nearest-2 probe exists to catch exactly that
-    val twins = out.filter { case (a, k) => a >= 100000L && k == a - 100000L }
+    val twins = out.filter { case (a, k) => a >= off && k == a - off }
     assert(twins.size == corpusIds.size,
       s"dropped ${twins.size} of ${corpusIds.size} planted twins")
     // the genuinely-new held-out arrivals pass (no natural ≥0.99 pair)
-    val falseDrops = out.keys.filter(_ < 100000L)
+    val falseDrops = out.keys.filter(_ < off)
     assert(falseDrops.isEmpty, s"held-out arrivals wrongly dropped: ${falseDrops.take(5)}")
   }
 
@@ -285,12 +292,46 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
       Similarity.annIvfPqIndexed(spark, dir, indexDir).collect()
     }
     assert(ex.getMessage.contains("STALE"))
-    // repair = re-derive (encode-only pass); the appended twin serves
+    // repair after an APPEND is the Θ(batch) DELTA path (round-8): the
+    // books FREEZE (same generation — no refit) and the new files'
+    // codes land as a second codes generation
+    val metaBefore = Similarity.livePqMeta(spark, indexDir).get
     Similarity.addPqToIndex(spark, indexDir)
+    val metaAfter = Similarity.livePqMeta(spark, indexDir).get
+    assert(metaAfter.booksGen === metaBefore.booksGen,
+      "append repair refit the books — the delta path must freeze them")
+    assert(metaAfter.codesGens.size === metaBefore.codesGens.size + 1,
+      s"append repair did not add exactly one codes delta generation: " +
+        s"${metaBefore.codesGens} -> ${metaAfter.codesGens}")
+    // delta-parity oracle: because the books did not move, the live
+    // codes (base + delta) must equal a full re-encode of every live
+    // vector against the SAME frozen books, row for row
+    val live = Similarity.pqCodesTable(spark, indexDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val reenc = Similarity.pqEncodeAllWithLiveBooks(spark, indexDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(live === reenc,
+      "delta-appended codes diverge from a frozen-books re-encode")
+    // ... and the appended twin serves through the delta codes
     val after = Similarity.annIvfPqIndexed(spark, dir, indexDir)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(after.head._1 === 500000L && after.head._2 === 1.0,
       s"appended exact twin of the query not served first: ${after.toSeq}")
+    // a COMPACTION rewrites the layout (new vectors generation): the
+    // sidecar flips stale and the repair is the full re-derive —
+    // refit books, one codes generation again
+    Similarity.compactIvfIndex(spark, indexDir)
+    assert(!Similarity.pqSidecarFresh(spark, indexDir),
+      "sidecar claims fresh across a layout rewrite")
+    Similarity.addPqToIndex(spark, indexDir)
+    val metaCompact = Similarity.livePqMeta(spark, indexDir).get
+    assert(metaCompact.booksGen !== metaAfter.booksGen,
+      "compaction repair did not refit the books")
+    assert(metaCompact.codesGens.size === 1,
+      s"compaction repair left ${metaCompact.codesGens.size} codes generations")
+    val afterCompact = Similarity.annIvfPqIndexed(spark, dir, indexDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(afterCompact.head._1 === 500000L && afterCompact.head._2 === 1.0)
   }
 
   test("C3 persistent IVF index: partition-pruned probes, byte-identical to the per-query fit") {
