@@ -164,6 +164,61 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
       "predictor collapsed to a single class")
   }
 
+  test("C29b persisted classifier: fit-once weights, map-only scoring, score parity") {
+    val sf01 = "/root/testdata/sf0.01"
+    val modelDir = java.nio.file.Files.createTempDirectory("graft_c29b_spec").toString
+    val docs = Relational.table(spark, sf01, "documents")
+    Pipeline.fitQualityClassifier(spark, docs.filter(col("doc_id") % 20 =!= 7), modelDir)
+    val holdout = docs.filter(col("doc_id") % 20 === 7)
+    val scoredDf = Pipeline.scoreWithClassifier(spark, holdout, modelDir)
+    // the deployment contract: scoring is ONE broadcast of the weight
+    // row + a map pass — no exchange, no fit, no ML pipeline
+    val plan = scoredDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"score path is not map-only:\n$plan")
+    val scored = scoredDf.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(scored.length >= 20, s"holdout unexpectedly small: ${scored.length}")
+    // parity: recompute every margin driver-side from the PERSISTED
+    // weights, hashing tokens through Spark SQL itself (the same
+    // pmod(hash, 4096) both fit and score use)
+    val m = spark.read.parquet(IndexMeta.requireLive(spark, modelDir, "model")).head()
+    val w = m.getSeq[Double](0); val b = m.getDouble(1); val med = m.getDouble(2)
+    assert(w.length === 4096)
+    val buckets = holdout
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), pmod(hash(col("t")), lit(4096)).as("bkt"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    scored.foreach { case (id, pred, p) =>
+      val margin = b + buckets(id).map(w(_)).sum
+      val pp = 1.0 / (1.0 + math.exp(-margin))
+      val ppR = java.math.BigDecimal.valueOf(pp)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+      assert(math.abs(p - ppR) <= 1e-4, s"doc $id: served p=$p, recomputed $ppR")
+      if (math.abs(margin) > 1e-9)
+        assert(pred === (if (margin > 0) 1.0 else 0.0), s"doc $id prediction mismatch")
+    }
+    // the model LEARNED the weak labeler: holdout agreement ≥ 0.8
+    // against labels derived with the persisted fit-time median
+    val weak = holdout
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stop_cnt", expr(
+        "size(filter(toks, t -> t in ('the','a','and','of','to','in','is','it')))"))
+      .withColumn("q",
+        least(col("n_tokens") * lit(1.0) / 100.0, lit(1.0)) * 0.5
+          + (lit(1.0) - col("stop_cnt") * lit(1.0) / col("n_tokens")) * 0.5)
+      .select(col("doc_id"), (col("q") >= med).cast("double").as("label"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val agree = scored.count { case (id, pred, _) => weak(id) == pred }
+    val rate = agree.toDouble / scored.length
+    assert(rate >= 0.8, s"classifier agrees with weak labels on only $rate of holdout")
+    // refit-free reuse: a second score pass reads the same persisted
+    // weights and reproduces the result bit-for-bit
+    val again = Pipeline.scoreWithClassifier(spark, holdout, modelDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(again.sortBy(_._1).toSeq === scored.sortBy(_._1).toSeq)
+  }
+
   test("C2 SemDeDup: planted duplicates drop with their base twin as witness") {
     val df = Similarity.dedupSemantic(spark, dir)
     // the Hamming screen must ride the join CONDITION as unrolled
@@ -224,6 +279,90 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     // the genuinely-new held-out arrivals pass (no natural ≥0.99 pair)
     val falseDrops = out.keys.filter(_ < off)
     assert(falseDrops.isEmpty, s"held-out arrivals wrongly dropped: ${falseDrops.take(5)}")
+  }
+
+  test("compaction cadence: file-count trigger compacts once, then holds") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_cadence_spec").toString
+    val e = Relational.table(spark, dir, "embeddings")
+    Similarity.buildIvfIndexFrom(spark,
+      e.filter(col("vec_id") % 4 === 0).select(col("vec_id"), col("embedding")), idx)
+    (1 to 3).foreach { i =>
+      Similarity.appendToIvfIndex(spark, idx,
+        e.filter(col("vec_id") % 4 === i).select(col("vec_id"), col("embedding")))
+    }
+    val fragmented = graft.ops.IndexMeta.countUnder(spark,
+      Similarity.liveVectorsPath(spark, idx), ".parquet")
+    // a generous threshold does not trigger
+    assert(!Similarity.compactIvfIndexIfFragmented(spark, idx, maxFiles = fragmented + 1))
+    // a tight one compacts, and the follow-up probe still serves
+    assert(Similarity.compactIvfIndexIfFragmented(spark, idx, maxFiles = 1))
+    val after = graft.ops.IndexMeta.countUnder(spark,
+      Similarity.liveVectorsPath(spark, idx), ".parquet")
+    assert(after < fragmented, s"compaction did not shrink files: $fragmented -> $after")
+    // idempotent at the new file count (unless still over the bound)
+    assert(!Similarity.compactIvfIndexIfFragmented(spark, idx, maxFiles = after))
+    assert(Similarity.annIvfIndexed(spark, dir, idx).collect().length === 10)
+    // near-dup store trigger: same shape
+    val nIdx = java.nio.file.Files.createTempDirectory("graft_cadence_nd_spec").toString
+    val docs = Relational.table(spark, dir, "documents")
+    Similarity.buildNearDupIndex(spark, docs.filter(col("doc_id") % 20 =!= 7), nIdx)
+    Similarity.appendToNearDupIndex(spark, nIdx, docs.filter(col("doc_id") % 20 === 7))
+    assert(Similarity.compactNearDupIndexIfFragmented(spark, nIdx, maxFiles = 1))
+    assert(!Similarity.compactNearDupIndexIfFragmented(spark, nIdx, maxFiles = 4096))
+  }
+
+  test("probe dispatch: broadcast and shuffle_hash probe plans agree") {
+    // near-dup store: same arrivals, both plans, hash-identical pairs
+    val idx = java.nio.file.Files.createTempDirectory("graft_dispatch_spec").toString
+    val docs = Relational.table(spark, dir, "documents")
+    Similarity.buildNearDupIndex(spark, docs.filter(col("doc_id") % 20 =!= 7), idx)
+    val arr = Similarity.hashedShingles(spark,
+      docs.filter(col("doc_id") % 20 === 7)).localCheckpoint()
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val bc = Similarity.probeNearDupIndex(spark, idx, arr)
+    assert(bc.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "default dispatch below the threshold must broadcast the arrival side")
+    val bcPairs = pairsOf(bc)
+    spark.conf.set("graft.probe.broadcastMaxRows", "0")
+    try {
+      val sh = Similarity.probeNearDupIndex(spark, idx, arr)
+      val shPlan = sh.queryExecution.executedPlan.toString
+      assert(shPlan.contains("ShuffledHashJoin"),
+        s"over-threshold dispatch did not take the shuffle_hash plan:\n$shPlan")
+      assert(pairsOf(sh) === bcPairs,
+        "shuffle_hash probe diverges from the broadcast probe")
+      // semantic-inc under the shuffle plan: identical drop list
+      val shSem = Similarity.queries("c2_dedup_semantic_inc")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      spark.conf.unset("graft.probe.broadcastMaxRows")
+      val bcSem = Similarity.queries("c2_dedup_semantic_inc")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(shSem === bcSem,
+        "semantic-inc shuffle_hash probe diverges from the broadcast probe")
+    } finally spark.conf.unset("graft.probe.broadcastMaxRows")
+  }
+
+  test("C2 semantic-dedup append cycle: batch-2 twins drop against batch-1 survivors") {
+    val drops2 = Similarity.queries("c2_dedup_semantic_cycle")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val e = Relational.table(spark, dir, "embeddings")
+    val off = Similarity.plantedOffset(e)
+    // batch-1 survivors are exactly the held-out 5% (batch-1 twins of
+    // indexed vectors all dropped — proven by the _inc spec above);
+    // batch 2 plants one twin per survivor at offset 2·off
+    val survivorIds = e.filter(col("vec_id") % 20 === 7)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // every batch-2 twin drops, witnessed by the batch-1 survivor it
+    // twins — which is only in the index if the cycle appended it
+    val caught = drops2.filter { case (a, k) => k == a - 2 * off }
+    assert(caught.size == survivorIds.size,
+      s"caught ${caught.size} of ${survivorIds.size} batch-2 twins of batch-1 survivors")
+    assert(caught.values.toSet == survivorIds,
+      "batch-2 twins witnessed by something other than the batch-1 survivors")
+    // and nothing else was dropped (twins are the only ≥0.99 pairs)
+    assert(drops2.size == caught.size,
+      s"unexpected extra drops: ${(drops2.keySet -- caught.keySet).take(5)}")
   }
 
   test("C3 IVF ANN: high recall vs exact top-k") {
