@@ -16,13 +16,22 @@ import graft.ops.{IndexMeta, Similarity}
  *   4. compaction, then probe latency on the compacted layout,
  *   5. a full rebuild over 100% — the cost the append path avoids.
  *
- * Usage: runMain graft.tools.IndexLifecycle <sfDir> [nAppendBatches]
+ * Usage: runMain graft.tools.IndexLifecycle <sfDir> [nAppendBatches] [cadenceMaxFiles]
  * Prints one JSON line; probe timings are min-of-3.
+ *
+ * With a third argument > 0 the run exercises the round-8 compaction
+ * CADENCE instead of the manual end-of-run compaction: after every
+ * append, [[Similarity.compactIvfIndexIfFragmented]] fires iff the
+ * live layout's file count exceeds the bound, and a probe runs after
+ * every batch — the claim under test is that probe latency stays
+ * bounded across the whole soak with NO manual compaction call, at a
+ * total compaction cost amortized by the trigger threshold.
  */
 object IndexLifecycle {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val batches = if (args.length > 1) args(1).toInt else 8
+    val cadence = if (args.length > 2) args(2).toLong else 0L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // driver memory must come from JVM opts (-Xmx / spark.driver.memory
     // at launch): setting it via the builder after the JVM is up is a
@@ -59,18 +68,36 @@ object IndexLifecycle {
     val (_, buildSec) = sec {
       Similarity.buildIvfIndexFrom(spark, base, idx.toString)
     }
+    var cadenceFired = 0
+    var cadenceCompactSec = 0.0
+    val perBatchProbeSecs = collection.mutable.ArrayBuffer.empty[Double]
     val appendSecs = (0 until batches).map { b =>
-      sec {
+      val t = sec {
         Similarity.appendToIvfIndex(spark, idx.toString,
           appendix.filter(col("b") === b).drop("b"))
       }._2
+      if (cadence > 0) {
+        val (fired, cSec) = sec {
+          Similarity.compactIvfIndexIfFragmented(spark, idx.toString, cadence)
+        }
+        if (fired) { cadenceFired += 1; cadenceCompactSec += cSec }
+        perBatchProbeSecs += sec {
+          Similarity.annIvfIndexed(spark, sfDir, idx.toString).collect()
+        }._2
+      }
+      t
     }
     val filesFragmented = vecFiles
     val probeFragmented = minOf3 {
       Similarity.annIvfIndexed(spark, sfDir, idx.toString).collect()
     }
+    // with a cadence the end-of-run compaction goes through the same
+    // trigger (usually a no-op — the cadence already kept the layout
+    // bounded); without one this is the round-6/7 manual compaction
     val (_, compactSec) = sec {
-      Similarity.compactIvfIndex(spark, idx.toString)
+      if (cadence > 0)
+        Similarity.compactIvfIndexIfFragmented(spark, idx.toString, cadence)
+      else Similarity.compactIvfIndex(spark, idx.toString)
     }
     val filesCompacted = vecFiles
     val probeCompacted = minOf3 {
@@ -93,7 +120,13 @@ object IndexLifecycle {
       f""""files_fragmented":$filesFragmented,"files_compacted":$filesCompacted,""" +
       f""""probe_fragmented_sec":$probeFragmented%.2f,""" +
       f""""probe_compacted_sec":$probeCompacted%.2f,""" +
-      f""""compact_sec":$compactSec%.1f,"rebuild_sec":$rebuildSec%.1f}""")
+      f""""compact_sec":$compactSec%.1f,"rebuild_sec":$rebuildSec%.1f""" +
+      (if (cadence > 0)
+        f""","cadence_max_files":$cadence,"cadence_fired":$cadenceFired,""" +
+        f""""cadence_compact_total_sec":$cadenceCompactSec%.1f,""" +
+        f""""probe_per_batch_max_sec":${perBatchProbeSecs.max}%.2f,""" +
+        f""""probe_per_batch_avg_sec":${perBatchProbeSecs.sum / perBatchProbeSecs.size}%.2f"""
+       else "") + "}")
     IndexMeta.delete(spark, idx)
     IndexMeta.delete(spark, rebuild)
     spark.stop()
