@@ -1039,6 +1039,126 @@ object Similarity {
       .limit(10)
   }
 
+  // C3g — attribute-FILTERED similarity search: top-k among only the
+  // vectors whose metadata row passes a predicate (the vector-DB
+  // "metadata filter" / FAISS IDSelector shape — every retrieval
+  // pipeline that scopes search to a language, license, or source hits
+  // this). Exact baseline first (oracle-checked): the lang predicate is
+  // pushed down to the documents parquet scan, the id semi-join runs
+  // BEFORE the cosine projection so only passing rows pay the distance,
+  // and AQE picks the join strategy (at sf the filtered id side
+  // broadcasts; at 100 TB a 38%-selectivity side is a shuffle join —
+  // both correct, neither driver-materialized).
+  def simTopKFiltered(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = Relational.table(spark, dir, "embeddings")
+    val allowed = Relational.table(spark, dir, "documents")
+      .filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .join(allowed, Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosineExpr("embedding", "qv"), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** C3g2 — filtered probe of the PERSISTED IVF index. Post-filtering
+    * with a selectivity-widened probe set: with filter selectivity s a
+    * probed cell yields only ~s of its rows as candidates, so the probe
+    * takes ceil(nprobe / s) nearest cells (capped at all cells) to keep
+    * the expected candidate count at the unfiltered level — the
+    * standard pre/post-filter tradeoff (cf. FAISS IDSelector notes,
+    * Milvus/Qdrant filtered-search docs; public practice). The cap is
+    * the honest degenerate case: a very selective filter widens to
+    * every cell, which IS exact brute search over the filtered subset —
+    * the right plan there, since the semi-join runs before the cosine
+    * projection and only passing rows pay the distance. Selectivity
+    * comes from two metadata-side counts (no embedding scan). The cell
+    * scan stays partition-pruned for any non-degenerate s; approximate
+    * → rows-only, recall vs [[simTopKFiltered]] pinned in TierCSpec. */
+  def annIvfFiltered(spark: SparkSession, dir: String, indexDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val docs = Relational.table(spark, dir, "documents")
+    val allowed = docs.filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
+    val sel = math.max(allowed.count().toDouble / math.max(1L, docs.count()), 1e-9)
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .select(col("cell"), col("centroid"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val widened = math.min(cents.length.toLong,
+      math.ceil(nprobe(spark) / sel).toLong).toInt
+    val vectors = liveIndexVectors(spark, indexDir)
+    val qRows = vectors.filter(col("vec_id") === 0)
+      .select(col("embedding")).take(1)
+    require(qRows.nonEmpty,
+      s"query vector vec_id=0 is not in the live index at $indexDir")
+    val qVec = qRows(0).getSeq[Float](0)
+    val probeCells = cents.map { case (i, c) =>
+      val d = c.zip(qVec).map { case (a, b) => (a - b).toDouble * (a - b) }.sum
+      (i, d)
+    }.sortBy(_._2).take(widened).map(_._1)
+    val q = vectors.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    vectors.filter(col("vec_id") =!= 0 && col("cell").isin(probeCells.toSeq: _*))
+      .join(allowed, Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosineExpr("embedding", "qv"), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  def annIvfFilteredQuery(spark: SparkSession, dir: String): DataFrame =
+    annIvfFiltered(spark, dir, ensureIndex(spark, dir))
+
+  // C30 — cluster-balanced DIVERSITY sampling: pick a fixed budget of
+  // vectors so that dense regions (near-duplicate blobs, boilerplate
+  // clusters) stop dominating the sample — the cluster-quota curation
+  // move from the SemDeDup/D4 line of work (Abbas et al. 2023, Tirumala
+  // et al. 2023: dedup-then-diversify beats either alone) applied as a
+  // SAMPLER rather than a dropper. Cells from the same coarse quantizer
+  // the ANN family fits (√n cells, bounded-sample KMeans); each cell
+  // gets quota ∝ √(cell population) — the square root flattens the head
+  // (a 100× denser blob gets only 10× the rows) while never starving
+  // the tail (every nonempty cell keeps ≥1 row). In-cell choice is
+  // hash-ranked (xxhash64 of vec_id, the c13 deterministic-sample
+  // doctrine) so reruns and engines agree.
+  //
+  // Plan shape: one KMeans assignment projection (map-only, codegen'd
+  // NearestCells), one k-row groupBy for populations (k ≈ √n, driver
+  // quota arithmetic on k rows — documented O(√n) collect), one
+  // window rank partitioned by cell. The window's per-cell sort is the
+  // scale cost: cells hold ~√n rows each by construction, so no single
+  // partition sees more than ~√n rows at any corpus size — a hot blob
+  // grows the CELL COUNT it spans (quantizer splits dense mass), not
+  // one partition. KMeans-derived → no SQL oracle; determinism, quota
+  // math, blob-flattening, and tail coverage pinned in TierCSpec.
+  def sampleDiverse(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = Relational.table(spark, dir, "embeddings")
+      .withColumn("features", array_to_vector(expr("cast(embedding as array<double>)")))
+    val n = e.count()
+    val target = math.max(1L, n / 10)
+    val model = fitCoarse(e)
+    val (flat, dim) = centroidMatrix(model)
+    val assigned = e.select(col("vec_id"),
+      element_at(nearestCellsColOf(col("embedding"), flat, dim, 1), 1).as("cell"))
+    val pops = assigned.groupBy(col("cell")).agg(count(lit(1)).as("pop"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val sqrtSum = pops.map { case (_, p) => math.sqrt(p.toDouble) }.sum
+    val quotas = pops.map { case (c, p) =>
+      val q = math.max(1L, math.round(target * math.sqrt(p.toDouble) / sqrtSum))
+      (c, math.min(q, p))
+    }
+    val quotaDf = spark.createDataFrame(quotas.toSeq)
+      .toDF("cell", "quota")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    assigned
+      .withColumn("rk", row_number().over(w))
+      .join(broadcast(quotaDf), Seq("cell"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("vec_id"), col("cell"))
+  }
+
   // C3b — IVF ANN: KMeans coarse quantizer (k=16, fixed seed), corpus
   // partitioned by nearest centroid; the query exact-scores only its
   // nprobe=8 nearest cells. At scale the centroid table is tiny and
@@ -2291,6 +2411,9 @@ object Similarity {
     "c2_dedup_semantic_inc" -> (dedupSemanticIncrementalQuery _),
     "c2_dedup_semantic_cycle" -> (dedupSemanticCycleQuery _),
     "c3_sim_topk" -> (simTopK _),
+    "c3_sim_topk_filtered" -> (simTopKFiltered _),
+    "c3_ann_filtered" -> (annIvfFilteredQuery _),
+    "c30_sample_diverse" -> (sampleDiverse _),
     "c3_ann_ivf" -> (annIvf _),
     "c3_ann_ivfpq" -> (annIvfPq _),
     "c3_ann_ivfpq_indexed" -> (annIvfPqIndexedQuery _),
@@ -2359,6 +2482,13 @@ object Similarity {
         |  round(cast(list_cosine_similarity(cast(embedding as double[]),
         |    (SELECT cast(embedding as double[]) FROM embeddings WHERE vec_id = 0)) as double), 4) AS sim
         |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "c3_sim_topk_filtered" ->
+      """SELECT vec_id,
+        |  round(cast(list_cosine_similarity(cast(embedding as double[]),
+        |    (SELECT cast(embedding as double[]) FROM embeddings WHERE vec_id = 0)) as double), 4) AS sim
+        |FROM embeddings WHERE vec_id <> 0
+        |  AND vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
     // zipped unnests pair each value with its 0-based position; scaled-long
     // sums keep the mean order-independent across engines

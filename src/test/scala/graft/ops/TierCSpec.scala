@@ -372,6 +372,57 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     assert(recall >= 0.5, s"IVF recall $recall below 0.5")
   }
 
+  test("C3g filtered search: results pass the filter; widened probe holds recall") {
+    val allowed = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("lang") === "en").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val exact = Similarity.simTopKFiltered(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(exact.length == 10 && exact.forall(allowed.contains),
+      "exact filtered top-k returned an id outside the lang filter")
+    // the filtered set must genuinely differ from the unfiltered one —
+    // otherwise this spec tests nothing (lang='en' is ~38% of docs)
+    val unfiltered = Similarity.simTopK(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!exact.toSet.subsetOf(unfiltered),
+      "filter did not change the top-k — test corpus degenerate")
+    val approx = Similarity.queries("c3_ann_filtered")(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(approx.forall(allowed.contains),
+      "indexed filtered probe returned an id outside the lang filter")
+    val recall = exact.count(approx.toSet.contains).toDouble / exact.length
+    assert(recall >= 0.8, s"filtered-ANN recall $recall below 0.8")
+  }
+
+  test("C30 diversity sample: flattens a planted blob, keeps the tail, deterministic") {
+    // 400 exact copies of one vector (a near-dup blob, 80% of the
+    // corpus) + 100 genuinely spread real vectors. Coincident blob
+    // rows all argmin-assign to one cell (deterministic first-min), so
+    // the √-quota must crush the blob's 80% population share while
+    // hash-ranked in-cell choice keeps the pick deterministic.
+    val planted = java.nio.file.Files.createTempDirectory("graft_c30_spec").toString
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val blobVec = e.filter(col("vec_id") === 0).select("embedding")
+    val blob = spark.range(1000, 1400).toDF("vec_id")
+      .crossJoin(broadcast(blobVec))
+    val tail = e.filter(col("vec_id").between(1, 100))
+      .select(col("vec_id"), col("embedding"))
+    blob.unionByName(tail).withColumn("label", lit(0))
+      .write.parquet(s"$planted/embeddings.parquet")
+    val s1 = Similarity.sampleDiverse(spark, planted)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val s2 = Similarity.sampleDiverse(spark, planted)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "diversity sample is not deterministic across runs")
+    assert(s1.size >= 25 && s1.size <= 75,
+      s"sample size ${s1.size} far from the n/10 = 50 target")
+    val blobShare = s1.count(_ >= 1000).toDouble / s1.size
+    assert(blobShare <= 0.5,
+      s"blob is 80% of the corpus but must be flattened in the sample; got $blobShare")
+    assert(s1.count(_ < 1000) >= 10,
+      s"tail underrepresented: ${s1.count(_ < 1000)} of ${s1.size}")
+  }
+
   test("C3 IVF-PQ: 8-byte codes + ADC shortlist keep exact-top-k recall") {
     // at sf0.001 every cell is probed (nprobe ≥ k) and the shortlist
     // nearly exhausts the corpus, so any miss here is PQ quantization
