@@ -21,6 +21,9 @@ import graft.ops.{IndexMeta, Similarity}
  *
  * Usage: runMain graft.tools.DispatchProbe <sfDir> [sfDir...]
  * One JSON line per (store, dir); timings are min-of-2 warm runs.
+ * SPARK_GRAFT_DISPATCH_STORES=neardup|seminc limits to one store (the
+ * embeddings-only decade dirs carry 10× the document rows per vector,
+ * so the two stores peak at different dirs).
  */
 object DispatchProbe {
   def main(args: Array[String]): Unit = {
@@ -41,9 +44,11 @@ object DispatchProbe {
       try body finally spark.conf.unset("graft.probe.broadcastMaxRows")
     }
 
+    val stores = sys.env.getOrElse("SPARK_GRAFT_DISPATCH_STORES", "neardup,seminc")
+      .split(",").map(_.trim).toSet
     args.foreach { dir =>
       // --- near-dup store (c27 probe shape) ---
-      locally {
+      if (stores("neardup")) locally {
         val idx = Similarity.freshScratch(spark, "graft_dispatch_nd_")
         val docs = spark.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), col("text"))
@@ -64,7 +69,7 @@ object DispatchProbe {
         IndexMeta.delete(spark, idx)
       }
       // --- IVF index (semantic-inc probe shape) ---
-      locally {
+      if (stores("seminc")) locally {
         val idx = Similarity.freshScratch(spark, "graft_dispatch_si_")
         val e = spark.read.parquet(s"$dir/embeddings.parquet")
           .select(col("vec_id"), col("embedding"))

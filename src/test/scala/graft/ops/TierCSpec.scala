@@ -386,12 +386,20 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(!exact.toSet.subsetOf(unfiltered),
       "filter did not change the top-k — test corpus degenerate")
-    val approx = Similarity.queries("c3_ann_filtered")(spark, dir)
-      .select("vec_id").collect().map(_.getLong(0))
+    val probe = Similarity.queries("c3_ann_filtered")(spark, dir)
+    val approx = probe.select("vec_id").collect().map(_.getLong(0))
     assert(approx.forall(allowed.contains),
       "indexed filtered probe returned an id outside the lang filter")
     val recall = exact.count(approx.toSet.contains).toDouble / exact.length
     assert(recall >= 0.8, s"filtered-ANN recall $recall below 0.8")
+    // plan shape: the widened cell set must still PRUNE the layout scan
+    // (partition filter, not a data filter over all cells), and the
+    // lang predicate must reach the documents parquet scan
+    val plan = probe.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell[^\\]]*\\]".r.findFirstIn(plan).isDefined,
+      s"cell IN (...) did not become a partition filter:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*lang[^\\]]*\\]".r.findFirstIn(plan).isDefined,
+      s"lang predicate not pushed to the documents scan:\n$plan")
   }
 
   test("C30 diversity sample: flattens a planted blob, keeps the tail, deterministic") {
