@@ -1551,7 +1551,34 @@ object Similarity {
     * nprobe cells, score by table lookups, exact-rerank against the
     * probed cells of the vectors layout. Tombstoned ids are excluded
     * from both scans (delete visibility without a sidecar rebuild). */
-  def annIvfPqIndexed(spark: SparkSession, dir: String, indexDir: String): DataFrame = {
+  def annIvfPqIndexed(spark: SparkSession, dir: String, indexDir: String): DataFrame =
+    pqIndexedCore(spark, indexDir, None)
+
+  /** C3g3 — FILTERED ADC probe: the metadata filter composed with the
+    * memory-bound PQ path. Same selectivity-widened probe set as
+    * [[annIvfFiltered]] (ceil(nprobe/s), capped at all cells), and the
+    * allowed-id semi-join lands on the CODES scan BEFORE ADC scoring —
+    * filtering after the shortlist would let background candidates
+    * crowd allowed ones out of the top-`shortlist` and lose recall;
+    * filtering before keeps the shortlist budget spent entirely on
+    * rows that can actually be returned, at 8 bytes per screened
+    * candidate. Exact re-rank unchanged. Approximate → rows-only;
+    * recall vs [[simTopKFiltered]] pinned in TierCSpec. */
+  def annIvfPqFiltered(spark: SparkSession, dir: String, indexDir: String): DataFrame = {
+    val docs = Relational.table(spark, dir, "documents")
+    val allowed = docs.filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
+    val sel = math.max(allowed.count().toDouble / math.max(1L, docs.count()), 1e-9)
+    pqIndexedCore(spark, indexDir, Some((allowed, sel)))
+  }
+
+  def annIvfPqFilteredQuery(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ensureIndex(spark, dir)
+    if (!pqSidecarFresh(spark, idx)) addPqToIndex(spark, idx)
+    annIvfPqFiltered(spark, dir, idx)
+  }
+
+  private def pqIndexedCore(spark: SparkSession, indexDir: String,
+      filtered: Option[(DataFrame, Double)]): DataFrame = {
     GraftFunctions.register(spark)
     val m = livePqMeta(spark, indexDir).getOrElse(sys.error(
       s"no committed PQ sidecar under $indexDir — run addPqToIndex first"))
@@ -1578,10 +1605,15 @@ object Similarity {
     val cents = spark.read.parquet(s"$indexDir/centroids")
       .select(col("cell"), col("centroid"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    val nCells = filtered match {
+      case Some((_, sel)) => math.min(cents.length.toLong,
+        math.ceil(nprobe(spark) / sel).toLong).toInt
+      case None => nprobe(spark)
+    }
     val probeCells = cents.map { case (i, c) =>
       val d = c.zip(qVec).map { case (a, b) => (a - b).toDouble * (a - b) }.sum
       (i, d)
-    }.sortBy(_._2).take(nprobe(spark)).map(_._1).toSeq
+    }.sortBy(_._2).take(nCells).map(_._1).toSeq
     // base + delta codes generations, unioned — each scan keeps its own
     // cell partition pruning, and [[compactIvfIndex]]-triggered full
     // re-derives fold them back to one
@@ -1589,9 +1621,14 @@ object Similarity {
         .select(col("vec_id"), col("pq"), col("cell")))
       .reduce(_.unionByName(_))
     val tomb = s"$indexDir/tombstones"
-    val codes = if (IndexMeta.exists(spark, tomb))
+    val codes1 = if (IndexMeta.exists(spark, tomb))
       codes0.join(broadcast(spark.read.parquet(tomb)), Seq("vec_id"), "left_anti")
     else codes0
+    // allowed-id semi-join BEFORE ADC scoring (see annIvfPqFiltered)
+    val codes = filtered match {
+      case Some((allowed, _)) => codes1.join(allowed, Seq("vec_id"), "left_semi")
+      case None => codes1
+    }
     pqProbe(spark, codes,
       vectors.filter(col("cell").isin(probeCells: _*)),
       books, qVec, probeCells)
@@ -2413,6 +2450,7 @@ object Similarity {
     "c3_sim_topk" -> (simTopK _),
     "c3_sim_topk_filtered" -> (simTopKFiltered _),
     "c3_ann_filtered" -> (annIvfFilteredQuery _),
+    "c3_ann_pq_filtered" -> (annIvfPqFilteredQuery _),
     "c30_sample_diverse" -> (sampleDiverse _),
     "c3_ann_ivf" -> (annIvf _),
     "c3_ann_ivfpq" -> (annIvfPq _),

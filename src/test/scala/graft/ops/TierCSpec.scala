@@ -400,6 +400,14 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
       s"cell IN (...) did not become a partition filter:\n$plan")
     assert("PushedFilters: \\[[^\\]]*lang[^\\]]*\\]".r.findFirstIn(plan).isDefined,
       s"lang predicate not pushed to the documents scan:\n$plan")
+    // the PQ composition: allowed-id semi-join BEFORE ADC scoring, so
+    // the 8-byte-code path holds the same filtered recall
+    val pq = Similarity.queries("c3_ann_pq_filtered")(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(pq.forall(allowed.contains),
+      "PQ filtered probe returned an id outside the lang filter")
+    val pqRecall = exact.count(pq.toSet.contains).toDouble / exact.length
+    assert(pqRecall >= 0.8, s"filtered-PQ recall $pqRecall below 0.8")
   }
 
   test("C30 diversity sample: flattens a planted blob, keeps the tail, deterministic") {
