@@ -1136,7 +1136,10 @@ object Similarity {
     val e = Relational.table(spark, dir, "embeddings")
       .withColumn("features", array_to_vector(expr("cast(embedding as array<double>)")))
     val n = e.count()
-    val target = math.max(1L, n / 10)
+    // budget knob like the ANN nprobe/shortlist confs; default 10%
+    val frac = spark.conf.getOption("graft.sample.fraction")
+      .map(_.toDouble).getOrElse(0.1)
+    val target = math.max(1L, math.round(n * frac))
     val model = fitCoarse(e)
     val (flat, dim) = centroidMatrix(model)
     val assigned = e.select(col("vec_id"),
