@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
@@ -1022,6 +1022,102 @@ object Similarity {
       .select(col("vec_id"), col("embedding"))
     val b2 = plantedNoisy(survivors, 2 * off)
     dedupSemanticIncremental(spark, idx, b2)
+  }
+
+  // C2j — STREAMING semantic dedup: the embedding family's streaming
+  // leg, closing the same square c22/c22b close for text near-dup. A
+  // continuous crawl delivers embedding arrivals as a stream; each
+  // micro-batch must dedup against the ENTIRE corpus-so-far (persistent
+  // index + every earlier batch's survivors) and fold its own survivors
+  // in. The Spark-idiomatic shape for "stream of arrivals against a
+  // mutable external store" is `foreachBatch` (the documented pattern
+  // for reusing batch writers per micro-batch): the streaming engine
+  // owns ordering, retries, and the batchId, and the batch cycle
+  // ([[dedupSemanticWithAppend]]) runs unchanged inside it. Exactly-once
+  // composes from the two idempotence layers already shipped —
+  // `foreachBatch` replays a crashed batch with the SAME batchId, and
+  // [[appendToIvfIndex]]'s batch markers turn the replayed append into
+  // a no-op, so survivors never enter the layout twice. State story:
+  // unlike c22's in-executor GroupState (bounded by eviction), the
+  // stream's "state" IS the index on shared storage — arbitrarily large,
+  // visible to concurrent batch probes, compacted by the cadence policy;
+  // the streaming job itself is stateless, which is what lets it restart
+  // from any checkpoint without state-store recovery. Approximate
+  // (cell-boundary misses, as every SemDeDup variant) → rows-only; the
+  // cross-batch catch (a later batch's twin of an earlier batch's
+  // survivor drops) is pinned in the spec.
+  /** Replay staged arrival slices one file per trigger; per micro-batch
+    * run probe → anti-join → append, sinking the drop list with its
+    * batchId. Returns the committed drop list read back from the sink. */
+  private[graft] def dedupSemanticStream(spark: SparkSession, indexDir: String,
+      stagedDir: String, schema: org.apache.spark.sql.types.StructType,
+      sinkName: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    // sink/checkpoint layout mirrors replayToSink (applicationId-scoped,
+    // local-test-harness contract documented there); foreachBatch needs
+    // its own writeStream, so the harness tail is inlined rather than
+    // shared
+    val base = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"sink_${spark.sparkContext.applicationId}_$sinkName")
+    if (Files.exists(base)) {
+      Files.walk(base).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+    val out = base.resolve("out")
+    Files.createDirectories(out)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stagedDir)
+      .writeStream.queryName(sinkName)
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        // drops materialize inside the cycle BEFORE its append; the
+        // sink write commits after the index mutation, so a crash
+        // between them replays the batch — probe output is identical
+        // (the survivors' append is marker-idempotent) and the drop
+        // rows land exactly once
+        val drops = dedupSemanticWithAppend(spark, indexDir,
+          batch.select(col("vec_id"), col("embedding")), Some(s"stream_$bid"))
+        drops.withColumn("batch", lit(bid))
+          .write.mode("append").parquet(out.toString)
+        ()
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val dropSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("arrival_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("kept_by", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cos", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("batch", org.apache.spark.sql.types.LongType)))
+    spark.read.schema(dropSchema).parquet(out.toString)
+  }
+
+  /** Registry wrapper: index the 95% slice; the arrival STREAM carries
+    * (in id order, which the stager slices into micro-batches) the
+    * held-out 5%, then twins of indexed vectors, then twins of the
+    * held-outs — the last group arrives ≥2 micro-batches after its
+    * originals, so catching it requires the stream to have folded the
+    * earlier batches' survivors into the index. */
+  def dedupSemanticStreamQuery(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val idx = freshScratch(spark, s"graft_sem_stream_${key}_")
+    val e = Relational.table(spark, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") % 20 =!= 7)
+    buildIvfIndexFrom(spark, corpus.select(col("vec_id"), col("embedding")), idx)
+    val off = plantedOffset(e)
+    val heldout = e.filter(col("vec_id") % 20 === 7)
+      .select(col("vec_id"), col("embedding"))
+    // id ranges: held-outs ≤ max(vec_id) < corpus twins < held-out
+    // twins; the 4-slice stager splits on id range, so each group's
+    // twins land ≥2 slices after their originals
+    val arrivals = heldout
+      .unionByName(plantedNoisy(corpus, off).select(col("vec_id"), col("embedding")))
+      .unionByName(plantedNoisy(heldout, 2 * off).select(col("vec_id"), col("embedding")))
+    val stage = Relational.stageSlices(spark, arrivals, col("vec_id"),
+      s"graft_c22c_stage_$key")
+    dedupSemanticStream(spark, idx, stage, arrivals.schema, s"graft_c22c_sink_$key")
+      .orderBy("arrival_id")
   }
 
   // C3 — brute-force cosine top-k for the vec_id=0 query vector
@@ -2450,6 +2546,7 @@ object Similarity {
     "c2_dedup_semantic" -> (dedupSemantic _),
     "c2_dedup_semantic_inc" -> (dedupSemanticIncrementalQuery _),
     "c2_dedup_semantic_cycle" -> (dedupSemanticCycleQuery _),
+    "c22c_dedup_semantic_stream" -> (dedupSemanticStreamQuery _),
     "c3_sim_topk" -> (simTopK _),
     "c3_sim_topk_filtered" -> (simTopKFiltered _),
     "c3_ann_filtered" -> (annIvfFilteredQuery _),

@@ -228,4 +228,48 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     assert(stateRows.last < totalBuckets,
       s"final state ${stateRows.last} did not evict below the ${totalBuckets}-bucket ceiling")
   }
+
+  test("streaming semantic dedup: later batches drop twins of earlier batches' survivors") {
+    import graft.ops.Similarity
+    val rows = Similarity.queries("c22c_dedup_semantic_stream")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    val drops = rows.map(t => (t._1, t._2)).toMap
+    val batchOf = rows.map(t => (t._1, t._3)).toMap
+    val e = Relational.table(spark, dir, "embeddings")
+    val off = Similarity.plantedOffset(e)
+    val corpusIds = e.filter(org.apache.spark.sql.functions.col("vec_id") % 20 =!= 7)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val heldoutIds = e.filter(org.apache.spark.sql.functions.col("vec_id") % 20 === 7)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // twins of INDEXED vectors drop against their corpus originals, in
+    // whatever micro-batch they arrive
+    val corpusTwins = drops.filter { case (a, k) => a >= off && a < 2 * off && k == a - off }
+    assert(corpusTwins.size == corpusIds.size,
+      s"dropped ${corpusTwins.size} of ${corpusIds.size} corpus twins")
+    // twins of HELD-OUT survivors drop against the survivor — only
+    // possible if earlier micro-batches folded their survivors in
+    val survivorTwins = drops.filter { case (a, k) => a >= 2 * off && k == a - 2 * off }
+    assert(survivorTwins.size == heldoutIds.size,
+      s"caught ${survivorTwins.size} of ${heldoutIds.size} twins of streamed survivors")
+    assert(survivorTwins.values.toSet == heldoutIds,
+      "survivor twins witnessed by something other than the streamed survivors")
+    // ... and the catch is genuinely CROSS-batch: every survivor twin
+    // arrives in a strictly later micro-batch than its original (slice
+    // index = id-range slice, the stager's replay contract)
+    val b = e.agg(org.apache.spark.sql.functions.min("vec_id"),
+      org.apache.spark.sql.functions.max("vec_id")).head()
+    val lo = b.getLong(0)
+    val hi = heldoutIds.max + 2 * off
+    val step = Relational.sliceStep(lo, hi, Relational.replaySlices)
+    survivorTwins.foreach { case (twin, orig) =>
+      assert(batchOf(twin) > (orig - lo) / step,
+        s"twin $twin (batch ${batchOf(twin)}) did not arrive after its original " +
+          s"$orig (slice ${(orig - lo) / step})")
+    }
+    // the genuinely-new held-out arrivals pass (no natural ≥0.99 pair)
+    val falseDrops = drops.keys.filter(_ < off)
+    assert(falseDrops.isEmpty, s"held-out arrivals wrongly dropped: ${falseDrops.take(5)}")
+    assert(drops.size == corpusTwins.size + survivorTwins.size,
+      s"unexpected extra drops: ${(drops.keySet -- corpusTwins.keySet -- survivorTwins.keySet).take(5)}")
+  }
 }
