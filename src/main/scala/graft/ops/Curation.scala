@@ -44,7 +44,7 @@ object Curation {
   /** Token n-gram size for contamination checks: 13 is the published
     * standard for pretraining-corpus decontamination (long enough that
     * natural re-use is rare, short enough to survive light edits). */
-  private val ngramN = 13
+  private[ops] val ngramN = 13
 
   /** C12 — benchmark decontamination: flag every corpus document sharing
     * at least one 13-token-gram with the held-out eval slice (here: the
@@ -431,7 +431,7 @@ object Curation {
     * bucket's top cap, so phase 1 never discards a winner; phase 2's
     * exchange carries at most saltBuckets·cap rows per source
     * regardless of how hot the domain is. */
-  private val sourceCap = 10
+  private[ops] val sourceCap = 10
   private val saltBuckets = 8
 
   def capPerSourceOn(docs: DataFrame, cap: Int = sourceCap): DataFrame = {

@@ -151,6 +151,42 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  // C31 — the END-TO-END curation pipeline: every cleaning stage a
+  // pretraining-data run actually chains, composed as ONE DataFrame
+  // program and oracle-checked as a whole. Order and semantics:
+  //   1. quality floor (c4 composite ≥ 0.7), exact-dup canonicalization
+  //      (keep lowest doc_id per text), and near-dup removal (drop the
+  //      higher id of every J ≥ 0.8 pair) — the c8 stages, each computed
+  //      independently over the full corpus and intersected (a doc must
+  //      pass all three);
+  //   2. benchmark decontamination — the eval split (doc_id % 20 = 0,
+  //      standing in for a held-out benchmark) leaves the training pool
+  //      entirely, and any remaining doc sharing a 13-token-gram with it
+  //      is dropped (c12's flag list consumed as a filter);
+  //   3. the per-source domain cap (c26's salted two-phase top-10 by
+  //      deterministic md5 order) runs LAST, over the survivors — capping
+  //      before cleaning would let dropped docs consume cap slots.
+  // Stage order matters only where stages interact: 1 and 2 are
+  // independent filters (intersection commutes), but 3 ranks within the
+  // surviving pool, so it must follow. Every stage reuses the shipped
+  // operator's exact code path (cleanCorpus / decontaminate /
+  // capPerSourceOn), so the composition inherits each stage's scale
+  // design — broadcast gram hashes, contracted near-dup candidates,
+  // salted cap windows — and the oracle chains the same stages' SQL.
+  def curateE2E(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.table(spark, dir, "documents")
+    val survivors = cleanCorpus(spark, dir) // (doc_id, quality)
+    val contaminated = Curation.decontaminate(spark, dir).select(col("doc_id"))
+    val pool = survivors
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .filter(col("doc_id") % 20 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    Curation.capPerSourceOn(pool.select(col("doc_id"), col("source")))
+      .join(survivors, "doc_id")
+      .select(col("doc_id"), col("source"), col("rank"), col("quality"))
+      .orderBy("doc_id")
+  }
+
   // C9 — streaming exact deduplication: `dropDuplicates` on the key
   // columns over the 4-file micro-batch replay; append mode emits the
   // first occurrence of each key, cross-batch duplicates are suppressed
@@ -329,6 +365,7 @@ object Pipeline {
     "c29b_quality_classifier" -> (qualityClassifierPersisted _),
     "c20_vocab_topk" -> (vocabTopK _),
     "c8_clean_corpus" -> (cleanCorpus _),
+    "c31_curate_e2e" -> (curateE2E _),
     "c9_dedup_stream" -> (dedupStream _),
     "c1_dedup_exact" -> (dedupExact _),
     "c4_text_stats" -> (textStats _),
@@ -370,6 +407,47 @@ object Pipeline {
     "c1_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    // the c8 stage CTEs + c12's gram-overlap contamination + c26's
+    // deterministic md5-order cap over the surviving pool — the same
+    // stage SQL the standalone oracles use, chained in pipeline order
+    "c31_curate_e2e" ->
+      s"""WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         |m AS (SELECT doc_id, text, len(toks) AS n_tokens,
+         |    len(list_filter(toks, t -> t in $stopList)) AS stop_cnt FROM base),
+         |q AS (SELECT doc_id,
+         |    round(least(n_tokens * 1.0 / 100.0, 1.0) * 0.5
+         |      + (1.0 - stop_cnt * 1.0 / n_tokens) * 0.5, 4) AS quality FROM m),
+         |keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |toks2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT doc_id,
+         |  list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         |    ELSE list_transform(generate_series(1, len(t) - 2),
+         |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END) AS shingles FROM toks2),
+         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+         |losers AS (SELECT db AS doc_id FROM pairs
+         |  JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+         |  WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.8),
+         |g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= ${Curation.ngramN} THEN
+         |    list_distinct(list_transform(generate_series(1, len(toks) - ${Curation.ngramN - 1}),
+         |      i -> array_to_string(toks[i:i+${Curation.ngramN - 1}], ' ')))
+         |  ELSE [] END) AS gram FROM base),
+         |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+         |contaminated AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)
+         |  WHERE g.doc_id % 20 != 0),
+         |pool AS (SELECT q.doc_id, d.source, q.quality,
+         |    md5(concat('cap:', cast(q.doc_id as varchar))) AS k
+         |  FROM q JOIN keepers USING (doc_id) JOIN documents d USING (doc_id)
+         |  WHERE q.quality >= 0.7
+         |    AND q.doc_id NOT IN (SELECT doc_id FROM losers)
+         |    AND q.doc_id % 20 != 0
+         |    AND q.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |r AS (SELECT doc_id, source, quality,
+         |    row_number() OVER (PARTITION BY source ORDER BY k, doc_id) AS rank FROM pool)
+         |SELECT doc_id, source, rank, quality FROM r WHERE rank <= ${Curation.sourceCap}
+         |ORDER BY doc_id""".stripMargin,
     // first-occurrence-per-key streaming dedup ≡ the distinct key set
     "c9_dedup_stream" ->
       """SELECT DISTINCT user_id, event_type FROM events

@@ -26,6 +26,40 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
       s"more than the open tail window missing: ${batch.size - stream.size}")
   }
 
+  test("C31 e2e curation: output is exactly the staged intersection, capped per source") {
+    val out = Pipeline.queries("c31_curate_e2e")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    val outIds = out.map(_._1).toSet
+    // stage 1: every survivor passed the c8 clean (quality + exact +
+    // near-dup), and nothing outside it got through
+    val clean = Pipeline.cleanCorpus(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(outIds.subsetOf(clean), s"docs outside cleanCorpus: ${(outIds -- clean).take(5)}")
+    // stage 2: the eval split and its gram-contaminated docs are gone
+    assert(outIds.forall(_ % 20 != 0), "eval-split docs leaked into the training pool")
+    val contaminated = Curation.decontaminate(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(outIds.intersect(contaminated).isEmpty,
+      s"contaminated docs leaked: ${outIds.intersect(contaminated).take(5)}")
+    // stage 3: the cap bites per source — output count per source is
+    // exactly min(cap, surviving pool size per source), so the cap
+    // neither over-prunes nor lets cleaned-away docs consume slots
+    val srcOf = Relational.table(spark, dir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val poolBySrc = (clean -- contaminated).filter(_ % 20 != 0)
+      .groupBy(srcOf).view.mapValues(_.size).toMap
+    val outBySrc = out.groupBy(_._2).view.mapValues(_.size).toMap
+    poolBySrc.foreach { case (src, n) =>
+      assert(outBySrc.getOrElse(src, 0) == math.min(Curation.sourceCap, n),
+        s"source $src: expected min(${Curation.sourceCap}, $n), got ${outBySrc.getOrElse(src, 0)}")
+    }
+    // ranks are 1..count within each source
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.map(_._3).sorted == (1 to rows.size).toSeq, s"rank gap in $src")
+    }
+  }
+
   test("C2 minhash recall: finds every exact n-gram near-dup pair") {
     val exact = Similarity.dedupNgram(spark, dir)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
