@@ -204,6 +204,105 @@ object Training {
     scoreWithLm(spark, docs.filter(col("doc_id") % 20 === 7), lmDir.toString)
   }
 
+  // ------------------------------------------ C32 learned BPE tokenizer
+
+  /** Merge-table size (the tokenizer's vocab budget knob; production
+    * runs use 30–100k, the 200 default exercises real merge depth at
+    * test scale) and the word-dictionary bound the fit collects. */
+  private def bpeMerges(spark: SparkSession): Int =
+    spark.conf.getOption("graft.bpe.merges").map(_.toInt).getOrElse(200)
+  private def bpeMaxWords(spark: SparkSession): Int =
+    spark.conf.getOption("graft.bpe.maxWords").map(_.toInt).getOrElse(65536)
+
+  /** C32 fit — train a byte-pair-encoding merge table (Sennrich et al.
+    * 2016) on a corpus and persist it under the IndexMeta generation
+    * protocol (table `merges`). The scale split is the one every
+    * public BPE trainer uses: the CORPUS pass is one vocab-sized
+    * shuffle (explode → partial-aggregated word counts, the c20 plan)
+    * plus a TakeOrdered top-`maxWords` — tokens never shuffle raw and
+    * the result is a bounded dictionary, because merge statistics are
+    * weighted word-frequency sums, identical whether computed over
+    * 100 TB of text or its word histogram. The merge LOOP is inherently
+    * sequential (merge r+1's counts depend on merge r) and runs
+    * driver-side over the ≤`maxWords` dictionary rows — the PQ-books
+    * doctrine: a k-row driver structure, never the corpus.
+    * Determinism: exact long pair counts; ties break to the
+    * lexicographically smallest pair; the dictionary cut orders by
+    * (count desc, word asc) — so refits on the same corpus are
+    * bit-identical (spec-pinned). */
+  def fitBpe(spark: SparkSession, docs: DataFrame, modelDir: String,
+      numMerges: Int, maxWords: Int): Unit = {
+    val dict = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var words: Array[(Array[String], Long)] =
+      dict.map { case (w, c) => (w.toCharArray.map(String.valueOf(_)), c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.size < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + c
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val (pair, _) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += pair
+        words = words.map { case (syms, c) =>
+          (graft.functions.BpeCodec.mergePair(syms, pair._1, pair._2), c)
+        }
+      }
+    }
+    val (gen, oldGens) = IndexMeta.nextGen(spark, modelDir, "merges")
+    import spark.implicits._
+    merges.toSeq.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(gen)
+    oldGens.foreach(IndexMeta.delete(spark, _))
+  }
+
+  /** Tokenize a batch with a persisted merge table: ONE driver read of
+    * the ≤`numMerges`-row model, then a map-only projection — the
+    * [[graft.functions.BpeEncode]] kernel ships the table inside the
+    * expression (the NearestCells/ADC plan-literal doctrine), so an
+    * arrival batch tokenizes at scan cost with no join, no shuffle,
+    * and no refit. Emits per-doc token count and an order-sensitive
+    * token fingerprint (md5 over the token stream) — the compact
+    * deterministic signature a shard-budgeting stage consumes. */
+  def tokenizeBpe(spark: SparkSession, docs: DataFrame, modelDir: String): DataFrame = {
+    val m = spark.read.parquet(IndexMeta.requireLive(spark, modelDir, "merges"))
+      .orderBy("rank").collect()
+    val flat = m.flatMap(r => Seq(r.getString(1), r.getString(2)))
+    import org.apache.spark.sql.graft.{GraftColumns => EU}
+    val toks = EU.column(graft.functions.BpeEncode(EU.expression(col("text")), flat))
+    docs.withColumn("toks", toks)
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        md5(concat_ws(" ", col("toks"))).as("fp"))
+  }
+
+  /** Registry wrapper: fit on the 95% slice, persist, tokenize the
+    * held-out 5% through the re-read model (the c24b/c29b fit-once
+    * split). Not SQL-expressible → rows-only; hand-computed merges,
+    * losslessness, refit determinism, and interpreted≡codegen parity
+    * are pinned in BpeSpec. */
+  def tokenizeBpeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val modelDir = Similarity.freshScratch(spark, s"graft_bpe_${key}_")
+    val docs = Relational.table(spark, dir, "documents")
+    fitBpe(spark, docs.filter(col("doc_id") % 20 =!= 7), modelDir,
+      bpeMerges(spark), bpeMaxWords(spark))
+    tokenizeBpe(spark, docs.filter(col("doc_id") % 20 === 7), modelDir)
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------ C25 deterministic shard shuffle
 
   /** Training shard count. 8 exercises multi-shard structure at test
@@ -321,7 +420,8 @@ object Training {
     "c24_doc_logprob" -> (docLogprob _),
     "c24b_doc_logprob_lm" -> (docLogprobLm _),
     "c25_shard_shuffle" -> (shardShuffle _),
-    "c25b_shard_write" -> (shardWriteQuery _))
+    "c25b_shard_write" -> (shardWriteQuery _),
+    "c32_tokenize_bpe" -> (tokenizeBpeQuery _))
 
   // a def, not a val: the c25 entry embeds the session's EFFECTIVE
   // shard count at dump time (c15 contract)

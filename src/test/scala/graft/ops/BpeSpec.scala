@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.functions.BpeCodec
+
+/** C32 learned BPE tokenizer: hand-computed merge sequence on the
+  * classic Sennrich-style corpus, hand-computed encodings, the
+  * lossless-roundtrip property over real testdata, refit determinism,
+  * and interpreted ≡ codegen parity for the encode expression. */
+class BpeSpec extends AnyFunSuite with SparkTestSession {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** The worked example: {low×5, lower×2, newest×6, widest×3}.
+    * Pair counts round 1: (e,s)=9 (newest+widest), (s,t)=9, (w,e)=8,
+    * (l,o)=7, (o,w)=7, … → tie at 9 breaks to the lexicographically
+    * smallest pair (e,s). Then (es,t)=9; then the 7-tie (l,o)/(o,w)
+    * breaks to (l,o); then (lo,w)=7. */
+  private def craftedDocs(spark: org.apache.spark.sql.SparkSession) = {
+    import spark.implicits._
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+  }
+
+  test("fit reproduces the hand-computed merge sequence") {
+    val modelDir = java.nio.file.Files.createTempDirectory("graft_bpe_spec").toString
+    Training.fitBpe(spark, craftedDocs(spark), modelDir, numMerges = 4, maxWords = 100)
+    val merges = spark.read.parquet(IndexMeta.requireLive(spark, modelDir, "merges"))
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")),
+      s"unexpected merges: $merges")
+  }
+
+  test("encode applies merges in rank order; unseen chars stay single tokens") {
+    val codec = new BpeCodec(Array("e", "s", "es", "t", "l", "o", "lo", "w"))
+    assert(codec.encodeWord("lowest").toSeq == Seq("low", "est"))
+    assert(codec.encodeWord("newest").toSeq == Seq("n", "e", "w", "est"))
+    assert(codec.encodeWord("low").toSeq == Seq("low"))
+    assert(codec.encodeWord("xyz").toSeq == Seq("x", "y", "z"))
+    assert(codec.encodeWord("").toSeq == Seq.empty)
+    // overlap: merging (a,a) over "aaa" is left-to-right → ["aa","a"]
+    val aa = new BpeCodec(Array("a", "a"))
+    assert(aa.encodeWord("aaa").toSeq == Seq("aa", "a"))
+  }
+
+  test("registry op: lossless roundtrip, fit-once reuse, deterministic refit") {
+    val df = Training.queries("c32_tokenize_bpe")(spark, dir)
+    val rows = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    // lossless: re-derive tokens with the op's own path and compare the
+    // reconstruction against the raw text per doc
+    val docs = Relational.table(spark, dir, "documents")
+      .filter(col("doc_id") % 20 === 7)
+    val modelDir2 = java.nio.file.Files.createTempDirectory("graft_bpe_spec2").toString
+    Training.fitBpe(spark,
+      Relational.table(spark, dir, "documents").filter(col("doc_id") % 20 =!= 7),
+      modelDir2, 200, 65536)
+    val merges2 = spark.read.parquet(IndexMeta.requireLive(spark, modelDir2, "merges"))
+      .orderBy("rank").collect().flatMap(r => Seq(r.getString(1), r.getString(2)))
+    val codec = new BpeCodec(merges2)
+    docs.select("doc_id", "text").collect().foreach { r =>
+      val text = r.getString(1)
+      val rebuilt = text.split(" ", -1).map(w => codec.encodeWord(w).mkString).mkString(" ")
+      assert(rebuilt == text, s"lossy encode for doc ${r.getLong(0)}")
+    }
+    // deterministic refit: the registry ran its own independent
+    // fit+encode; encoding through THIS fit's model must agree exactly
+    val again = Training.tokenizeBpe(spark, docs, modelDir2).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(again.toSeq == rows.toSeq, "refit on the same corpus diverged")
+    // ... and scoring twice through one persisted model is bit-identical
+    val third = Training.tokenizeBpe(spark, docs, modelDir2).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(third.toSeq == again.toSeq)
+  }
+
+  test("encode expression: interpreted eval matches the codegen'd column") {
+    import org.apache.spark.sql.graft.{GraftColumns => EU}
+    import spark.implicits._
+    val merges = Array("e", "s", "es", "t", "l", "o", "lo", "w")
+    val texts = Seq("the lowest of the newest", "low lower lowest", "", "a  b")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val colToks = df.withColumn("toks",
+        EU.column(graft.functions.BpeEncode(EU.expression(col("text")), merges)))
+      .orderBy("id").collect().map(_.getSeq[String](2).toList)
+    val codec = new BpeCodec(merges)
+    val expected = texts.map(_.split(" ", -1).toList.flatMap(codec.encodeWord(_).toList))
+    assert(colToks.toList == expected, "codegen column diverges from the codec")
+  }
+}

@@ -117,6 +117,22 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"hash-bucket sampling must not shuffle:\n$p")
   }
 
+  test("C32: BPE encode is a map-only projection with the codec in-plan") {
+    // the merge table ships inside the expression (plan literal), so
+    // tokenizing an arrival batch is Project over Scan — no join on a
+    // vocab table, no exchange of any kind
+    val modelDir = java.nio.file.Files.createTempDirectory("graft_bpe_plan").toString
+    Training.fitBpe(spark,
+      Relational.table(spark, dir, "documents").filter(org.apache.spark.sql.functions.col("doc_id") % 20 =!= 7),
+      modelDir, 50, 65536)
+    val p = plan(Training.tokenizeBpe(spark,
+      Relational.table(spark, dir, "documents").filter(org.apache.spark.sql.functions.col("doc_id") % 20 === 7),
+      modelDir))
+    assert(!p.contains("Exchange"), s"BPE encode must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"BPE encode must not join:\n$p")
+    assert(p.contains("graft_bpe_encode"), s"codec expression missing from plan:\n$p")
+  }
+
   test("C3d: per-cell pre-top-k reuses the probe join's partitioning — no extra exchange") {
     // expected hash exchanges: probes→join(cand_cell), corpus→join(cand_cell),
     // global top-3 window (va). The per-cell (cand_cell, va) window must ride
