@@ -230,6 +230,29 @@ object Relational {
         col("revenue"), col("n_orders"))
       .orderBy("nation", "priority")
 
+  // B12c — explicit GROUPING SETS: the arbitrary-set form neither
+  // rollup's hierarchy nor cube's full lattice expresses — here the
+  // two single-dimension slices WITHOUT the grand total or the
+  // detailed (nation, priority) set, the shape of a report wanting
+  // "by nation" and "by priority" in one pass. One aggregation with
+  // an Expand of exactly 2 projections per row (vs cube's 4); the
+  // partial aggregate still collapses each partition to lattice size
+  // before the exchange. Identical SQL runs in DuckDB as the oracle.
+  def groupingSetsExplicit(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "orders").createOrReplaceTempView("orders")
+    table(spark, dir, "customer").createOrReplaceTempView("customer")
+    table(spark, dir, "nation").createOrReplaceTempView("nation")
+    spark.sql(
+      s"""SELECT coalesce(n_name, 'ALL') AS nation,
+         |  coalesce(o_orderpriority, 'ALL') AS priority,
+         |  ${msum("o_totalprice")} AS revenue, count(*) AS n_orders
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY GROUPING SETS ((n_name), (o_orderpriority))
+         |ORDER BY nation, priority""".stripMargin)
+  }
+
   // B13 — scalar function battery (string/date/math/CASE)
   def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "orders")
@@ -601,6 +624,7 @@ object Relational {
     "b11_window_frame" -> (windowFrame _),
     "b12_rollup" -> (groupingSets _),
     "b12b_cube" -> (groupingSetsCube _),
+    "b12c_grouping_sets" -> (groupingSetsExplicit _),
     "b13_scalar_funcs" -> (scalarFuncs _),
     "b13b_scalar_funcs2" -> (scalarFuncs2 _),
     "b22_sql_subquery" -> (sqlSubquery _),
@@ -710,6 +734,14 @@ object Relational {
          |JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY CUBE(n_name, o_orderpriority)
+         |ORDER BY nation, priority""".stripMargin,
+    "b12c_grouping_sets" ->
+      s"""SELECT coalesce(n_name, 'ALL') AS nation, coalesce(o_orderpriority, 'ALL') AS priority,
+         |  ${msum("o_totalprice")} AS revenue, count(*) AS n_orders
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY GROUPING SETS ((n_name), (o_orderpriority))
          |ORDER BY nation, priority""".stripMargin,
     "b13_scalar_funcs" ->
       """SELECT o_orderkey,
