@@ -43,6 +43,40 @@ object Multimodal {
       doc_id: Long, kind: String, n_bytes: Int,
       decoded_w: Int, decoded_h: Int, features: Array[Float])
 
+  /** Synthesized-BMP shape: 24-bit bottom-up DIB, fixed dims → a fixed
+    * 54 + rows byte payload (row stride 3·[[bmpW]] is already
+    * 4-aligned at 24). */
+  val bmpW = 24
+  val bmpH = 16
+  val bmpBytes: Int = 54 + bmpH * (bmpW * 3)
+
+  /** A REAL 24-bit BMP whose pixels are the [[vidRgb]] gradient at
+    * frame 0 — deterministic stand-in image content any BMP reader
+    * (including `javax.imageio`) decodes. Pure byte building. */
+  def synthBmp(docId: Long): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(bmpBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte); bb.put('M'.toByte)
+    bb.putInt(bmpBytes); bb.putInt(0); bb.putInt(54)
+    bb.putInt(40); bb.putInt(bmpW); bb.putInt(bmpH) // positive height → bottom-up
+    bb.putShort(1); bb.putShort(24); bb.putInt(0)
+    bb.putInt(bmpH * bmpW * 3); bb.putInt(2835); bb.putInt(2835)
+    bb.putInt(0); bb.putInt(0)
+    var y = bmpH - 1
+    while (y >= 0) {
+      var x = 0
+      while (x < bmpW) {
+        val rgb = vidRgb(docId, 0, x, y)
+        bb.put((rgb & 0xff).toByte)
+        bb.put(((rgb >> 8) & 0xff).toByte)
+        bb.put(((rgb >> 16) & 0xff).toByte)
+        x += 1
+      }
+      y -= 1
+    }
+    bb.array()
+  }
+
   /** Synthesized-WAV shape: 16-bit mono PCM, [[wavRate]] Hz,
     * [[wavFrames]] frames → a fixed 44 + 2·frames byte payload. */
   val wavRate = 8000
@@ -163,8 +197,10 @@ object Multimodal {
   /** Ingest plumbing: attach a deterministic media payload + typed
     * metadata to each document — a REAL synthesized WAV for audio rows
     * ([[synthWav]]), a REAL synthesized AVI for video rows
-    * ([[synthAvi]]), sha256-of-text opaque bytes for image rows (the
-    * decoder's reject-and-fall-back path stays exercised at scale).
+    * ([[synthAvi]]), and for image rows a REAL synthesized BMP
+    * ([[synthBmp]]) on even image ids with sha256-of-text opaque bytes
+    * on the odd ones (so the real-decode path AND the
+    * reject-and-fall-back path both stay exercised at scale).
     * The media synthesis is a typed map in the INGEST path only —
     * query operators downstream stay columnar. */
   def attachMedia(docs: DataFrame): DataFrame = {
@@ -181,7 +217,7 @@ object Multimodal {
       .map(d => d.kind match {
         case "audio" => d.copy(media = synthWav(d.doc_id))
         case "video" => d.copy(media = synthAvi(d.doc_id))
-        case _ => d
+        case _ => if (d.doc_id % 6 == 0) d.copy(media = synthBmp(d.doc_id)) else d
       })
       .toDF()
   }
@@ -406,6 +442,81 @@ object Multimodal {
         slice(sequence(lit(0), lit(stride * (maxFrames - 1)), lit(stride)), 1, maxFrames))
         .otherwise(array().cast("array<int>")))
 
+  /** Nearest-neighbor resample to fit `maxSide` — integer source-index
+    * arithmetic only (no AWT rendering pipeline, no filtering state),
+    * so the output pixels are a pure function of input pixels:
+    * deterministic across JVMs, which is what lets the spec hand-check
+    * them. Images already within bounds pass through untouched. */
+  def resizePixels(im: java.awt.image.BufferedImage, maxSide: Int): java.awt.image.BufferedImage = {
+    val s = math.max(im.getWidth, im.getHeight)
+    if (s <= maxSide) im
+    else {
+      val dw = math.max(1, im.getWidth * maxSide / s)
+      val dh = math.max(1, im.getHeight * maxSide / s)
+      val out = new java.awt.image.BufferedImage(
+        dw, dh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < dh) {
+        var x = 0
+        while (x < dw) {
+          out.setRGB(x, y, im.getRGB(x * im.getWidth / dw, y * im.getHeight / dh))
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
+  final case class MediaResize(
+      doc_id: Long, src_w: Int, src_h: Int, dst_w: Int, dst_h: Int, luma: Double)
+
+  /** Per-image decode → [[resizePixels]] → luminance sum over the
+    * RESIZED pixels. Undecodable image bytes (the opaque-sha256 rows)
+    * are skipped — resize is only defined on pixels. */
+  private[ops] def resizeBatch(batch: Seq[MediaDoc], maxSide: Int): Seq[MediaResize] =
+    batch.flatMap { d =>
+      val img =
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(d.media)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      img.map { im =>
+        val r = resizePixels(im, maxSide)
+        var luma = 0L
+        var y = 0
+        while (y < r.getHeight) {
+          var x = 0
+          while (x < r.getWidth) {
+            val rgb = r.getRGB(x, y)
+            luma += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        MediaResize(d.doc_id, im.getWidth, im.getHeight, r.getWidth, r.getHeight, luma.toDouble)
+      }.toSeq
+    }
+
+  /** Resize target for the c6c pipeline (conf `graft.media.maxSide`). */
+  private def mediaMaxSide(spark: SparkSession): Int =
+    spark.conf.getOption("graft.media.maxSide").map(_.toInt).getOrElse(8)
+
+  /** c6c query — REAL pixel resize over the image rows: ingest →
+    * decode → nearest-neighbor downscale → luminance over the output
+    * pixels, batched per partition exactly like [[decodeFeatures]]
+    * (the resize is embarrassingly parallel map work; at 100 TB the
+    * plan is one scan + one typed map, no shuffle before the
+    * presentation sort). Pixel folds are not SQL-expressible →
+    * rows-only; resample arithmetic is hand-checked in the fuzz spec. */
+  def resizePipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val maxSide = mediaMaxSide(spark)
+    val media = attachMedia(Relational.table(spark, dir, "documents")).as[MediaDoc]
+    media.filter(_.kind == "image")
+      .mapPartitions(_.grouped(batchSize).flatMap(g => resizeBatch(g.toSeq, maxSide)))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** c6 query: ingest → batched decode → per-kind feature statistics. */
   def decodePipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -433,20 +544,23 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c6_multimodal_decode" -> (decodePipeline _),
-    "c6_multimodal_meta" -> (metaStats _))
+    "c6_multimodal_meta" -> (metaStats _),
+    "c6c_multimodal_resize" -> (resizePipeline _))
 
   // c6_multimodal_decode has no oracleSql: the pixel/sample feature
   // folds are not SQL-expressible → rows-only check; determinism +
   // batch shape + decoder fidelity are unit-tested in TierCSpec
   val oracleSql: Map[String, String] = Map(
-    // media bytes are sha256 (32 B) for image rows; audio rows carry
-    // the fixed-shape synthesized WAV and video rows the fixed-shape
-    // synthesized AVI (every chunk constant-size by construction)
+    // audio rows carry the fixed-shape synthesized WAV, video rows the
+    // fixed-shape synthesized AVI (every chunk constant-size by
+    // construction); image rows are the fixed-shape synthesized BMP on
+    // even ids and sha256 (32 B) opaque bytes on odd ids
     "c6_multimodal_meta" ->
       s"""SELECT CASE cast(doc_id % 3 as int) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
          |       ELSE 'video' END AS kind,
          |  count(*) AS n,
          |  max(CASE WHEN doc_id % 3 = 1 THEN $wavBytes
-         |           WHEN doc_id % 3 = 2 THEN $aviBytes ELSE 32 END) AS max_bytes
+         |           WHEN doc_id % 3 = 2 THEN $aviBytes
+         |           WHEN doc_id % 6 = 0 THEN $bmpBytes ELSE 32 END) AS max_bytes
          |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin)
 }

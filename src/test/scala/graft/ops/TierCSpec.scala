@@ -1018,8 +1018,15 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     assert(feats1.forall(f => f.n_bytes == (f.kind match {
       case "audio" => Multimodal.wavBytes
       case "video" => Multimodal.aviBytes
-      case _ => 32
-    })), "sha256 payload except audio's synthesized WAV / video's synthesized AVI")
+      case _ => if (f.doc_id % 6 == 0) Multimodal.bmpBytes else 32
+    })), "synthesized WAV/AVI/BMP payloads; sha256 on odd image ids")
+    // even image ids carry a real BMP and decode to its true dims;
+    // odd image ids stay opaque and take the byte-fold fallback
+    assert(feats1.filter(f => f.kind == "image" && f.doc_id % 6 == 0).forall(f =>
+      f.decoded_w == Multimodal.bmpW && f.decoded_h == Multimodal.bmpH),
+      "even image rows must decode the synthesized BMP via javax.imageio")
+    assert(feats1.filter(f => f.kind == "image" && f.doc_id % 6 != 0).forall(_.decoded_w == -1),
+      "odd image rows must fall back to the byte fold")
     // every audio row's WAV really decoded: frame count + sample rate
     assert(feats1.filter(_.kind == "audio").forall(f =>
       f.decoded_w == Multimodal.wavFrames && f.decoded_h == Multimodal.wavRate),
@@ -1032,6 +1039,38 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     val batchSizes = media.repartition(2).mapPartitions(
       _.grouped(Multimodal.batchSize).map(_.size)).collect()
     assert(batchSizes.forall(_ <= Multimodal.batchSize))
+  }
+
+  test("C6c pixel resize: hand-checked nearest-neighbor resample, registry rows") {
+    // synthBmp roundtrips through ImageIO with the exact gradient
+    val id = 42L
+    val im = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.synthBmp(id)))
+    assert(im.getWidth == Multimodal.bmpW && im.getHeight == Multimodal.bmpH)
+    for (y <- 0 until Multimodal.bmpH; x <- 0 until Multimodal.bmpW)
+      assert((im.getRGB(x, y) & 0xffffff) == Multimodal.vidRgb(id, 0, x, y),
+        s"BMP pixel ($x,$y) diverges from the gradient")
+    // nearest-neighbor resample: 24x16 → fit 8 → 8x5; each output pixel
+    // is EXACTLY the source pixel at the floor-scaled index
+    val r = Multimodal.resizePixels(im, 8)
+    assert(r.getWidth == 8 && r.getHeight == 5, s"${r.getWidth}x${r.getHeight}")
+    for (y <- 0 until 5; x <- 0 until 8)
+      assert((r.getRGB(x, y) & 0xffffff) ==
+        Multimodal.vidRgb(id, 0, x * Multimodal.bmpW / 8, y * Multimodal.bmpH / 5),
+        s"resized pixel ($x,$y) is not the floor-scaled source pixel")
+    // within-bounds images pass through untouched
+    assert(Multimodal.resizePixels(im, 100) eq im)
+    // registry: one row per REAL image (even image ids), resized dims
+    val rows = Multimodal.queries("c6c_multimodal_resize")(spark, dir).collect()
+    val expected = Relational.table(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.expr("doc_id % 6 = 0"))
+      .count()
+    assert(rows.length == expected, s"${rows.length} rows for $expected real images")
+    assert(rows.forall(r => r.getInt(3) == 8 && r.getInt(4) == 5),
+      "every synthesized BMP resizes 24x16 → 8x5")
+    // determinism across partitioning: rerun equals
+    val again = Multimodal.queries("c6c_multimodal_resize")(spark, dir).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
   test("C6 real image decode: true dims + pixel features from genuine PNG/BMP bytes") {
