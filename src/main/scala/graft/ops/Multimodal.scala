@@ -442,6 +442,133 @@ object Multimodal {
         slice(sequence(lit(0), lit(stride * (maxFrames - 1)), lit(stride)), 1, maxFrames))
         .otherwise(array().cast("array<int>")))
 
+  final case class FrameSample(doc_id: Long, frame_idx: Int, mean_luma: Double)
+
+  /** REAL frame sampling: walk the AVI chunk tree and pixel-decode ONLY
+    * every `stride`-th video frame (up to `maxFrames`), emitting each
+    * sampled frame's mean luminance. Skipped frames advance by chunk
+    * LENGTH without touching their pixels — the point of frame
+    * sampling is that decode cost tracks the SAMPLED count, not the
+    * video length. Same structural gates as [[decodeVideo]] (strf must
+    * declare BI_RGB 24-bit for `00db`; `00dc` goes through ImageIO);
+    * any violation returns None → the caller drops the row. */
+  private[ops] def sampleFrames(d: MediaDoc, stride: Int, maxFrames: Int): Option[Seq[FrameSample]] = {
+    val a = d.media
+    if (a.length < 12) return None
+    val bb = java.nio.ByteBuffer.wrap(a).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(off: Int): String =
+      if (off + 4 > a.length) "" else new String(a, off, 4, "US-ASCII")
+    if (cc(0) != "RIFF" || cc(8) != "AVI ") return None
+    var width = -1; var height = -1
+    var bitCount = -1; var compression = -1
+    var frameIdx = 0
+    val out = Seq.newBuilder[FrameSample]
+    def lumaDib(body: Int, len: Int): Option[Double] = {
+      if (width <= 0 || height <= 0 || len != width * height * 3) return None
+      if (bitCount != 24 || compression != 0) return None
+      var sum = 0L
+      var y = 0
+      while (y < height) {
+        val rowOff = body + (height - 1 - y) * width * 3
+        var x = 0
+        while (x < width) {
+          val b0 = a(rowOff + x * 3) & 0xff
+          val g = a(rowOff + x * 3 + 1) & 0xff
+          val r = a(rowOff + x * 3 + 2) & 0xff
+          sum += (r * 299 + g * 587 + b0 * 114) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      Some(sum.toDouble / (width * height))
+    }
+    def lumaCodec(body: Int, len: Int): Option[Double] = {
+      val img =
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a, body, len)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      img.map { im =>
+        var sum = 0L
+        var y = 0
+        while (y < im.getHeight) {
+          var x = 0
+          while (x < im.getWidth) {
+            val rgb = im.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        sum.toDouble / (im.getWidth * im.getHeight)
+      }
+    }
+    def walk(start: Int, end: Int): Boolean = {
+      var p = start
+      while (p + 8 <= end) {
+        val id = cc(p)
+        val sz = bb.getInt(p + 4)
+        val body = p + 8
+        if (sz < 0 || sz > end - body) return false
+        val ok = id match {
+          case "LIST" => sz >= 4 && walk(body + 4, body + sz)
+          case "avih" =>
+            if (sz < 40) false
+            else { width = bb.getInt(body + 32); height = bb.getInt(body + 36); true }
+          case "strf" =>
+            if (sz >= 20) {
+              bitCount = bb.getShort(body + 14) & 0xffff
+              compression = bb.getInt(body + 16)
+            }
+            true
+          case "00db" | "00dc" =>
+            val sampled = frameIdx % stride == 0 && frameIdx / stride < maxFrames
+            frameIdx += 1
+            if (!sampled) true // skip by length — pixels untouched
+            else {
+              val luma = if (id == "00db") lumaDib(body, sz) else lumaCodec(body, sz)
+              luma match {
+                case Some(l) => out += FrameSample(d.doc_id, frameIdx - 1,
+                  math.rint(l * 10000) / 10000); true
+                case None => false
+              }
+            }
+          case _ => true
+        }
+        if (!ok) return false
+        p = body + sz + (sz & 1)
+      }
+      true
+    }
+    val ok =
+      try walk(12, a.length)
+      catch { case scala.util.control.NonFatal(_) => false }
+    val frames = out.result()
+    if (!ok || frames.isEmpty) None else Some(frames)
+  }
+
+  /** Frame-sampling stride/budget for the c6d pipeline. */
+  private def frameStride(spark: SparkSession): Int =
+    spark.conf.getOption("graft.media.frameStride").map(_.toInt).getOrElse(2)
+  private def frameBudget(spark: SparkSession): Int =
+    spark.conf.getOption("graft.media.maxFrames").map(_.toInt).getOrElse(4)
+
+  /** c6d query — REAL frame sampling over the video rows: every
+    * `stride`-th frame pixel-decodes (skipped frames advance by chunk
+    * length only), one output row per sampled frame. Batched per
+    * partition like the decode; pixel means are not SQL-expressible →
+    * rows-only; stride arithmetic + hand-computed lumas pinned in the
+    * spec. */
+  def frameSamplePipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stride = frameStride(spark)
+    val budget = frameBudget(spark)
+    val media = attachMedia(Relational.table(spark, dir, "documents")).as[MediaDoc]
+    media.filter(_.kind == "video")
+      .mapPartitions(_.grouped(batchSize).flatMap(
+        _.flatMap(d => sampleFrames(d, stride, budget).getOrElse(Seq.empty))))
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Nearest-neighbor resample to fit `maxSide` — integer source-index
     * arithmetic only (no AWT rendering pipeline, no filtering state),
     * so the output pixels are a pure function of input pixels:
@@ -545,7 +672,8 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c6_multimodal_decode" -> (decodePipeline _),
     "c6_multimodal_meta" -> (metaStats _),
-    "c6c_multimodal_resize" -> (resizePipeline _))
+    "c6c_multimodal_resize" -> (resizePipeline _),
+    "c6d_multimodal_frames" -> (frameSamplePipeline _))
 
   // c6_multimodal_decode has no oracleSql: the pixel/sample feature
   // folds are not SQL-expressible → rows-only check; determinism +

@@ -1073,6 +1073,36 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("C6d frame sampling: stride arithmetic + hand-computed lumas, skipped frames untouched") {
+    val id = 13L
+    val d = Multimodal.MediaDoc(id, "video", Multimodal.synthAvi(id),
+      Multimodal.vidW, Multimodal.vidH, 0)
+    // stride 2, budget 4 over 8 frames → frames 0, 2, 4, 6
+    val frames = Multimodal.sampleFrames(d, 2, 4).get
+    assert(frames.map(_.frame_idx) == Seq(0, 2, 4, 6))
+    // each sampled frame's mean luma hand-computed from the gradient
+    frames.foreach { f =>
+      var sum = 0L
+      for (y <- 0 until Multimodal.vidH; x <- 0 until Multimodal.vidW) {
+        val rgb = Multimodal.vidRgb(id, f.frame_idx, x, y)
+        sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+      }
+      val expected = math.rint(sum.toDouble / (Multimodal.vidW * Multimodal.vidH) * 10000) / 10000
+      assert(f.mean_luma == expected, s"frame ${f.frame_idx}: ${f.mean_luma} != $expected")
+    }
+    // budget bites: stride 1, budget 3 → frames 0, 1, 2 only
+    assert(Multimodal.sampleFrames(d, 1, 3).get.map(_.frame_idx) == Seq(0, 1, 2))
+    // undecodable bytes → None
+    assert(Multimodal.sampleFrames(
+      Multimodal.MediaDoc(id, "video", Array[Byte](1, 2, 3), 0, 0, 0), 2, 4).isEmpty)
+    // registry: 4 sampled frames per video doc at the default stride 2 / budget 4
+    val rows = Multimodal.queries("c6d_multimodal_frames")(spark, dir).collect()
+    val nVideo = Relational.table(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.expr("doc_id % 3 = 2")).count()
+    assert(rows.length == nVideo * 4, s"${rows.length} rows for $nVideo videos")
+    assert(rows.map(_.getInt(1)).distinct.sorted.toSeq == Seq(0, 2, 4, 6))
+  }
+
   test("C6 real image decode: true dims + pixel features from genuine PNG/BMP bytes") {
     import spark.implicits._
     // generate real images in-test: a 5x3 PNG (two-tone) and a 4x4 BMP
