@@ -128,6 +128,29 @@ object Relational {
         coalesce(round(col("o_totalprice"), 4), lit(0.0)).as("total"))
       .orderBy("c_custkey", "o_orderkey")
 
+  // B7b — FULL outer join: both unmatched sides survive. TPC-H's
+  // referential integrity makes a naive full outer degenerate to left
+  // outer, so each side is restricted to an overlapping slice —
+  // customers ≢0 (mod 3), order groups ≢1 — leaving genuine
+  // customer-only AND order-only rows. The orders side pre-aggregates
+  // (partial combine, one exchange) so the join is key-to-key; -1/0
+  // sentinels keep the output total-ordered and null-free.
+  def joinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+      .filter(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val o = table(spark, dir, "orders")
+      .filter(col("o_custkey") % 3 =!= 1)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("revenue"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        coalesce(col("c_mktsegment"), lit("NONE")).as("segment"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"))
+      .orderBy("custkey")
+  }
+
   // B8 — top-k: Spark plans TakeOrderedAndProject (per-partition heap +
   // driver merge of k rows — no full sort, no full shuffle)
   def sortLimitTopK(spark: SparkSession, dir: String): DataFrame =
@@ -616,6 +639,7 @@ object Relational {
     "b5_join_multi" -> (joinMulti _),
     "b6_join_semi_anti" -> (joinSemiAnti _),
     "b7_join_outer" -> (joinOuter _),
+    "b7b_join_full" -> (joinFullOuter _),
     "b8_topk" -> (sortLimitTopK _),
     "b9_distinct" -> (distinctOp _),
     "b9_setops" -> (setOps _),
@@ -689,6 +713,15 @@ object Relational {
         |  coalesce(round(o_totalprice, 4), 0.0) AS total
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |ORDER BY c_custkey, o_orderkey""".stripMargin,
+    "b7b_join_full" ->
+      s"""WITH c AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 != 0),
+         |o AS (SELECT o_custkey, count(*) AS n_orders, ${msum("o_totalprice")} AS revenue
+         |  FROM orders WHERE o_custkey % 3 != 1 GROUP BY o_custkey)
+         |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+         |  coalesce(c_mktsegment, 'NONE') AS segment,
+         |  coalesce(n_orders, 0) AS n_orders, coalesce(revenue, 0.0) AS revenue
+         |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+         |ORDER BY custkey""".stripMargin,
     "b8_topk" ->
       """SELECT o_orderkey, round(o_totalprice, 4) AS total FROM orders
         |ORDER BY total DESC, o_orderkey LIMIT 10""".stripMargin,
