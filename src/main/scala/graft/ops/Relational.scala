@@ -276,6 +276,48 @@ object Relational {
          |ORDER BY nation, priority""".stripMargin)
   }
 
+  // B32 — TPC-H Q5 shape: revenue per nation for one region and year,
+  // with the local-supplier constraint (c_nationkey = s_nationkey)
+  // that makes the join graph cyclic — the classic join-order stress.
+  // All declarative: Catalyst broadcasts nation/region (and supplier
+  // at this sf), pushes the year predicate to the orders scan, and
+  // AQE picks the fact-join order. The full six-table TPC-H chain in
+  // one oracle-checked query is the "Athena replacement" claim made
+  // concrete.
+  def tpchQ5(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .join(table(spark, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(table(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .join(table(spark, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(table(spark, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      // range predicate, not year(): a function-wrapped column defeats
+      // parquet pushdown — the range form reaches the scan's
+      // PushedFilters and prunes row groups by min/max (PlanSpec-pinned)
+      .filter(col("r_name") === "ASIA" &&
+        col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01")
+      .groupBy(col("n_name"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  // B33 — TPC-H Q10 shape: top customers by revenue lost to returned
+  // items in one year. Fact-side filters (returnflag, year) push to
+  // the scans; the final top-20 plans TakeOrderedAndProject over the
+  // grouped aggregate.
+  def tpchQ10(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .join(table(spark, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(table(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(table(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("l_returnflag") === "R" &&
+        col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01")
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
   // B13 — scalar function battery (string/date/math/CASE)
   def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "orders")
@@ -649,6 +691,8 @@ object Relational {
     "b12_rollup" -> (groupingSets _),
     "b12b_cube" -> (groupingSetsCube _),
     "b12c_grouping_sets" -> (groupingSetsExplicit _),
+    "b32_tpch_q5" -> (tpchQ5 _),
+    "b33_tpch_q10" -> (tpchQ10 _),
     "b13_scalar_funcs" -> (scalarFuncs _),
     "b13b_scalar_funcs2" -> (scalarFuncs2 _),
     "b22_sql_subquery" -> (sqlSubquery _),
@@ -776,6 +820,27 @@ object Relational {
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY GROUPING SETS ((n_name), (o_orderpriority))
          |ORDER BY nation, priority""".stripMargin,
+    "b32_tpch_q5" ->
+      s"""SELECT n_name, ${msum("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "b33_tpch_q10" ->
+      s"""SELECT c_custkey, c_name, n_name,
+         |  ${msum("l_extendedprice * (1 - l_discount)")} AS revenue, count(*) AS n_items
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "b13_scalar_funcs" ->
       """SELECT o_orderkey,
         |  upper(substr(o_orderpriority, 1, 3)) AS pri3,

@@ -26,6 +26,24 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"scan reads unreferenced columns: $readSchema")
   }
 
+  test("B32/B33: TPC-H chains — date range pushed to the orders scan, dims broadcast") {
+    for ((df, name) <- Seq(
+        (Relational.tpchQ5(spark, dir), "q5"),
+        (Relational.tpchQ10(spark, dir), "q10"))) {
+      val p = plan(df)
+      // the range predicate (not year()) reaches parquet as a pushed
+      // filter — at 100 TB this is row-group pruning vs a full scan
+      assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+        s"$name: order-date range not pushed to the scan:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$name: dims not broadcast:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name: non-equi join crept in:\n$p")
+    }
+    // q10's top-20 must not globally sort the aggregate
+    val p10 = plan(Relational.tpchQ10(spark, dir))
+    assert(p10.contains("TakeOrderedAndProject"), s"q10 full sort:\n$p10")
+  }
+
   test("B30: EXISTS/NOT EXISTS decorrelate to semi/anti joins, no per-row subquery") {
     val p = plan(Relational.sqlExists(spark, dir))
     assert(p.contains("LeftSemi"), s"EXISTS not decorrelated to a semi join:\n$p")
