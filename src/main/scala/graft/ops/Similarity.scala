@@ -1120,6 +1120,80 @@ object Similarity {
       .orderBy("arrival_id")
   }
 
+  // C12b — SEMANTIC decontamination: flag every corpus embedding that
+  // is near-identical (cos ≥ `graft.decontam.cosBar`) to an eval/
+  // benchmark embedding — the embedding-space completion of c12's
+  // token-gram decontamination (published practice: benchmark
+  // contamination is checked by BOTH n-gram overlap and embedding
+  // similarity, since paraphrased test items evade grams). The plan
+  // shape is the MIRROR of the incremental dedup probe: there the
+  // arrival batch is small and broadcasts against a big index; here
+  // the EVAL index is the small side (benchmarks are thousands of
+  // rows), so its (vec_id, sigs, cell, embedding) projection
+  // BROADCASTS whole and the 100 TB corpus stays a map-only scan —
+  // each corpus vector assigns itself to the eval centroids
+  // (nearest-2, codegen'd NearestCells), signs itself, and screens
+  // against the broadcast eval sigs with the in-join popcount bar;
+  // the exact-cosine verify runs inside the same join projection
+  // (the corpus embedding rides the scan — no join-back, no corpus
+  // exchange anywhere; the only shuffle is the final aggregate over
+  // HITS). Approximate (cell-boundary misses, as every SemDeDup
+  // variant) → rows-only; planted eval-twin recall + zero false
+  // flags + the map-only corpus plan are spec-pinned.
+  def decontaminateSemantic(spark: SparkSession, evalIndexDir: String,
+      corpus: DataFrame): DataFrame = {
+    GraftFunctions.register(spark)
+    val cents = spark.read.parquet(s"$evalIndexDir/centroids")
+      .select(col("cell"), col("centroid"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    val dim = cents.head._2.length
+    val flat = new Array[Float](cents.length * dim)
+    cents.foreach { case (c, arr) =>
+      var j = 0
+      while (j < dim) { flat(c * dim + j) = arr(j); j += 1 }
+    }
+    val np = spark.conf.getOption("graft.semdedup.probeCells")
+      .map(_.toInt).getOrElse(2)
+    val bar = spark.conf.getOption("graft.decontam.cosBar")
+      .map(_.toDouble).getOrElse(0.99)
+    val cor = corpus
+      .withColumn("cell", explode(nearestCellsCol(flat, dim, np)))
+      .withColumn("sigs", expr(s"graft_srp_sign(embedding, 42L, $sigWords)"))
+    val eval = liveIndexVectors(spark, evalIndexDir)
+      .select(col("vec_id"), col("sigs"), col("cell"), col("embedding"))
+    val hamming = (0 until sigWords).map(i =>
+      expr(s"bit_count(a.sigs[$i] ^ c.sigs[$i])")).reduce(_ + _)
+    cor.as("a")
+      .join(broadcast(eval.as("c")),
+        col("a.cell") === col("c.cell") && (hamming <= hammingBar))
+      .select(col("a.vec_id").as("corpus_id"), col("c.vec_id").as("eval_id"),
+        round(cosineExpr("a.embedding", "c.embedding"), 4).as("cos"))
+      .filter(col("cos") >= bar)
+      // min_by: cos belongs to the EMITTED witness (keep-rule doctrine)
+      .groupBy(col("corpus_id"))
+      .agg(min(col("eval_id")).as("eval_witness"),
+        min_by(col("cos"), col("eval_id")).as("cos"))
+      .orderBy("corpus_id")
+  }
+
+  /** Registry wrapper: the eval split (vec_id ≡ 0 mod 20, the c12
+    * convention) indexes once; the corpus = the remaining 95% PLUS
+    * planted noisy twins of eval vectors — the contamination to catch.
+    * Every twin must flag with its eval original as witness; clean
+    * corpus vectors must not. */
+  def decontaminateSemanticQuery(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val idx = freshScratch(spark, s"graft_sem_decon_${key}_")
+    val e = Relational.table(spark, dir, "embeddings")
+    val eval = e.filter(col("vec_id") % 20 === 0)
+    buildIvfIndexFrom(spark, eval.select(col("vec_id"), col("embedding")), idx)
+    val corpus = e.filter(col("vec_id") % 20 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(plantedNoisy(eval, plantedOffset(e))
+        .select(col("vec_id"), col("embedding")))
+    decontaminateSemantic(spark, idx, corpus)
+  }
+
   // C3 — brute-force cosine top-k for the vec_id=0 query vector
   // (oracle-checked). The single query row broadcasts; TakeOrdered keeps
   // the sort at k rows. At scale this is one map + top-k, no shuffle of
@@ -2547,6 +2621,7 @@ object Similarity {
     "c2_dedup_semantic_inc" -> (dedupSemanticIncrementalQuery _),
     "c2_dedup_semantic_cycle" -> (dedupSemanticCycleQuery _),
     "c22c_dedup_semantic_stream" -> (dedupSemanticStreamQuery _),
+    "c12b_decontaminate_semantic" -> (decontaminateSemanticQuery _),
     "c3_sim_topk" -> (simTopK _),
     "c3_sim_topk_filtered" -> (simTopKFiltered _),
     "c3_ann_filtered" -> (annIvfFilteredQuery _),

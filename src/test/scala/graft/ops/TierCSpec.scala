@@ -377,6 +377,29 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     } finally spark.conf.unset("graft.probe.broadcastMaxRows")
   }
 
+  test("C12b semantic decontamination: eval twins flag, clean corpus passes, corpus stays map-only") {
+    val df = Similarity.queries("c12b_decontaminate_semantic")(spark, dir)
+    // plan: the eval side broadcasts; the corpus side pays NO exchange
+    // before the hits aggregate (the mirror of the incremental probe)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"eval index not broadcast:\n$plan")
+    assert(!plan.contains("hashpartitioning(cell"),
+      s"corpus pays a cell-key exchange:\n$plan")
+    val flags = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val e = Relational.table(spark, dir, "embeddings")
+    val evalIds = e.filter(org.apache.spark.sql.functions.col("vec_id") % 20 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val off = Similarity.plantedOffset(e)
+    // every planted twin of an eval vector flags, witnessed by it
+    val twins = flags.filter { case (c, w) => c >= off && w == c - off }
+    assert(twins.size == evalIds.size,
+      s"flagged ${twins.size} of ${evalIds.size} planted eval twins")
+    assert(twins.values.toSet == evalIds)
+    // no clean corpus vector flags (no natural ≥0.99 cross pair)
+    val falseFlags = flags.keys.filter(_ < off)
+    assert(falseFlags.isEmpty, s"clean corpus wrongly flagged: ${falseFlags.take(5)}")
+  }
+
   test("C2 semantic-dedup append cycle: batch-2 twins drop against batch-1 survivors") {
     val drops2 = Similarity.queries("c2_dedup_semantic_cycle")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
