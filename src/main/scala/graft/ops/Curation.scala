@@ -392,6 +392,51 @@ object Curation {
   def mixWeights(spark: SparkSession, dir: String): DataFrame =
     mixWeightsOn(Relational.table(spark, dir, "documents"))
 
+  /** C18b — per-source distribution DRIFT: KL divergence of each
+    * source's token distribution from the corpus-wide one — the
+    * mixture-health diagnostic run before committing mix weights (a
+    * source whose unigram distribution drifts from the pool is
+    * boilerplate, spam, or another language; published corpus-QA
+    * practice pairs exactly this with the c24 perplexity filter).
+    *
+    * KL(s‖corpus) = Σ_t (c_st/N_s)·ln((c_st/N_s)/(c_t/N)), computed
+    * with the c24 exactness discipline: the ln RATIO is rounded to
+    * integer micro-nats once per (source, token) ROW, weighted by the
+    * exact long count, and summed as longs — order-independent, so
+    * the oracle (identical SQL text in DuckDB) hash-matches; the only
+    * cross-engine risk is ln differing in the last ulp exactly on a
+    * half-micro-nat boundary (c24's documented ~1e-10 caveat).
+    *
+    * Plan: one explode → (source, tok) partial-aggregated counts (the
+    * exchange carries per-source vocab partials, never raw tokens);
+    * the corpus vocab re-aggregates FROM those counts (vocab-sized
+    * input, no second corpus pass); source totals and the corpus
+    * total are k-row/1-row broadcasts. KL ≥ 0 up to rounding by
+    * Gibbs' inequality — the spec checks it. */
+  def mixDrift(spark: SparkSession, dir: String): DataFrame =
+    mixDriftOn(Relational.table(spark, dir, "documents"))
+
+  /** Drift diagnostic over any frame with source/text columns (spec
+    * entry point). */
+  private[graft] def mixDriftOn(docs: DataFrame): DataFrame = {
+    val st = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c_st"))
+      .localCheckpoint() // reused 3×: per-source rows, corpus vocab, totals
+    val vocab = st.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
+    val srcTotals = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val total = st.agg(sum(col("c_st")).cast("long").as("n")).head().getLong(0)
+    st.join(vocab, Seq("tok"))
+      .join(broadcast(srcTotals), Seq("source"))
+      .withColumn("term", col("c_st") *
+        expr(s"cast(round((ln(c_st * 1.0 / n_s) - ln(c_t * 1.0 / $total)) * 1000000, 0) as bigint)"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"), sum(col("term")).as("s"))
+      .select(col("source"), col("n_tokens"),
+        round(col("s") / lit(1000000.0) / col("n_tokens"), 4).as("kl"))
+      .orderBy("source")
+  }
+
   /** Mixture solve over any frame with lang/source/text columns (spec
     * entry point). */
   private[graft] def mixWeightsOn(docs: DataFrame): DataFrame = {
@@ -489,6 +534,7 @@ object Curation {
     "c16_pii_redact" -> (piiRedact _),
     "c17_quality_repetition" -> (qualityRepetition _),
     "c18_mix_weights" -> (mixWeights _),
+    "c18b_mix_drift" -> (mixDrift _),
     "c21_quality_stream" -> (qualityStream _),
     "c26_cap_per_source" -> (capPerSource _))
 
@@ -586,6 +632,21 @@ object Curation {
     // the stream is a replay of the same corpus through the same
     // stateless pipeline — identical oracle
     "c21_quality_stream" -> repetitionOracle,
+    // per-(source, token) micro-nat ln-ratio terms weighted by exact
+    // long counts — order-independent sums, identical expression text
+    "c18b_mix_drift" ->
+      """WITH st AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT source, tok, count(*) AS c_st FROM st GROUP BY 1, 2),
+        |v AS (SELECT tok, sum(c_st) AS c_t FROM c GROUP BY 1),
+        |s AS (SELECT source, cast(sum(c_st) as bigint) AS n_s FROM c GROUP BY 1),
+        |n AS (SELECT cast(sum(c_st) as bigint) AS n FROM c),
+        |terms AS (SELECT c.source,
+        |    c_st * cast(round((ln(c_st * 1.0 / n_s) - ln(c_t * 1.0 / n.n)) * 1000000, 0) as bigint) AS term
+        |  FROM c JOIN v USING (tok) JOIN s USING (source) CROSS JOIN n)
+        |SELECT source, n_s AS n_tokens,
+        |  round(sum(term) / 1000000.0 / n_s, 4) AS kl
+        |FROM terms JOIN s USING (source)
+        |GROUP BY source, n_s ORDER BY source""".stripMargin,
     // √token scores scaled to exact longs before the global sum — the
     // normalizer is order-independent, so shares match bit-for-bit
     "c18_mix_weights" ->

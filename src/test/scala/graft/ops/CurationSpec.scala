@@ -304,6 +304,27 @@ class CurationSpec extends AnyFunSuite with SparkTestSession {
     assert(bySrc("srcB") === ((1L, 400L, 0.6667, 1.0, 166.6667)))
   }
 
+  test("mixDriftOn: a skewed source drifts, a typical one doesn't; KL ≥ 0") {
+    import spark.implicits._
+    // srcA/srcB share the corpus-typical mixed vocabulary; srcC is a
+    // degenerate single-token source — the boilerplate/spam signature
+    val typical = "the quick brown fox jumps over the lazy dog"
+    // typical sources dominate the pool, so THEIR distribution ≈ the
+    // corpus distribution (small KL); the degenerate source's token is
+    // rare pool-wide but 100% of its own mass (large KL)
+    val docs = ((1 to 10).map(i => ("en", "srcA", typical)) ++
+      (1 to 10).map(i => ("en", "srcB", typical + " extra words here")) ++
+      Seq(("en", "srcC", (1 to 20).map(_ => "spam").mkString(" "))))
+      .toDF("lang", "source", "text")
+    val kl = Curation.mixDriftOn(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // Gibbs: KL ≥ 0 (up to the 4-decimal micro-nat rounding)
+    kl.values.foreach(v => assert(v >= -1e-4, s"negative KL: $kl"))
+    // the degenerate source diverges far more than the typical ones
+    assert(kl("srcC") > kl("srcA") + 0.5, s"skewed source not flagged: $kl")
+    assert(kl("srcC") > kl("srcB") + 0.5, s"skewed source not flagged: $kl")
+  }
+
   test("mixWeights: shares sum to 1 and epochs fall as strata grow") {
     val rows = Curation.mixWeights(spark, sf).collect()
       .map(r => (r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
