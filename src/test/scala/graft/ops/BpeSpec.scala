@@ -78,6 +78,25 @@ class BpeSpec extends AnyFunSuite with SparkTestSession {
     assert(third.toSeq == again.toSeq)
   }
 
+  test("property: encode is lossless and deterministic for arbitrary words and merges") {
+    // raw ScalaCheck — the scalatest bridge isn't in the offline cache
+    // (the PropertySpec convention)
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val sym = Gen.oneOf("a", "b", "c", "ab", "bc", "abc")
+    val mergeGen = Gen.listOfN(2, sym)
+    val wordGen = Gen.listOf(Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString)
+    val prop = Prop.forAll(Gen.listOf(mergeGen), wordGen) { (ms, w) =>
+      val codec = new BpeCodec(ms.flatten.toArray)
+      val toks = codec.encodeWord(w)
+      // lossless always; fresh-codec determinism; no empty tokens
+      toks.mkString == w &&
+        new BpeCodec(codec.merges).encodeWord(w).toSeq == toks.toSeq &&
+        toks.forall(_.nonEmpty)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, s"BPE property failed: ${res.status}")
+  }
+
   test("encode expression: interpreted eval matches the codegen'd column") {
     import org.apache.spark.sql.graft.{GraftColumns => EU}
     import spark.implicits._
