@@ -255,6 +255,37 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** C15b — sequence packing by REAL tokenizer counts: c15's exact
+    * windowed packing with the whitespace proxy count replaced by the
+    * persisted BPE tokenizer's token count (the c32 composition —
+    * production packing budgets are tokenizer tokens, not words; a
+    * 2048-token context window cares about subwords). The tokenizer
+    * fits once on the 95% split (the fixed-artifact convention), the
+    * count is one map-only codegen'd column on the packing scan — the
+    * plan differs from c15 by zero exchanges. Not SQL-expressible
+    * (BPE) → rows-only; the packing invariants are re-verified in
+    * plain Scala from the op's own output in the spec. */
+  def packSequencesBpe(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val modelDir = Similarity.freshScratch(spark, s"graft_bpe_pack_${key}_")
+    val docs = Relational.table(spark, dir, "documents")
+    Training.fitBpe(spark, docs.filter(col("doc_id") % 20 =!= 7), modelDir,
+      spark.conf.getOption("graft.bpe.merges").map(_.toInt).getOrElse(200),
+      spark.conf.getOption("graft.bpe.maxWords").map(_.toInt).getOrElse(65536))
+    val span = effectiveShardSpan(spark)
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("shard", expr(s"doc_id div ${span}L"))
+      .withColumn("n_tokens", size(Training.bpeTokensCol(spark, modelDir)))
+      .withColumn("end_off", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+        expr(s"(end_off - n_tokens) div $packBudget").as("seq_id"),
+        expr(s"((end_off - 1) div $packBudget) != ((end_off - n_tokens) div $packBudget)")
+          .as("straddles"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------- C16 PII redaction
 
   /** PII patterns, written without backslashes so the SAME pattern text is
@@ -531,6 +562,7 @@ object Curation {
     "c14_dedup_cluster" -> (dedupCluster _),
     "c28_dedup_cluster_incremental" -> (dedupClusterIncremental _),
     "c15_pack_sequences" -> (packSequences _),
+    "c15b_pack_bpe" -> (packSequencesBpe _),
     "c16_pii_redact" -> (piiRedact _),
     "c17_quality_repetition" -> (qualityRepetition _),
     "c18_mix_weights" -> (mixWeights _),

@@ -277,13 +277,19 @@ object Training {
     * and no refit. Emits per-doc token count and an order-sensitive
     * token fingerprint (md5 over the token stream) — the compact
     * deterministic signature a shard-budgeting stage consumes. */
-  def tokenizeBpe(spark: SparkSession, docs: DataFrame, modelDir: String): DataFrame = {
+  /** The encode Column for a persisted model over a `text` column —
+    * the composition surface (c32 scoring, c15b packing): one driver
+    * read of the merge table, the codec plan-shipped. */
+  def bpeTokensCol(spark: SparkSession, modelDir: String): org.apache.spark.sql.Column = {
     val m = spark.read.parquet(IndexMeta.requireLive(spark, modelDir, "merges"))
       .orderBy("rank").collect()
     val flat = m.flatMap(r => Seq(r.getString(1), r.getString(2)))
     import org.apache.spark.sql.graft.{GraftColumns => EU}
-    val toks = EU.column(graft.functions.BpeEncode(EU.expression(col("text")), flat))
-    docs.withColumn("toks", toks)
+    EU.column(graft.functions.BpeEncode(EU.expression(col("text")), flat))
+  }
+
+  def tokenizeBpe(spark: SparkSession, docs: DataFrame, modelDir: String): DataFrame = {
+    docs.withColumn("toks", bpeTokensCol(spark, modelDir))
       .select(col("doc_id"), size(col("toks")).as("n_tokens"),
         md5(concat_ws(" ", col("toks"))).as("fp"))
   }

@@ -304,6 +304,53 @@ class CurationSpec extends AnyFunSuite with SparkTestSession {
     assert(bySrc("srcB") === ((1L, 400L, 0.6667, 1.0, 166.6667)))
   }
 
+  test("c15b BPE packing: window math re-verified in plain Scala; counts are real BPE") {
+    val rows = Curation.queries("c15b_pack_bpe")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    // re-verify the packing arithmetic independently: per (lang, shard)
+    // in doc_id order, seq_id = floor(startOffset / 512) and straddles
+    // iff the doc crosses a 512 boundary — plain Scala running sums,
+    // no Spark window involved
+    rows.groupBy(t => (t._2, t._3)).foreach { case (_, g) =>
+      var off = 0L
+      g.sortBy(_._1).foreach { case (id, _, _, n, seqId, straddles) =>
+        assert(seqId == off / 512, s"doc $id: seq $seqId != ${off / 512}")
+        assert(straddles == ((off + n - 1) / 512 != off / 512), s"doc $id straddle flag")
+        off += n
+      }
+    }
+    // the counts are REAL BPE counts: refit the identical model
+    // (deterministic — same split, same params) and recompute a sample
+    // through the codec directly
+    val modelDir = java.nio.file.Files.createTempDirectory("graft_c15b_spec").toString
+    Training.fitBpe(spark,
+      Relational.table(spark, sf, "documents")
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 20 =!= 7),
+      modelDir, 200, 65536)
+    val merges = spark.read.parquet(IndexMeta.requireLive(spark, modelDir, "merges"))
+      .orderBy("rank").collect().flatMap(r => Seq(r.getString(1), r.getString(2)))
+    val codec = new graft.functions.BpeCodec(merges)
+    val texts = Relational.table(spark, sf, "documents")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byId = rows.map(t => t._1 -> t._4).toMap
+    texts.take(50).foreach { case (id, text) =>
+      val expected = text.split(" ", -1).map(codec.encodeWord(_).length).sum
+      assert(byId(id) == expected, s"doc $id: op count ${byId(id)} != codec $expected")
+    }
+    // ... and the count column RESPONDS to the model: at 5 merges the
+    // vocabulary stays subword, so counts strictly exceed word counts
+    spark.conf.set("graft.bpe.merges", "5")
+    try {
+      val few = Curation.queries("c15b_pack_bpe")(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getInt(3)))
+      val ws = texts.view.mapValues(_.split(" ", -1).length).toMap
+      assert(few.forall { case (id, n) => n > ws(id) },
+        "5-merge BPE counts must exceed whitespace counts")
+    } finally spark.conf.unset("graft.bpe.merges")
+  }
+
   test("mixDriftOn: a skewed source drifts, a typical one doesn't; KL ≥ 0") {
     import spark.implicits._
     // srcA/srcB share the corpus-typical mixed vocabulary; srcC is a
