@@ -605,6 +605,59 @@ object Similarity {
     * batch, read pairs/ back. Must hash-match the exact n-gram pair
     * oracle over ALL documents — corpus-internal pairs from the build,
     * arrival-crossing pairs from the append, none double-counted. */
+  // C22d — store-backed STREAMING near-dup: the text family's
+  // foreachBatch leg, mirroring c22c for embeddings. Each micro-batch
+  // of document arrivals makes ONE idempotent store call
+  // ([[appendToNearDupIndex]]: probe the pre-append store for the pair
+  // delta, append all three tables, commit the batch marker), so
+  // cross-batch pairs are caught through the STORE — batch 3's docs
+  // pair against the corpus AND batches 1–2 — and state lives on
+  // shared storage (unbounded capacity, restart-from-checkpoint with
+  // no state-store recovery), where c22/c22b hold bucket state in
+  // executors. Exactly-once: the streaming engine replays a crashed
+  // batch with its batchId, and the append marker turns the replay
+  // into a no-op. The decisive property vs c22b: pairs/ stays
+  // COMPLETE, so the streaming op hash-matches the SAME exact n-gram
+  // pair oracle as the batch store (c27) — no window restriction, no
+  // recall test.
+  def dedupStreamNearStore(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val idx = freshScratch(spark, s"graft_neardup_stream_${key}_")
+    val docs = Relational.table(spark, dir, "documents")
+    buildNearDupIndex(spark, docs.filter(col("doc_id") % 20 =!= 7), idx)
+    dedupStreamNearStoreOn(spark, idx,
+      docs.filter(col("doc_id") % 20 === 7), s"graft_c22d_$key")
+  }
+
+  /** Replay `arrivals` (sliced by doc_id) one file per trigger into the
+    * store at `idx`; returns the store's complete pair set. Spec entry
+    * point for planted-arrival cross-batch proofs. */
+  private[graft] def dedupStreamNearStoreOn(spark: SparkSession, idx: String,
+      arrivals: DataFrame, name: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val stage = Relational.stageSlices(spark, arrivals, col("doc_id"), s"${name}_stage")
+    // checkpoint-only harness dir (the sink IS the store)
+    val base = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"sink_${spark.sparkContext.applicationId}_$name")
+    if (Files.exists(base)) {
+      Files.walk(base).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+    val q = spark.readStream.schema(arrivals.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .writeStream.queryName(name)
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        appendToNearDupIndex(spark, idx, batch, Some(s"stream_$bid"))
+        ()
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    nearDupIndexPairs(spark, idx)
+  }
+
   def dedupIncrementalQuery(spark: SparkSession, dir: String): DataFrame = {
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val idx = freshScratch(spark, s"graft_neardup_idx_${key}_")
@@ -2614,6 +2667,7 @@ object Similarity {
     "c22_dedup_stream_near" -> (dedupStreamNear _),
     "c22b_dedup_stream_bounded" -> ((s: SparkSession, d: String) => dedupStreamNearBounded(s, d)),
     "c27_dedup_incremental" -> (dedupIncrementalQuery _),
+    "c22d_dedup_stream_store" -> (dedupStreamNearStore _),
     "c2_dedup_simhash" -> (dedupSimHash _),
     "c2_dedup_cosine" -> (dedupCosine _),
     "c2_dedup_cosine_lsh" -> (dedupCosineLsh _),
@@ -2672,6 +2726,9 @@ object Similarity {
     "c22_dedup_stream_near" -> ngramPairsOracle,
     // ... and the persistent store after build(95%) + append(5%)
     "c27_dedup_incremental" -> ngramPairsOracle,
+    // ... and the store-backed STREAM: the same complete pair set,
+    // accumulated micro-batch by micro-batch through the store
+    "c22d_dedup_stream_store" -> ngramPairsOracle,
     "c2_dedup_cosine" ->
       """SELECT a.vec_id AS va, b.vec_id AS vb,
         |  round(cast(list_cosine_similarity(cast(a.embedding as double[]),

@@ -229,6 +229,40 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       s"final state ${stateRows.last} did not evict below the ${totalBuckets}-bucket ceiling")
   }
 
+  test("store-backed near-dup stream: complete exact pair set, cross-batch pairs through the store") {
+    import graft.ops.Similarity
+    val stream = Similarity.queries("c22d_dedup_stream_store")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // COMPLETE pair parity with the exact batch computation — the
+    // property c22b's windowed state discipline necessarily gives up
+    val exact = Similarity.dedupNgram(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(stream === exact,
+      s"missing=${(exact -- stream).take(3)} extra=${(stream -- exact).take(3)}")
+    // cross-batch proof with PLANTED arrivals (the 5% split has no
+    // internal near-dups at sf0.001): two byte-identical docs whose
+    // ids land in the FIRST and LAST replay slice must pair — only
+    // catchable because batch 1's append entered the store before
+    // batch 4's probe ran
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_c22d_planted").toString
+    val corpus = Relational.table(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 20 =!= 7)
+    Similarity.buildNearDupIndex(spark, corpus, idx)
+    val dupText = "planted cross batch duplicate text with enough tokens to shingle"
+    val planted = Seq(
+      (1000001L, dupText), (1000050L, "an unrelated singleton document body"),
+      (1000100L, "another unrelated filler document body"), (1000199L, dupText))
+      .toDF("doc_id", "text")
+    val pairs = Similarity.dedupStreamNearStoreOn(spark, idx, planted, "graft_c22d_planted")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1000001L, 1000199L)),
+      s"planted cross-batch pair not caught through the store: $pairs")
+    // ids 1000001/1000199 are slices 0 and 3 of the 4-slice stager
+    val step = Relational.sliceStep(1000001L, 1000199L, Relational.replaySlices)
+    assert((1000199L - 1000001L) / step != 0L, "planted ids landed in one slice")
+  }
+
   test("streaming semantic dedup: later batches drop twins of earlier batches' survivors") {
     import graft.ops.Similarity
     val rows = Similarity.queries("c22c_dedup_semantic_stream")(spark, dir)
