@@ -649,6 +649,15 @@ object Similarity {
       .writeStream.queryName(name)
       .foreachBatch { (batch: Dataset[Row], bid: Long) =>
         appendToNearDupIndex(spark, idx, batch, Some(s"stream_$bid"))
+        // in-stream maintenance (round-7 cadence theme applied to the
+        // streaming leg): when conf'd, every batch commit is followed
+        // by the file-count trigger — one listStatus when under the
+        // bound, a store compaction when over, so a long-running
+        // ingest stream never needs an out-of-band maintenance job.
+        // Safe here because foreachBatch batches are sequential — the
+        // stream IS the store's single writer.
+        streamCompactMaxFiles(spark)
+          .foreach(mf => compactNearDupIndexIfFragmented(spark, idx, mf))
         ()
       }
       .option("checkpointLocation", base.resolve("ckpt").toString)
@@ -657,6 +666,12 @@ object Similarity {
     q.awaitTermination()
     nearDupIndexPairs(spark, idx)
   }
+
+  /** When set, the streaming legs compact their store/index whenever a
+    * post-batch file census exceeds this bound (unset = no in-stream
+    * maintenance — the caller owns the cadence). */
+  private def streamCompactMaxFiles(spark: SparkSession): Option[Long] =
+    spark.conf.getOption("graft.stream.compactMaxFiles").map(_.toLong)
 
   def dedupIncrementalQuery(spark: SparkSession, dir: String): DataFrame = {
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
@@ -1132,6 +1147,10 @@ object Similarity {
           batch.select(col("vec_id"), col("embedding")), Some(s"stream_$bid"))
         drops.withColumn("batch", lit(bid))
           .write.mode("append").parquet(out.toString)
+        // in-stream maintenance: same cadence contract as the c22d
+        // store stream (see streamCompactMaxFiles)
+        streamCompactMaxFiles(spark)
+          .foreach(mf => compactIvfIndexIfFragmented(spark, indexDir, mf))
         ()
       }
       .option("checkpointLocation", base.resolve("ckpt").toString)

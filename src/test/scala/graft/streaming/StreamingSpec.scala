@@ -261,6 +261,23 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
     // ids 1000001/1000199 are slices 0 and 3 of the 4-slice stager
     val step = Relational.sliceStep(1000001L, 1000199L, Relational.replaySlices)
     assert((1000199L - 1000001L) / step != 0L, "planted ids landed in one slice")
+    // IN-STREAM compaction cadence: the same replay with
+    // graft.stream.compactMaxFiles=1 compacts after every batch —
+    // output pairs identical, and the store ends with a bounded file
+    // census instead of the append pile
+    val idx2 = java.nio.file.Files.createTempDirectory("graft_c22d_cadence").toString
+    Similarity.buildNearDupIndex(spark, corpus, idx2)
+    spark.conf.set("graft.stream.compactMaxFiles", "1")
+    try {
+      val pairs2 = Similarity.dedupStreamNearStoreOn(spark, idx2, planted, "graft_c22d_cadence")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs2 === pairs, "in-stream compaction changed the pair set")
+    } finally spark.conf.unset("graft.stream.compactMaxFiles")
+    def census(idx: String) = Seq("shingles", "bands", "pairs").map(t =>
+      graft.ops.IndexMeta.countUnder(spark,
+        Similarity.nearDupTablePath(spark, idx, t), ".parquet")).max
+    assert(census(idx2) < census(idx),
+      s"cadence did not bound the census: ${census(idx2)} vs ${census(idx)}")
   }
 
   test("streaming semantic dedup: later batches drop twins of earlier batches' survivors") {
