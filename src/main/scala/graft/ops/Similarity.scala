@@ -989,10 +989,18 @@ object Similarity {
     // graft.probe.broadcastMaxRows the SAME plan runs with the arrival
     // side as a shuffle_hash build — no silent OOM cliff on a big
     // crawl day (hash-identical output, spec-pinned).
+    // a.vec_id =!= c.vec_id: a vector is not a duplicate of itself.
+    // Reachable exactly when a batch is REPLAYED after its append
+    // committed (the c22c crash window: marker makes the re-append a
+    // no-op, but the re-PROBE now sees the batch's own survivors in
+    // the index at cos 1.0) — without the exclusion every survivor
+    // would self-drop on replay, breaking the foreachBatch
+    // exactly-once claim. Spec-pinned by the replay-identity test.
     val cands = corpus.select(col("vec_id"), col("sigs"), col("cell")).as("c")
       .join(dispatchProbeSide(spark,
           arr.select(col("vec_id"), col("sigs"), col("cell")), arrivals.count()).as("a"),
-        col("a.cell") === col("c.cell") && (hamming <= hammingBar))
+        col("a.cell") === col("c.cell") && col("a.vec_id") =!= col("c.vec_id") &&
+          (hamming <= hammingBar))
       .select(col("a.vec_id").as("arrival_id"), col("c.vec_id").as("corpus_id"))
     cands
       // embeddings fetched from the UN-exploded arrivals frame — the

@@ -400,6 +400,35 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     assert(falseFlags.isEmpty, s"clean corpus wrongly flagged: ${falseFlags.take(5)}")
   }
 
+  test("C2 semantic-dedup crash replay: re-probing a committed batch is drop-identical") {
+    // the c22c exactly-once window: a micro-batch crashes AFTER its
+    // append commits (marker present) but BEFORE the sink write; the
+    // streaming engine replays it, the re-append is a marker no-op,
+    // and the re-PROBE runs against an index that now contains the
+    // batch's own survivors. The drop list must be IDENTICAL — in
+    // particular no survivor may self-drop against its own appended
+    // row (the a.vec_id =!= c.vec_id exclusion)
+    val idx = java.nio.file.Files.createTempDirectory("graft_sem_replay").toString
+    val e = Relational.table(spark, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") % 20 =!= 7)
+    Similarity.buildIvfIndexFrom(spark,
+      corpus.select(col("vec_id"), col("embedding")), idx)
+    val off = Similarity.plantedOffset(e)
+    val b1 = e.filter(col("vec_id") % 20 === 7)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val first = Similarity.dedupSemanticWithAppend(spark, idx, b1, Some("replay_spec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the replay: same batchId (append no-op), probe sees the
+    // survivors — every arrival here survived, so a missing exclusion
+    // would self-drop ALL of them
+    val replayed = Similarity.dedupSemanticWithAppend(spark, idx, b1, Some("replay_spec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(replayed === first,
+      s"replayed drop list diverged: extra=${(replayed -- first).take(5)} " +
+        s"missing=${(first -- replayed).take(5)}")
+    assert(!replayed.exists { case (a, k) => a == k }, "survivors self-dropped on replay")
+  }
+
   test("C2 semantic-dedup append cycle: batch-2 twins drop against batch-1 survivors") {
     val drops2 = Similarity.queries("c2_dedup_semantic_cycle")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
