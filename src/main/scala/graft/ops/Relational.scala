@@ -268,7 +268,7 @@ object Relational {
     spark.sql(
       s"""SELECT coalesce(n_name, 'ALL') AS nation,
          |  coalesce(o_orderpriority, 'ALL') AS priority,
-         |  ${msum("o_totalprice")} AS revenue, count(*) AS n_orders
+         |  ${msumSpark("o_totalprice")} AS revenue, count(*) AS n_orders
          |FROM orders
          |JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
@@ -714,6 +714,15 @@ object Relational {
     * Spark results (SURVEY §2.4 determinism rules). */
   private val MONEY_SUM = "round(sum(cast(round((%s) * 10000, 0) as bigint)) / 10000.0, 4)"
   private def msum(e: String) = MONEY_SUM.format(e)
+
+  /** Spark-side twin of [[msum]] for `spark.sql` query text. In Spark SQL the
+    * literal `10000.0` parses as DECIMAL(5,1), so `bigint / 10000.0` yields
+    * DECIMAL(26,4) while DuckDB's same division yields DOUBLE — values are
+    * identical but the driver's typed hash diverges (round-8 b12c failure).
+    * Dividing by an explicit DOUBLE reproduces the DataFrame-API path
+    * (`lit(10000.0)` = DoubleType) that hash-matches the oracle. */
+  private def msumSpark(e: String) =
+    s"round(sum(cast(round(($e) * 10000, 0) as bigint)) / cast(10000.0 as double), 4)"
 
   val oracleSql: Map[String, String] = Map(
     "b1_scan" -> "SELECT count(*) AS cnt FROM lineitem",
