@@ -1125,6 +1125,18 @@ object Similarity {
   /** Replay staged arrival slices one file per trigger; per micro-batch
     * run probe → anti-join → append, sinking the drop list with its
     * batchId. Returns the committed drop list read back from the sink. */
+  /** Replay-idempotent micro-batch sink write: each batch owns the
+    * `batch=bid` partition, and dynamic-partition overwrite rewrites
+    * ONLY the partitions present in the data — so a foreachBatch replay
+    * (crash after the sink write, before the checkpoint commit)
+    * rewrites its own partition instead of appending duplicates. */
+  private[graft] def writeDropsBatch(drops: DataFrame, bid: Long, outDir: String): Unit =
+    drops.withColumn("batch", lit(bid))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(outDir)
+
   private[graft] def dedupSemanticStream(spark: SparkSession, indexDir: String,
       stagedDir: String, schema: org.apache.spark.sql.types.StructType,
       sinkName: String): DataFrame = {
@@ -1149,12 +1161,16 @@ object Similarity {
         // drops materialize inside the cycle BEFORE its append; the
         // sink write commits after the index mutation, so a crash
         // between them replays the batch — probe output is identical
-        // (the survivors' append is marker-idempotent) and the drop
-        // rows land exactly once
+        // (the survivors' append is marker-idempotent). The sink write
+        // itself must ALSO be replay-idempotent: a plain append would
+        // duplicate the drop rows if the crash lands after the sink
+        // write but before the checkpoint commit. Partitioning by the
+        // batchId and dynamic-partition-overwriting makes the replay
+        // rewrite exactly its own batch=bid partition — drop rows land
+        // exactly once across every crash window.
         val drops = dedupSemanticWithAppend(spark, indexDir,
           batch.select(col("vec_id"), col("embedding")), Some(s"stream_$bid"))
-        drops.withColumn("batch", lit(bid))
-          .write.mode("append").parquet(out.toString)
+        writeDropsBatch(drops, bid, out.toString)
         // in-stream maintenance: same cadence contract as the c22d
         // store stream (see streamCompactMaxFiles)
         streamCompactMaxFiles(spark)

@@ -280,10 +280,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession {
       s"cadence did not bound the census: ${census(idx2)} vs ${census(idx)}")
   }
 
+  test("streaming semantic dedup sink: replaying a batch's drop write is idempotent") {
+    // the c22c crash window the ADVICE flagged: sink write lands, the
+    // checkpoint commit doesn't, the engine replays the batch — the
+    // drop rows must not duplicate. writeDropsBatch owns the batch=bid
+    // partition via dynamic overwrite, so the replay REWRITES it.
+    import graft.ops.Similarity
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft_drops_sink").toString + "/out"
+    val d0 = Seq((1L, 10L, 0.995), (2L, 20L, 0.991))
+      .toDF("arrival_id", "kept_by", "cos")
+    Similarity.writeDropsBatch(d0, 0L, out)
+    Similarity.writeDropsBatch(Seq((5L, 50L, 0.999)).toDF("arrival_id", "kept_by", "cos"), 1L, out)
+    // replay batch 0 (identical content, as a foreachBatch replay is)
+    Similarity.writeDropsBatch(d0, 0L, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 3, s"replay duplicated drop rows: ${back.count()}")
+    // batch 1's partition untouched by batch 0's replay
+    assert(back.filter(col("batch") === 1L).count() == 1)
+    assert(back.groupBy("arrival_id", "batch").count().filter(col("count") > 1).count() == 0)
+  }
+
   test("streaming semantic dedup: later batches drop twins of earlier batches' survivors") {
     import graft.ops.Similarity
     val rows = Similarity.queries("c22c_dedup_semantic_stream")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    // exactly-once sink contract: no (arrival_id, batch) row twice
+    assert(rows.size == rows.distinct.size, "duplicate drop rows in the sink")
     val drops = rows.map(t => (t._1, t._2)).toMap
     val batchOf = rows.map(t => (t._1, t._3)).toMap
     val e = Relational.table(spark, dir, "embeddings")
