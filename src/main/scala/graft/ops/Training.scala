@@ -238,27 +238,54 @@ object Training {
       .orderBy(col("cnt").desc, col("w").asc)
       .limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    var words: Array[(Array[String], Long)] =
+    val words: Array[(Array[String], Long)] =
       dict.map { case (w, c) => (w.toCharArray.map(String.valueOf(_)), c) }
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    var exhausted = false
-    while (merges.size < numMerges && !exhausted) {
-      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      words.foreach { case (syms, c) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val p = (syms(i), syms(i + 1))
-          counts(p) = counts.getOrElse(p, 0L) + c
-          i += 1
+    // Incremental pair-count maintenance (what reference BPE trainers
+    // do): a full recount per round is O(numMerges × maxWords × wordLen)
+    // — fine at the 200-merge default but hours-scale at production
+    // 30–100k merge counts. Instead keep the global pair counts plus a
+    // pair → word-index occurrence set, and on each merge touch ONLY the
+    // words containing the merged pair (subtract their old adjacencies,
+    // merge, add the new ones). Counts are maintained exactly, so the
+    // (−count, lexicographic) argmin — and therefore the merge table —
+    // is bit-identical to the recount loop (refit-determinism spec).
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val occurs = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.HashSet[Int]]
+    def contribute(idx: Int, sign: Long): Unit = {
+      val (syms, c) = words(idx)
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        val n = counts.getOrElse(p, 0L) + sign * c
+        if (n == 0L) { counts.remove(p); occurs.remove(p) }
+        else {
+          counts(p) = n
+          if (sign > 0)
+            occurs.getOrElseUpdate(p, scala.collection.mutable.HashSet.empty) += idx
         }
+        i += 1
       }
-      if (counts.isEmpty) exhausted = true
-      else {
-        val (pair, _) = counts.minBy { case ((a, b), c) => (-c, a, b) }
-        merges += pair
-        words = words.map { case (syms, c) =>
-          (graft.functions.BpeCodec.mergePair(syms, pair._1, pair._2), c)
-        }
+      if (sign < 0) {
+        // drop idx from the occurrence sets of pairs that survived the
+        // count update but no longer appear in this word
+        i = 0
+        val present = scala.collection.mutable.HashSet.empty[(String, String)]
+        while (i < syms.length - 1) { present += ((syms(i), syms(i + 1))); i += 1 }
+        present.foreach(p => occurs.get(p).foreach(_ -= idx))
+      }
+    }
+    words.indices.foreach(contribute(_, 1L))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (merges.size < numMerges && counts.nonEmpty) {
+      val (pair, _) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+      merges += pair
+      val touched = occurs.getOrElse(pair, scala.collection.mutable.HashSet.empty).toArray
+      touched.foreach { idx =>
+        contribute(idx, -1L)
+        words(idx) = (graft.functions.BpeCodec.mergePair(
+          words(idx)._1, pair._1, pair._2), words(idx)._2)
+        contribute(idx, 1L)
       }
     }
     val (gen, oldGens) = IndexMeta.nextGen(spark, modelDir, "merges")

@@ -346,8 +346,13 @@ class CurationSpec extends AnyFunSuite with SparkTestSession {
       val few = Curation.queries("c15b_pack_bpe")(spark, sf).collect()
         .map(r => (r.getLong(0), r.getInt(3)))
       val ws = texts.view.mapValues(_.split(" ", -1).length).toMap
-      assert(few.forall { case (id, n) => n > ws(id) },
-        "5-merge BPE counts must exceed whitespace counts")
+      // subword property, pinned corpus-level: a doc whose words are all
+      // single chars (or fully merged by the 5 merges) legitimately has
+      // n == word count, so per-doc strict > would be data-dependent
+      assert(few.forall { case (id, n) => n >= ws(id) },
+        "BPE token count below whitespace word count")
+      assert(few.map(_._2.toLong).sum > few.map(t => ws(t._1).toLong).sum,
+        "5-merge BPE corpus token total must exceed whitespace total")
     } finally spark.conf.unset("graft.bpe.merges")
   }
 
