@@ -318,6 +318,68 @@ object Relational {
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
 
+  // B34 — TPC-H Q21 shape: MULTI-correlated EXISTS + NOT EXISTS against
+  // the SAME fact table, the classic decorrelation stress b30's
+  // customer/orders pair doesn't cover (both subqueries correlate on
+  // l1.l_orderkey AND carry a non-equality l_suppkey <> residual).
+  // "The only supplier with a returned line on a multi-supplier order"
+  // — l_returnflag = 'R' stands in for Q21's receipt>commit lateness
+  // (this corpus carries no receipt/commit dates). Catalyst must
+  // rewrite both subqueries into one left-semi and one left-anti
+  // hash join on l_orderkey with the <> as a join residual — never a
+  // per-row subquery, never a nested loop (PlanSpec-pinned); at 100 TB
+  // that is two shuffles of lineitem, both reusing the l_orderkey
+  // exchange. Identical SQL runs in DuckDB as the oracle.
+  def tpchQ21(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "supplier").createOrReplaceTempView("supplier")
+    table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    table(spark, dir, "orders").createOrReplaceTempView("orders")
+    table(spark, dir, "nation").createOrReplaceTempView("nation")
+    spark.sql(
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin)
+  }
+
+  // B35 — TPC-H Q18 shape: IN over a grouped-HAVING subquery (the
+  // "large-volume customer" filter). The planner stress is the
+  // HAVING-aggregated IN-subquery: Catalyst decorrelates it to a
+  // left-semi join against the aggregated lineitem — the aggregation
+  // runs ONCE (partial agg map-side, one l_orderkey shuffle shared in
+  // shape with the outer join), not per outer row. Quantities are
+  // integral doubles in this corpus, so the sums are order-exact and
+  // the > threshold is engine-portable. Identical SQL in DuckDB.
+  def tpchQ18(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "customer").createOrReplaceTempView("customer")
+    table(spark, dir, "orders").createOrReplaceTempView("orders")
+    table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |       round(o_totalprice, 4) AS totalprice,
+        |       round(sum(l_quantity), 4) AS sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 260)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, round(o_totalprice, 4)
+        |ORDER BY totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin)
+  }
+
   // B13 — scalar function battery (string/date/math/CASE)
   def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "orders")
@@ -693,6 +755,8 @@ object Relational {
     "b12c_grouping_sets" -> (groupingSetsExplicit _),
     "b32_tpch_q5" -> (tpchQ5 _),
     "b33_tpch_q10" -> (tpchQ10 _),
+    "b34_tpch_q21" -> (tpchQ21 _),
+    "b35_tpch_q18" -> (tpchQ18 _),
     "b13_scalar_funcs" -> (scalarFuncs _),
     "b13b_scalar_funcs2" -> (scalarFuncs2 _),
     "b22_sql_subquery" -> (sqlSubquery _),
@@ -850,6 +914,35 @@ object Relational {
          |WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
          |GROUP BY 1, 2, 3
          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "b34_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
+    "b35_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |       round(o_totalprice, 4) AS totalprice,
+        |       round(sum(l_quantity), 4) AS sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 260)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, round(o_totalprice, 4)
+        |ORDER BY totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin,
     "b13_scalar_funcs" ->
       """SELECT o_orderkey,
         |  upper(substr(o_orderpriority, 1, 3)) AS pri3,

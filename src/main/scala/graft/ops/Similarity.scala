@@ -872,7 +872,10 @@ object Similarity {
   // work is n·(n/k) — with the √n coarse quantizer reused verbatim
   // from the IVF family that is Θ(n^1.5) comparisons; production
   // corpora hold cluster POPULATION constant instead (the paper's
-  // k ≈ n/1000), making the comparison volume linear. Within-cluster
+  // k ≈ n/1000), making the comparison volume linear — SHIPPED as
+  // `graft.semdedup.cellPop` (set pop → the quantizer fits k = n/pop
+  // cells; decade-measured in BASELINE.md, output-invariance vs the
+  // √n configuration spec-pinned). Within-cluster
   // pairs with cosine ≥ 0.99 are semantic duplicates; the keep rule
   // (lowest vec_id survives) emits each dropped vector with its
   // witness. Approximate — a pair straddling a cluster boundary is
@@ -906,7 +909,8 @@ object Similarity {
     // each enumerated candidate costs 4 XOR+popcount word ops, and
     // only survivors reach the exact-cosine verify joins. Production
     // corpora additionally hold cluster POPULATION constant (k = n/pop
-    // instead of √n) to make enumeration itself linear.
+    // instead of √n) to make enumeration itself linear — the
+    // `graft.semdedup.cellPop` conf, consumed by fitCoarse.
     val ids = a.select(col("vec_id"), col("cell"), col("sigs"))
     // four unrolled word popcounts, NOT aggregate(zip_with(...)): a HOF
     // in the join predicate allocates arrays per ENUMERATED pair — the
@@ -2378,7 +2382,20 @@ object Similarity {
   private def fitCoarse(e: DataFrame): org.apache.spark.ml.clustering.KMeansModel = {
     import org.apache.spark.ml.clustering.KMeans
     val n = e.count()
-    val k = math.max(16, math.min(4096, math.sqrt(n.toDouble).toInt))
+    // `graft.semdedup.cellPop` — constant-POPULATION mode (the SemDeDup
+    // paper's production sizing, k ≈ n/pop): per-cell population stays
+    // ≈ pop as the corpus grows, so within-cell pair enumeration is
+    // n·pop — linear in the corpus — where the default √n cells give
+    // Θ(n^1.5). The knob applies to every coarse quantizer fit in the
+    // session (the IVF family shares this quantizer; constant
+    // population there means constant probe cost per query, FAISS's
+    // own large-corpus sizing). Unset → the √n FAISS small-corpus rule.
+    val pop = e.sparkSession.conf.getOption("graft.semdedup.cellPop").map(_.toLong)
+    val k = pop match {
+      case Some(p) =>
+        math.max(16, math.min(65536, math.ceil(n.toDouble / math.max(1L, p)).toInt))
+      case None => math.max(16, math.min(4096, math.sqrt(n.toDouble).toInt))
+    }
     // train the quantizer on a bounded sample (~64 points per cell, the
     // FAISS training-budget rule): the fit is Θ(iters·sample·k·d)
     // instead of Θ(iters·n·k·d), which at sf10 had the FIT rivaling the

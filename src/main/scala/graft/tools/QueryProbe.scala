@@ -21,6 +21,10 @@ object QueryProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF="k=v,k=v" — session confs for knob rehearsals
+    // (e.g. graft.semdedup.cellPop for the constant-population decade)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.nonEmpty)
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
     val q = graft.SparkEntry.queries(name)
     def once(dir: String): (Long, Double) = {
       val t0 = System.nanoTime()

@@ -50,6 +50,34 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("LeftAnti"), s"NOT EXISTS not decorrelated to an anti join:\n$p")
   }
 
+  test("B34: Q21 multi-correlated EXISTS/NOT-EXISTS on one fact → semi+anti hash joins") {
+    val p = plan(Relational.tpchQ21(spark, dir))
+    // both subqueries correlate on l_orderkey with a <> residual — the
+    // rewrite must still be equi-hash semi/anti (the <> rides as a join
+    // condition residual), never a nested loop or per-row subquery
+    assert(p.contains("LeftSemi"), s"q21 EXISTS not a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"q21 NOT EXISTS not an anti join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q21 degenerated to a nested loop:\n$p")
+    assert(!p.contains("Subquery") || !p.contains("InSubquery"),
+      s"q21 kept a per-row subquery:\n$p")
+    // top-100 by wait count: no global sort of the aggregate
+    assert(p.contains("TakeOrderedAndProject"), s"q21 full sort:\n$p")
+  }
+
+  test("B35: Q18 HAVING-IN subquery → one aggregated semi join, no re-aggregation per row") {
+    val p = plan(Relational.tpchQ18(spark, dir))
+    assert(p.contains("LeftSemi"), s"q18 IN-subquery not a semi join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q18 nested loop:\n$p")
+    // the HAVING aggregate materializes once: exactly one aggregate
+    // subtree over lineitem feeding the semi join (plus the outer
+    // sum(l_quantity) aggregate) — a correlated re-execution would
+    // show up as a subquery node instead
+    assert(!p.toLowerCase.contains("scalarsubquery"), s"q18 per-row subquery:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"q18 full sort:\n$p")
+  }
+
   test("B5: fixed-size dims broadcast; fact joins do not nest loops") {
     val p = plan(Relational.joinMulti(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"nation/region not broadcast:\n$p")

@@ -287,6 +287,23 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
       s"base vectors wrongly dropped: ${drops.keys.filter(_ < off).take(5)}")
   }
 
+  test("C2 SemDeDup constant-population knob: cellPop output matches the sqrt-n configuration") {
+    // graft.semdedup.cellPop = the 100 TB linearity knob (k = n/pop
+    // instead of sqrt(n)). Granularity changes WHICH cells exist, but a
+    // planted twin sits within jitter of its base so both land in the
+    // same cell at any granularity — the drop set must be invariant.
+    val base = Similarity.dedupSemantic(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("graft.semdedup.cellPop", "100")
+    try {
+      val popped = Similarity.dedupSemantic(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(popped === base,
+        s"cellPop changed the drop set: extra=${(popped -- base).take(5)} " +
+          s"missing=${(base -- popped).take(5)}")
+    } finally spark.conf.unset("graft.semdedup.cellPop")
+  }
+
   test("C2 incremental semantic dedup: arrivals drop against indexed twins only") {
     val df = Similarity.queries("c2_dedup_semantic_inc")(spark, dir)
     // c27 probe doctrine: the arrival side broadcasts, the corpus sigs
