@@ -85,6 +85,27 @@ object SparkEntry {
     "a10_stats" -> (a10Stats _))
 
   private val tierAOracle: Map[String, String] = Map(
+    // a7's DDL self-oracle: orca's value-based integer narrowing
+    // (core.clj:178-189 — the VALUE 10 is a tinyint regardless of its
+    // JVM class) merged over rows is equivalent, for integers, to
+    // narrowing the global min/max — which DuckDB recomputes from the
+    // same parquet. A narrowing regression (or a field-order change in
+    // struct inference) now fails the hash gate instead of hiding in
+    // the rows-only bucket. Ranges are the Hive lattice's, matching
+    // Infer.scala; lang is always a string.
+    "a7_infer" ->
+      """SELECT concat(
+        |  'doc_id ',
+        |  CASE WHEN min(doc_id) >= -128 AND max(doc_id) <= 127 THEN 'TINYINT'
+        |       WHEN min(doc_id) >= -32768 AND max(doc_id) <= 32767 THEN 'SMALLINT'
+        |       WHEN min(doc_id) >= -2147483648 AND max(doc_id) <= 2147483647 THEN 'INT'
+        |       ELSE 'BIGINT' END,
+        |  ',lang STRING,n_chars ',
+        |  CASE WHEN min(n_chars) >= -128 AND max(n_chars) <= 127 THEN 'TINYINT'
+        |       WHEN min(n_chars) >= -32768 AND max(n_chars) <= 32767 THEN 'SMALLINT'
+        |       WHEN min(n_chars) >= -2147483648 AND max(n_chars) <= 2147483647 THEN 'INT'
+        |       ELSE 'BIGINT' END) AS inferred_ddl
+        |FROM documents""".stripMargin,
     "a2_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(sum(cast(round(l_quantity * 10000, 0) as bigint)) / 10000.0, 4) AS sum_qty
