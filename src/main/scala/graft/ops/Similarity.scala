@@ -648,6 +648,7 @@ object Similarity {
       .option("maxFilesPerTrigger", "1").parquet(stage)
       .writeStream.queryName(name)
       .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        val t0 = System.nanoTime()
         appendToNearDupIndex(spark, idx, batch, Some(s"stream_$bid"))
         // in-stream maintenance (round-7 cadence theme applied to the
         // streaming leg): when conf'd, every batch commit is followed
@@ -658,6 +659,11 @@ object Similarity {
         // stream IS the store's single writer.
         streamCompactMaxFiles(spark)
           .foreach(mf => compactNearDupIndexIfFragmented(spark, idx, mf))
+        // scale-rehearsal telemetry: per-micro-batch wall cost is THE
+        // number a streaming-ingest capacity plan needs (BASELINE.md
+        // streaming decade tables read these lines)
+        System.err.println(f"[stream-batch] $name bid=$bid " +
+          f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
         ()
       }
       .option("checkpointLocation", base.resolve("ckpt").toString)
@@ -888,13 +894,27 @@ object Similarity {
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("features",
         array_to_vector(expr("cast(embedding as array<double>)")))
-    val model = fitCoarse(all)
+    // `graft.semdedup.cellPop` set → constant-population mode: k = n/pop
+    // cells via the TWO-LEVEL quantizer (hierarchical fit + (k1+k2)·d
+    // assignment — both the flat fit and the flat n·k·d assignment turn
+    // quadratic in n when k grows linearly). Unset → the √n fitCoarse
+    // shared with the IVF family.
+    val assigned = spark.conf.getOption("graft.semdedup.cellPop").map(_.toLong) match {
+      case Some(p) =>
+        val n = all.count()
+        val k = math.max(16, math.min(1 << 20,
+          math.ceil(n.toDouble / math.max(1L, p)).toInt))
+        val (coFlat, subFlat, dim, k2) = fitTwoLevel(all, k)
+        all.withColumn("cell",
+          twoLevelCellsColOf(col("embedding"), coFlat, subFlat, dim, k2, 1).getItem(0))
+      case None => fitCoarse(all).transform(all)
+    }
     // sigWords everywhere (never a literal width): the incremental op
     // probes INDEX-persisted signatures, and a width drift between
     // signer and index would make sigs[i] null past the end — the join
     // condition then evaluates null and every duplicate silently passes
     // as new (round-7 advice)
-    val a = model.transform(all)
+    val a = assigned
       .withColumn("sigs", expr(s"graft_srp_sign(embedding, 42L, $sigWords)"))
       .select(col("vec_id"), col("embedding"), col("sigs"), col("cell"))
     // Within-cluster candidates ride a (vec_id, sigs, cell) projection
@@ -1172,6 +1192,7 @@ object Similarity {
         // batchId and dynamic-partition-overwriting makes the replay
         // rewrite exactly its own batch=bid partition — drop rows land
         // exactly once across every crash window.
+        val t0 = System.nanoTime()
         val drops = dedupSemanticWithAppend(spark, indexDir,
           batch.select(col("vec_id"), col("embedding")), Some(s"stream_$bid"))
         writeDropsBatch(drops, bid, out.toString)
@@ -1179,6 +1200,8 @@ object Similarity {
         // store stream (see streamCompactMaxFiles)
         streamCompactMaxFiles(spark)
           .foreach(mf => compactIvfIndexIfFragmented(spark, indexDir, mf))
+        System.err.println(f"[stream-batch] $sinkName bid=$bid " +
+          f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
         ()
       }
       .option("checkpointLocation", base.resolve("ckpt").toString)
@@ -2382,20 +2405,7 @@ object Similarity {
   private def fitCoarse(e: DataFrame): org.apache.spark.ml.clustering.KMeansModel = {
     import org.apache.spark.ml.clustering.KMeans
     val n = e.count()
-    // `graft.semdedup.cellPop` — constant-POPULATION mode (the SemDeDup
-    // paper's production sizing, k ≈ n/pop): per-cell population stays
-    // ≈ pop as the corpus grows, so within-cell pair enumeration is
-    // n·pop — linear in the corpus — where the default √n cells give
-    // Θ(n^1.5). The knob applies to every coarse quantizer fit in the
-    // session (the IVF family shares this quantizer; constant
-    // population there means constant probe cost per query, FAISS's
-    // own large-corpus sizing). Unset → the √n FAISS small-corpus rule.
-    val pop = e.sparkSession.conf.getOption("graft.semdedup.cellPop").map(_.toLong)
-    val k = pop match {
-      case Some(p) =>
-        math.max(16, math.min(65536, math.ceil(n.toDouble / math.max(1L, p)).toInt))
-      case None => math.max(16, math.min(4096, math.sqrt(n.toDouble).toInt))
-    }
+    val k = math.max(16, math.min(4096, math.sqrt(n.toDouble).toInt))
     // train the quantizer on a bounded sample (~64 points per cell, the
     // FAISS training-budget rule): the fit is Θ(iters·sample·k·d)
     // instead of Θ(iters·n·k·d), which at sf10 had the FIT rivaling the
@@ -2406,6 +2416,124 @@ object Similarity {
       else e.filter(xxhash64(col("vec_id")) % lit(math.max(1L, n / budget)) === 0)
     new KMeans().setK(k).setSeed(42L).setMaxIter(20)
       .setFeaturesCol("features").setPredictionCol("cell").fit(train)
+  }
+
+  /** Two-level quantizer fit for constant-population mode
+    * (`graft.semdedup.cellPop`). A flat KMeans at k = n/pop cells costs
+    * Θ(iters·sample·k·d) = Θ(k²) with the 64-per-cell training budget —
+    * at the sf100e rehearsal (k = 4000) the FIT alone outweighed the
+    * enumeration it was meant to linearize. The hierarchical split
+    * (FAISS IMI doctrine): fit k1 ≈ √k coarse branches on the budgeted
+    * sample, assign the sample to branches with the codegen kernel, and
+    * Lloyd-refine k2 ≈ k/k1 sub-centroids per branch LOCALLY — each
+    * branch holds ≈ 64·k2 sample points, so the refinement is
+    * Θ(iters·64·k2²·d) per branch, Θ(k^1.5)-ish overall instead of k².
+    * Deterministic: seeded coarse fit, hash-bucket sample, branch
+    * refinement over lexicographically sorted points with evenly-spaced
+    * init and fixed iterations. Returns (coarseFlat, subFlat, dim, k2)
+    * for [[graft.functions.TwoLevelCells]] assignment. */
+  private def fitTwoLevel(e: DataFrame, k: Int): (Array[Float], Array[Float], Int, Int) = {
+    import org.apache.spark.ml.clustering.KMeans
+    val n = e.count()
+    val k1 = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val k2 = math.max(1, math.ceil(k.toDouble / k1).toInt)
+    val budget = 64L * k
+    val train = (if (n <= budget) e
+      else e.filter(xxhash64(col("vec_id")) % lit(math.max(1L, n / budget)) === 0))
+      .localCheckpoint() // one sample, reused by both levels
+    val coarseModel = new KMeans().setK(k1).setSeed(42L).setMaxIter(20)
+      .setFeaturesCol("features").setPredictionCol("cell1").fit(train)
+    val (coarseFlat, dim) = centroidMatrix(coarseModel)
+    val subs: Map[Int, Array[Array[Double]]] = train
+      .withColumn("cell1", nearestCellsColOf(col("embedding"), coarseFlat, dim, 1).getItem(0))
+      .select(col("cell1"), col("embedding"))
+      .rdd.map(r => (r.getInt(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .groupByKey(k1)
+      .mapValues(vs => localLloyd(vs.toArray, k2, 10))
+      .collect().toMap // ≤ k1 rows of k2×d doubles — driver-safe
+    val subFlat = new Array[Float](k1 * k2 * dim)
+    var c = 0
+    while (c < k1) {
+      val cs = subs.getOrElse(c, Array.empty)
+      var s = 0
+      while (s < k2) {
+        var j = 0
+        while (j < dim) {
+          // empty branches (no sample landed) inherit the coarse
+          // centroid; short branches repeat their first center —
+          // duplicate centroids just tie, and ties break to lowest id
+          val v: Double =
+            if (s < cs.length) cs(s)(j)
+            else if (cs.nonEmpty) cs(0)(j)
+            else coarseFlat(c * dim + j).toDouble
+          subFlat((c * k2 + s) * dim + j) = v.toFloat
+          j += 1
+        }
+        s += 1
+      }
+      c += 1
+    }
+    (coarseFlat, subFlat, dim, k2)
+  }
+
+  /** Deterministic in-memory Lloyd's: lexicographically sorted points,
+    * evenly-spaced init, fixed iterations, ties to the lowest center,
+    * empty clusters keep their previous center. */
+  private[graft] def localLloyd(points0: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    val ord = new Ordering[Array[Double]] {
+      def compare(a: Array[Double], b: Array[Double]): Int = {
+        var i = 0
+        while (i < a.length && i < b.length) {
+          val cmp = java.lang.Double.compare(a(i), b(i))
+          if (cmp != 0) return cmp
+          i += 1
+        }
+        java.lang.Integer.compare(a.length, b.length)
+      }
+    }
+    val points = points0.sorted(ord)
+    val kk = math.min(k, points.length)
+    if (kk == 0) return Array.empty
+    val d = points(0).length
+    var centers = Array.tabulate(kk)(i => points((i.toLong * points.length / kk).toInt).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Double](kk, d)
+      val cnts = new Array[Long](kk)
+      points.foreach { p =>
+        var best = 0
+        var bd = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          var dist = 0.0
+          var j = 0
+          while (j < d) { val df = p(j) - centers(c)(j); dist += df * df; j += 1 }
+          if (dist < bd) { bd = dist; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < d) { sums(best)(j) += p(j); j += 1 }
+        cnts(best) += 1
+      }
+      centers = Array.tabulate(kk) { c =>
+        if (cnts(c) > 0) {
+          val m = new Array[Double](d)
+          var j = 0
+          while (j < d) { m(j) = sums(c)(j) / cnts(c); j += 1 }
+          m
+        } else centers(c)
+      }
+      it += 1
+    }
+    centers
+  }
+
+  private def twoLevelCellsColOf(child: org.apache.spark.sql.Column, coarse: Array[Float],
+      sub: Array[Float], dim: Int, k2: Int, nprobe: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.{GraftColumns => ExpressionUtils}
+    ExpressionUtils.column(graft.functions.TwoLevelCells(
+      ExpressionUtils.expression(child), coarse, sub, dim, k2, nprobe))
   }
 
   /** nprobe-nearest-cell choice as a Column over the codegen'd
