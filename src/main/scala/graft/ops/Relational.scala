@@ -380,6 +380,27 @@ object Relational {
         |LIMIT 100""".stripMargin)
   }
 
+  // B36 — TPC-H Q2 shape: CORRELATED SCALAR MIN subquery (Q2's
+  // min-supplycost filter re-expressed on this corpus as "the cheapest
+  // line of each order"). The third classic decorrelation stress after
+  // b34's multi-EXISTS and b35's HAVING-IN: Catalyst must rewrite the
+  // per-row `= (SELECT min(...) WHERE correlated)` into ONE aggregate
+  // over lineitem joined back on l_orderkey — the aggregate runs once
+  // and shares its l_orderkey exchange shape with the outer join,
+  // never a subquery per outer row (PlanSpec-pinned). Equality on the
+  // min is exact: both engines take min over identical doubles.
+  // Identical SQL runs in DuckDB as the oracle.
+  def tpchQ2(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "orders").createOrReplaceTempView("orders")
+    table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT o_orderkey, l_linenumber, round(l_extendedprice, 4) AS price
+        |FROM orders JOIN lineitem l ON o_orderkey = l_orderkey
+        |WHERE l_extendedprice = (SELECT min(l2.l_extendedprice) FROM lineitem l2
+        |                         WHERE l2.l_orderkey = l.l_orderkey)
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin)
+  }
+
   // B13 — scalar function battery (string/date/math/CASE)
   def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "orders")
@@ -757,6 +778,7 @@ object Relational {
     "b33_tpch_q10" -> (tpchQ10 _),
     "b34_tpch_q21" -> (tpchQ21 _),
     "b35_tpch_q18" -> (tpchQ18 _),
+    "b36_tpch_q2" -> (tpchQ2 _),
     "b13_scalar_funcs" -> (scalarFuncs _),
     "b13b_scalar_funcs2" -> (scalarFuncs2 _),
     "b22_sql_subquery" -> (sqlSubquery _),
@@ -943,6 +965,12 @@ object Relational {
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, round(o_totalprice, 4)
         |ORDER BY totalprice DESC, o_orderdate, o_orderkey
         |LIMIT 100""".stripMargin,
+    "b36_tpch_q2" ->
+      """SELECT o_orderkey, l_linenumber, round(l_extendedprice, 4) AS price
+        |FROM orders JOIN lineitem l ON o_orderkey = l_orderkey
+        |WHERE l_extendedprice = (SELECT min(l2.l_extendedprice) FROM lineitem l2
+        |                         WHERE l2.l_orderkey = l.l_orderkey)
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
     "b13_scalar_funcs" ->
       """SELECT o_orderkey,
         |  upper(substr(o_orderpriority, 1, 3)) AS pri3,

@@ -78,6 +78,17 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("TakeOrderedAndProject"), s"q18 full sort:\n$p")
   }
 
+  test("B36: Q2 correlated scalar MIN decorrelates to one aggregate + join") {
+    val p = plan(Relational.tpchQ2(spark, dir))
+    // the per-row `= (SELECT min(...))` must become a single aggregate
+    // over lineitem hash-joined back on l_orderkey
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      s"q2 min subquery did not materialize as an aggregate:\n$p")
+    assert(!p.toLowerCase.contains("scalarsubquery"), s"q2 kept a per-row subquery:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q2 nested loop:\n$p")
+  }
+
   test("B5: fixed-size dims broadcast; fact joins do not nest loops") {
     val p = plan(Relational.joinMulti(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"nation/region not broadcast:\n$p")
