@@ -802,7 +802,7 @@ object Similarity {
     * planted truth. */
   private def plantedNoisy(base: DataFrame): DataFrame = plantedNoisy(base, plantedOffset(base))
 
-  private def plantedNoisy(base: DataFrame, offset: Long): DataFrame = {
+  private[graft] def plantedNoisy(base: DataFrame, offset: Long): DataFrame = {
     // non-core columns (label, …) pass through untouched, so the twin
     // frame unions cleanly with whatever schema the caller carries
     val passthrough = base.columns.toSeq
@@ -996,12 +996,32 @@ object Similarity {
     // explode; the corpus side is untouched.
     val np = spark.conf.getOption("graft.semdedup.probeCells")
       .map(_.toInt).getOrElse(2)
+    // A constant-population index (built under graft.semdedup.cellPop)
+    // carries its coarse codebook as `centroids2`: probe hierarchically
+    // — (k1+k2)·d per arrival instead of the flat k·d, which at fixed
+    // population grows linearly with the corpus. The np sub-cells come
+    // from within the nearest coarse branch (coarse-boundary misses are
+    // the accepted class, as in the batch op). Flat indexes (no coarse
+    // codebook) keep the flat probe unchanged.
+    val cellsCol =
+      if (IndexMeta.exists(spark, s"$indexDir/centroids2/_SUCCESS")) {
+        val co = spark.read.parquet(s"$indexDir/centroids2")
+          .select(col("cell1"), col("centroid"))
+          .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+        val coFlat = new Array[Float](co.length * dim)
+        co.foreach { case (c, a2) =>
+          var j = 0
+          while (j < dim) { coFlat(c * dim + j) = a2(j); j += 1 }
+        }
+        val k2 = cents.length / co.length
+        twoLevelCellsColOf(col("embedding"), coFlat, flat, dim, k2, np)
+      } else nearestCellsCol(flat, dim, np)
     // sigWords-driven width, never a literal: the corpus side's sigs are
     // INDEX-persisted (written with sigWords at build/append time), and
     // a drifted arrival width would null the join condition and silently
     // pass every duplicate (round-7 advice)
     val arr = arrivals
-      .withColumn("cell", explode(nearestCellsCol(flat, dim, np)))
+      .withColumn("cell", explode(cellsCol))
       .withColumn("sigs", expr(s"graft_srp_sign(embedding, 42L, $sigWords)"))
     val corpus = liveIndexVectors(spark, indexDir)
     val hamming = (0 until sigWords).map(i =>
@@ -1960,7 +1980,29 @@ object Similarity {
     GraftFunctions.register(spark)
     val e = embeddings
       .withColumn("features", array_to_vector(expr("cast(embedding as array<double>)")))
-    val model = fitCoarse(e)
+    // `graft.semdedup.cellPop` set → constant-population index: k = n/pop
+    // cells fit hierarchically (fitTwoLevel) and assigned with the fused
+    // TwoLevelCells kernel. The PERSISTED `centroids` table is the FLAT
+    // list of all k1·k2 global sub-centroids, so every existing reader
+    // (append assignment, compaction, ANN probes, c12b, c30) works
+    // unchanged — flat probes over it choose the same cells. The coarse
+    // codebook additionally persists as `centroids2`, which upgrades
+    // [[dedupSemanticIncremental]]'s arrival probe to the hierarchical
+    // (k1+k2)·d form — the piece that keeps probe cost flat as k grows
+    // linearly with the corpus.
+    val twoLevel = spark.conf.getOption("graft.semdedup.cellPop").map(_.toLong).map { p =>
+      val n = e.count()
+      val k = math.max(16, math.min(1 << 20,
+        math.ceil(n.toDouble / math.max(1L, p)).toInt))
+      fitTwoLevel(e, k)
+    }
+    val flatModel = if (twoLevel.isEmpty) Some(fitCoarse(e)) else None
+    val assigned = twoLevel match {
+      case Some((coFlat, subFlat, dim, k2)) =>
+        e.withColumn("cell",
+          twoLevelCellsColOf(col("embedding"), coFlat, subFlat, dim, k2, 1).getItem(0))
+      case None => flatModel.get.transform(e)
+    }
     // The layout lands in a fresh GENERATION dir (vectors.gNNNNN) and
     // becomes live when Spark's _SUCCESS commits it — the IndexMeta
     // protocol that replaced the round-6 java.nio directory renames
@@ -1969,7 +2011,7 @@ object Similarity {
     // the next generation and GCs the old ones after commit, so a
     // crash mid-rebuild leaves the previous generation live.
     val (genDir, oldGens) = IndexMeta.nextGen(spark, indexDir)
-    model.transform(e)
+    assigned
       .withColumn("sigs", expr(s"graft_srp_sign(embedding, 42L, $sigWords)"))
       .select(col("vec_id"), col("embedding"), col("sigs"), col("cell"))
       // Cluster each cell into one task before the partitioned write:
@@ -1992,12 +2034,29 @@ object Similarity {
       // 8-byte ids would then funnel through one task at cluster scale)
       .repartition(spark.sparkContext.defaultParallelism)
       .write.mode("overwrite").parquet(idsGen)
-    val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat).toSeq)
-    }
     import spark.implicits._
-    cents.toSeq.toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    twoLevel match {
+      case Some((coFlat, subFlat, dim, k2)) =>
+        val subCents = (0 until subFlat.length / dim).map(i =>
+          (i, (0 until dim).map(j => subFlat(i * dim + j))))
+        subCents.toDF("cell", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+        val coCents = (0 until coFlat.length / dim).map(i =>
+          (i, (0 until dim).map(j => coFlat(i * dim + j))))
+        // k2 is derivable (centroids rows / centroids2 rows) — no
+        // separate metadata file to keep in sync
+        coCents.toDF("cell1", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids2")
+      case None =>
+        // a √n REBUILD over a former two-level index must not leave a
+        // stale coarse codebook steering the hierarchical probe
+        IndexMeta.delete(spark, s"$indexDir/centroids2")
+        val cents = flatModel.get.clusterCenters.zipWithIndex.map { case (c, i) =>
+          (i, c.toArray.map(_.toFloat).toSeq)
+        }
+        cents.toSeq.toDF("cell", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    }
     (oldGens ++ oldIds).foreach(IndexMeta.delete(spark, _))
     // stale tombstones name ids of the REPLACED corpus — they must not
     // suppress rows of the rebuilt one

@@ -332,6 +332,42 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     assert(falseDrops.isEmpty, s"held-out arrivals wrongly dropped: ${falseDrops.take(5)}")
   }
 
+  test("C2 incremental semantic dedup over a constant-population index: drops match the flat index") {
+    // index built under graft.semdedup.cellPop persists the flat global
+    // sub-centroid table (legacy readers unchanged) PLUS the coarse
+    // codebook (centroids2), and the incremental probe goes
+    // hierarchical. The planted-twin drop set must match the flat
+    // index's exactly at this scale.
+    val e = Relational.table(spark, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") % 20 =!= 7).select(col("vec_id"), col("embedding"))
+    val off = Similarity.plantedOffset(e)
+    val arrivals = e.filter(col("vec_id") % 20 === 7)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(Similarity.plantedNoisy(corpus, off).select(col("vec_id"), col("embedding")))
+      .localCheckpoint()
+    val flatIdx = java.nio.file.Files.createTempDirectory("graft_inc_flat").toString
+    Similarity.buildIvfIndexFrom(spark, corpus, flatIdx)
+    val flat = Similarity.dedupSemanticIncremental(spark, flatIdx, arrivals)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val popIdx = java.nio.file.Files.createTempDirectory("graft_inc_pop").toString
+    spark.conf.set("graft.semdedup.cellPop", "100")
+    try {
+      Similarity.buildIvfIndexFrom(spark, corpus, popIdx)
+      assert(graft.ops.IndexMeta.exists(spark, s"$popIdx/centroids2/_SUCCESS"),
+        "two-level build did not persist the coarse codebook")
+      val popped = Similarity.dedupSemanticIncremental(spark, popIdx, arrivals)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(popped === flat,
+        s"two-level index changed the drop set: extra=${(popped -- flat).take(5)} " +
+          s"missing=${(flat -- popped).take(5)}")
+    } finally spark.conf.unset("graft.semdedup.cellPop")
+    // and a √n rebuild over the two-level index retires the coarse
+    // codebook so the flat probe resumes
+    Similarity.buildIvfIndexFrom(spark, corpus, popIdx)
+    assert(!graft.ops.IndexMeta.exists(spark, s"$popIdx/centroids2/_SUCCESS"),
+      "sqrt-n rebuild left a stale coarse codebook")
+  }
+
   test("compaction cadence: file-count trigger compacts once, then holds") {
     val idx = java.nio.file.Files.createTempDirectory("graft_cadence_spec").toString
     val e = Relational.table(spark, dir, "embeddings")
