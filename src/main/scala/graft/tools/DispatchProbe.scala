@@ -32,6 +32,10 @@ object DispatchProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF="k=v,k=v" — session confs for knob rehearsals
+    // (e.g. graft.semdedup.cellPop to price the two-level index probe)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.nonEmpty)
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
     def minOf2(body: => Long): (Long, Double) = {
       def once() = { val t0 = System.nanoTime(); val r = body
         (r, (System.nanoTime() - t0) / 1e9) }
