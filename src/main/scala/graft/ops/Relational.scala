@@ -401,6 +401,33 @@ object Relational {
         |ORDER BY o_orderkey, l_linenumber""".stripMargin)
   }
 
+  // B37 — TPC-H Q15 shape: a CTE referenced twice (join side + an
+  // uncorrelated scalar MAX subquery over it) — the top-supplier
+  // report. The planner stress is CTE/exchange REUSE: the revenue
+  // aggregate must materialize once and feed both consumers (Spark
+  // plans the scalar max as a separate subquery stage over the same
+  // aggregate; AQE reuses the exchange), and the scalar subquery is
+  // uncorrelated → evaluated once, broadcast as a literal into the
+  // filter — never per row. Money sums via msumSpark on the Spark side
+  // (the b12c DECIMAL trap lives in shared SQL text). Equality on the
+  // rounded total is exact in double. Identical SQL (msum form) runs
+  // in DuckDB as the oracle.
+  def tpchQ15(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    table(spark, dir, "supplier").createOrReplaceTempView("supplier")
+    spark.sql(
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey AS supplier_no,
+         |         ${msumSpark("l_extendedprice * (1 - l_discount)")} AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+         |ORDER BY s_suppkey""".stripMargin)
+  }
+
   // B13 — scalar function battery (string/date/math/CASE)
   def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "orders")
@@ -779,6 +806,7 @@ object Relational {
     "b34_tpch_q21" -> (tpchQ21 _),
     "b35_tpch_q18" -> (tpchQ18 _),
     "b36_tpch_q2" -> (tpchQ2 _),
+    "b37_tpch_q15" -> (tpchQ15 _),
     "b13_scalar_funcs" -> (scalarFuncs _),
     "b13b_scalar_funcs2" -> (scalarFuncs2 _),
     "b22_sql_subquery" -> (sqlSubquery _),
@@ -971,6 +999,17 @@ object Relational {
         |WHERE l_extendedprice = (SELECT min(l2.l_extendedprice) FROM lineitem l2
         |                         WHERE l2.l_orderkey = l.l_orderkey)
         |ORDER BY o_orderkey, l_linenumber""".stripMargin,
+    "b37_tpch_q15" ->
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey AS supplier_no,
+         |         ${msum("l_extendedprice * (1 - l_discount)")} AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+         |ORDER BY s_suppkey""".stripMargin,
     "b13_scalar_funcs" ->
       """SELECT o_orderkey,
         |  upper(substr(o_orderpriority, 1, 3)) AS pri3,

@@ -89,6 +89,19 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"q2 nested loop:\n$p")
   }
 
+  test("B37: Q15 CTE + uncorrelated scalar MAX — subquery evaluated once, not per row") {
+    val p = plan(Relational.tpchQ15(spark, dir))
+    // the uncorrelated max over the revenue CTE plans as a one-shot
+    // Subquery stage feeding a literal into the filter — visible as a
+    // scalar-subquery reference, NOT a join per outer row
+    assert(p.contains("Subquery") || p.contains("subquery"),
+      s"q15 scalar max not planned as a one-shot subquery:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q15 nested loop:\n$p")
+    // the revenue aggregate exists in the plan (partial+final HashAggregate)
+    assert(p.contains("HashAggregate"), s"q15 revenue aggregate missing:\n$p")
+  }
+
   test("B5: fixed-size dims broadcast; fact joins do not nest loops") {
     val p = plan(Relational.joinMulti(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"nation/region not broadcast:\n$p")
