@@ -1003,19 +1003,7 @@ object Similarity {
     // from within the nearest coarse branch (coarse-boundary misses are
     // the accepted class, as in the batch op). Flat indexes (no coarse
     // codebook) keep the flat probe unchanged.
-    val cellsCol =
-      if (IndexMeta.exists(spark, s"$indexDir/centroids2/_SUCCESS")) {
-        val co = spark.read.parquet(s"$indexDir/centroids2")
-          .select(col("cell1"), col("centroid"))
-          .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
-        val coFlat = new Array[Float](co.length * dim)
-        co.foreach { case (c, a2) =>
-          var j = 0
-          while (j < dim) { coFlat(c * dim + j) = a2(j); j += 1 }
-        }
-        val k2 = cents.length / co.length
-        twoLevelCellsColOf(col("embedding"), coFlat, flat, dim, k2, np)
-      } else nearestCellsCol(flat, dim, np)
+    val cellsCol = indexCellsCol(spark, indexDir, flat, dim, np)
     // sigWords-driven width, never a literal: the corpus side's sigs are
     // INDEX-persisted (written with sigWords at build/append time), and
     // a drifted arrival width would null the join condition and silently
@@ -2237,7 +2225,10 @@ object Similarity {
       while (j < dim) { flat(c * dim + j) = arr(j); j += 1 }
     }
     newVectors
-      .withColumn("cell", element_at(nearestCellsCol(flat, dim, 1), 1))
+      // indexCellsCol, NOT a bare flat argmin: on a constant-population
+      // index the PROBE searches hierarchically, so placement must use
+      // the same kernel or boundary-cell vectors become unfindable
+      .withColumn("cell", element_at(indexCellsCol(spark, indexDir, flat, dim, 1), 1))
       .withColumn("sigs", expr(s"graft_srp_sign(embedding, 42L, $sigWords)"))
       .select(col("vec_id"), col("embedding"), col("sigs"), col("cell"))
       // One exchange of the (small) batch so each cell lands in exactly
@@ -2594,6 +2585,31 @@ object Similarity {
     ExpressionUtils.column(graft.functions.TwoLevelCells(
       ExpressionUtils.expression(child), coarse, sub, dim, k2, nprobe))
   }
+
+  /** THE cell-choice kernel for an index at `indexDir`, given its flat
+    * sub-centroid matrix: hierarchical ([[TwoLevelCells]] through the
+    * persisted `centroids2` coarse codebook) when the index was built
+    * constant-population, flat [[NearestCells]] otherwise. EVERY reader
+    * and writer of the index must route through this — the append path
+    * placing a vector with a different kernel than the probe searches
+    * with silently loses the vector in boundary cells (caught by the
+    * cycle-under-cellPop spec: 10 of 25 appended-survivor twins missed
+    * when append used the flat-global argmin against a hierarchical
+    * probe — the sigWords width-drift lesson, applied to cell choice). */
+  private def indexCellsCol(spark: SparkSession, indexDir: String,
+      flat: Array[Float], dim: Int, nprobe: Int): org.apache.spark.sql.Column =
+    if (IndexMeta.exists(spark, s"$indexDir/centroids2/_SUCCESS")) {
+      val co = spark.read.parquet(s"$indexDir/centroids2")
+        .select(col("cell1"), col("centroid"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+      val coFlat = new Array[Float](co.length * dim)
+      co.foreach { case (c, a2) =>
+        var j = 0
+        while (j < dim) { coFlat(c * dim + j) = a2(j); j += 1 }
+      }
+      val k2 = (flat.length / dim) / co.length
+      twoLevelCellsColOf(col("embedding"), coFlat, flat, dim, k2, nprobe)
+    } else nearestCellsCol(flat, dim, nprobe)
 
   /** nprobe-nearest-cell choice as a Column over the codegen'd
     * [[graft.functions.NearestCells]]: the k×dim centroid matrix rides

@@ -504,6 +504,25 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
       s"unexpected extra drops: ${(drops2.keySet -- caught.keySet).take(5)}")
   }
 
+  test("C2 semantic-dedup append cycle under cellPop: identical drops through the two-level index") {
+    // pins the WHOLE lifecycle (build → probe → append → probe) on the
+    // constant-population index: batch-1 twins drop against the
+    // hierarchical index, batch-1 survivors append (flat-global cell
+    // choice over the sub-centroid table), batch-2 twins of those
+    // survivors drop through the hierarchical probe — same drop map as
+    // the default sqrt-n cycle at this scale.
+    val base = Similarity.queries("c2_dedup_semantic_cycle")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    spark.conf.set("graft.semdedup.cellPop", "100")
+    try {
+      val popped = Similarity.queries("c2_dedup_semantic_cycle")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(popped === base,
+        s"cellPop cycle diverged: extra=${(popped.toSet -- base.toSet).take(5)} " +
+          s"missing=${(base.toSet -- popped.toSet).take(5)}")
+    } finally spark.conf.unset("graft.semdedup.cellPop")
+  }
+
   test("C3 IVF ANN: high recall vs exact top-k") {
     val exact = Similarity.simTopK(spark, dir).select("vec_id").collect().map(_.getLong(0)).toSet
     val approx = Similarity.annIvf(spark, dir).select("vec_id").collect().map(_.getLong(0)).toSet
