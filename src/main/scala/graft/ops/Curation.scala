@@ -79,6 +79,60 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  // C12c — BLOOM-FILTER decontamination: the 100 TB shape of c12. The
+  // broadcast-join design ships the eval gram SET to every task —
+  // exact, but the broadcast grows with the eval suite (8 bytes per
+  // distinct gram; a 10M-gram suite is an 80 MB relation PLUS a join
+  // probe per corpus gram). Here the eval grams fold into ONE Bloom
+  // filter (~1.8 MB at 1M grams / 0.1% FPR — 40× smaller than the
+  // set), the filter rides the plan as a literal, and the corpus side
+  // is a pure MAP: `BloomFilterMightContain` (the exact expression
+  // Spark's runtime row-level filtering injects — public engine
+  // doctrine, reused here deliberately) evaluates per gram with zero
+  // join, zero corpus-side exchange before the per-doc count.
+  // Approximate by construction (FPR one-sided: flags ⊇ the exact
+  // join's flags, never misses a contaminated gram) → rows-only;
+  // superset-of-exact + bounded-overcount + determinism pinned in the
+  // spec. Eval-side hashing is the SAME xxhash64 gram pipeline as c12,
+  // so the two ops are comparable row-for-row.
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.{GraftColumns => EU}
+    val grams = Relational.table(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(array(split(text, ' ')), toks ->
+           |  CASE WHEN size(toks) >= $ngramN THEN
+           |    array_distinct(transform(sequence(0, size(toks) - $ngramN),
+           |      i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $ngramN)))))
+           |  ELSE array() END)[0]""".stripMargin)).as("gram_h"))
+    val evalG = grams.filter(col("doc_id") % 20 === 0).select(col("gram_h")).distinct()
+    // sizing: expectedNumItems from a count (O(1)-result job).
+    // `graft.decontam.bloomFpp` (default 0.1%) trades filter bytes for
+    // per-gram false-positive rate — a production run sizes it so
+    // corpusGrams·fpp stays far below the flag threshold consumers
+    // apply (e.g. 1e-8 costs ~5× the bits of 1e-3 and silences FPs on
+    // a 10^12-gram corpus); the filter grows only logarithmically in
+    // 1/fpp, so even extreme settings broadcast comfortably
+    val fpp = spark.conf.getOption("graft.decontam.bloomFpp")
+      .map(_.toDouble).getOrElse(0.001)
+    val nEval = evalG.count()
+    val bf = evalG.stat.bloomFilter("gram_h", math.max(1000L, nEval), fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain = EU.column(new BloomFilterMightContain(
+      Literal.create(bytes, org.apache.spark.sql.types.BinaryType),
+      EU.expression(col("gram_h"))))
+    grams.filter(col("doc_id") % 20 =!= 0)
+      .filter(mightContain)
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("gram_h")).as("n_flagged"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------- C13 stratified sampling
 
   /** Modulus for the pre-multiply reduction: any doc_id maps into
@@ -558,6 +612,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c12_decontaminate" -> (decontaminate _),
+    "c12c_decontaminate_bloom" -> (decontaminateBloom _),
     "c13_sample_stratified" -> (sampleStratified _),
     "c14_dedup_cluster" -> (dedupCluster _),
     "c28_dedup_cluster_incremental" -> (dedupClusterIncremental _),

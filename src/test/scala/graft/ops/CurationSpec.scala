@@ -39,6 +39,48 @@ class CurationSpec extends AnyFunSuite with SparkTestSession {
     assert(flagged.toSeq === Seq(1L))
   }
 
+  test("decontaminateBloom: superset of the exact join, bounded overcount, deterministic") {
+    // the 100 TB decontam shape: the map-only BloomFilterMightContain
+    // pass must NEVER miss a contaminated doc (FPR is one-sided), and
+    // its false positives must sit within the configured 0.1% budget
+    val exact = Curation.queries("c12_decontaminate")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val bloom = Curation.queries("c12c_decontaminate_bloom")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // superset: every exactly-contaminated doc flagged, never undercounted
+    exact.foreach { case (id, n) =>
+      assert(bloom.getOrElse(id, 0L) >= n,
+        s"doc $id undercounted: bloom ${bloom.getOrElse(id, 0L)} < exact $n")
+    }
+    // bounded overcount: total false-positive gram flags ≤ 10× the
+    // 0.1% FPR budget over the corpus gram population (loose bound —
+    // pins the mechanism, not the RNG)
+    val corpusGrams = Relational.table(spark, sf, "documents")
+      .filter(col("doc_id") % 20 =!= 0)
+      .select(explode(expr(
+        """transform(array(split(text, ' ')), toks ->
+          |  CASE WHEN size(toks) >= 13 THEN
+          |    array_distinct(transform(sequence(0, size(toks) - 13),
+          |      i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 13)))))
+          |  ELSE array() END)[0]""".stripMargin)).as("h"))
+      .count()
+    val extra = bloom.map { case (id, n) => n - exact.getOrElse(id, 0L) }.sum
+    assert(extra <= math.max(2L, corpusGrams / 100),
+      s"bloom overcount $extra exceeds 1% of $corpusGrams corpus grams (fpp is 0.1%)")
+    // refit determinism: a second run is bit-identical (stat.bloomFilter
+    // seeds from the column, not an RNG)
+    val again = Curation.queries("c12c_decontaminate_bloom")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(again === bloom, "bloom decontamination not deterministic across runs")
+  }
+
+  test("decontaminateBloom plan: map-only corpus side — no join anywhere") {
+    val p = Curation.queries("c12c_decontaminate_bloom")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), s"BloomFilterMightContain missing from plan:\n$p")
+    assert(!p.contains("Join"), s"bloom decontamination pays a join:\n$p")
+  }
+
   test("decontaminate: xxhash64 gram keys are collision-free on the whole corpus") {
     // the oracle joins on gram STRINGS, the operator on 64-bit hashes;
     // they agree iff no two distinct grams share a hash — proven exactly
