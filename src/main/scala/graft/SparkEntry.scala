@@ -34,7 +34,13 @@ object SparkEntry {
     // into one task (56 s single-threaded vs ~8 s parallel).
     val src = Relational.table(spark, dir, "lineitem")
     val sizeBytes = src.queryExecution.optimizedPlan.stats.sizeInBytes
-    val compressionFactor = 8L
+    // `graft.io.compressionFactor`: raw-bytes-per-compressed-byte of the
+    // SOURCE files (sizeInBytes is the compressed file size). Default 8
+    // is the measured zstd-parquet ratio on this data (BASELINE.md); a
+    // differently-compressed source (snappy ~4, uncompressed 1) should
+    // set it so write parallelism tracks actual raw volume.
+    val compressionFactor = spark.conf.getOption("graft.io.compressionFactor")
+      .map(_.toLong).getOrElse(8L)
     val target = (sizeBytes * compressionFactor / (64L << 20)).toLong.toInt.max(1)
       .min(spark.sparkContext.defaultParallelism)
     val sized = if (target > src.rdd.getNumPartitions) src.repartition(target) else src

@@ -60,16 +60,22 @@ object Curation {
     * the whole test corpus. The oracle compares the strings directly —
     * identical output absent collisions.
     */
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    // gram work must scale with cores, not input file count
-    val grams = Relational.table(spark, dir, "documents")
-      .repartition(spark.sparkContext.defaultParallelism)
+  /** Shared (doc_id, gram_h) 13-gram hash projection for both
+    * decontamination paths. Sized via [[Scale.sizeForCompute]]: gram
+    * work must scale with cores on an under-partitioned local source,
+    * but a many-partitioned production scan flows through with ZERO
+    * exchange before the projection (PlanSpec-pinned). */
+  private[graft] def gramHashes(spark: SparkSession, docs: DataFrame): DataFrame =
+    Scale.sizeForCompute(docs)
       .select(col("doc_id"), explode(expr(
         s"""transform(array(split(text, ' ')), toks ->
            |  CASE WHEN size(toks) >= $ngramN THEN
            |    array_distinct(transform(sequence(0, size(toks) - $ngramN),
            |      i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $ngramN)))))
            |  ELSE array() END)[0]""".stripMargin)).as("gram_h"))
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val grams = gramHashes(spark, Relational.table(spark, dir, "documents"))
     val evalGrams = grams.filter(col("doc_id") % 20 === 0)
       .select(col("gram_h")).distinct()
     grams.filter(col("doc_id") % 20 =!= 0)
@@ -98,15 +104,13 @@ object Curation {
   def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graft.{GraftColumns => EU}
-    val grams = Relational.table(spark, dir, "documents")
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), explode(expr(
-        s"""transform(array(split(text, ' ')), toks ->
-           |  CASE WHEN size(toks) >= $ngramN THEN
-           |    array_distinct(transform(sequence(0, size(toks) - $ngramN),
-           |      i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $ngramN)))))
-           |  ELSE array() END)[0]""".stripMargin)).as("gram_h"))
+    val grams = gramHashes(spark, Relational.table(spark, dir, "documents"))
+    // localCheckpoint (eager): the eval gram explode is materialized
+    // ONCE and feeds both the sizing count and the filter build — the
+    // small side by construction, so the blocks are bounded; without it
+    // the eval-side gram lineage re-runs per job (two full eval scans).
     val evalG = grams.filter(col("doc_id") % 20 === 0).select(col("gram_h")).distinct()
+      .localCheckpoint()
     // sizing: expectedNumItems from a count (O(1)-result job).
     // `graft.decontam.bloomFpp` (default 0.1%) trades filter bytes for
     // per-gram false-positive rate — a production run sizes it so

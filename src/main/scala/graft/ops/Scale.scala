@@ -23,6 +23,35 @@ import org.apache.spark.sql.functions._
  */
 object Scale {
 
+  /** Size a compute-heavy scan for parallelism WITHOUT a gratuitous
+    * shuffle: repartition up to core parallelism ONLY when the source
+    * arrives under-partitioned (the local single-file testdata shape —
+    * shingle/gram/signature work at file-count parallelism starves
+    * every core but a few, watched at sf1). A production 100 TB scan
+    * arrives thousands-partitioned and passes through UNTOUCHED:
+    * repartitioning it would shuffle every corpus text byte before the
+    * first projection, contradicting the zero-corpus-side-exchange
+    * design of the gram/shingle family. This is the `a2_roundtrip`
+    * sizing doctrine (SparkEntry) applied to the whole family;
+    * PlanSpec pins no-Exchange on a many-partitioned source. */
+  def sizeForCompute(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
+  /** Size a small-row (8-byte id column) WRITE: repartition up for
+    * parallelism when under-partitioned; when the source arrives far
+    * more-partitioned than cores, coalesce — shuffle-FREE — to bound
+    * the output file count (a fragmented ids sidecar is exactly what
+    * its read-guard cost model forbids; see appendToIvfIndex). */
+  def sizeForWrite(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val n = df.rdd.getNumPartitions
+    if (n < cores) df.repartition(cores)
+    else if (n > cores * 4) df.coalesce(cores * 4)
+    else df
+  }
+
   /** Deterministic salt: hash of the whole row spreads a hot key's rows
     * across buckets without RNG state (reproducible on any cluster). */
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String, smallKey: String,

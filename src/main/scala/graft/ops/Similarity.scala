@@ -72,9 +72,10 @@ object Similarity {
     * formulation takes seconds). Each shingle is hashed ONCE to a long;
     * per-plane values are `xxhash64(h, plane)` — long arithmetic only,
     * no per-row string building, deterministic on any cluster. */
-  /** Callers must pass docs repartitioned to core parallelism BEFORE the
+  /** Callers must size docs via [[Scale.sizeForCompute]] BEFORE the
     * shingle projection (see shingledDocs): signature work must scale
-    * with cores, not input file count. */
+    * with cores on an under-partitioned source, with zero corpus-side
+    * exchange on a many-partitioned one. */
   /** The stateless banded-minhash projection, shared VERBATIM by the
     * batch candidate join below and the streaming composition (c22) —
     * one formula, two execution modes. */
@@ -119,15 +120,15 @@ object Similarity {
   // candidate set only (array_intersect of the two shingle sets — no
   // shingle explosion). Deterministic; approximate candidate generation →
   // rows-only check, recall asserted against dedupNgram in the spec.
-  /** Repartition the RAW text to core parallelism, THEN shingle: the
-    * corpus arrives in a handful of file-sized partitions, and shingle +
-    * signature work at file-count parallelism starves every core but
-    * four (watched at sf1). Shuffling text (~2 KB/row) instead of the
-    * computed shingle arrays (~5 KB/row) halves the exchange, and the
-    * single exchange is reused by every downstream consumer. */
+  /** Size the RAW text scan, THEN shingle ([[Scale.sizeForCompute]]):
+    * an under-partitioned local source repartitions up so shingle +
+    * signature work scales with cores (shuffling text ~2 KB/row beats
+    * shuffling computed shingle arrays ~5 KB/row, and the single
+    * exchange is reused by every downstream consumer); a production
+    * many-partitioned scan flows through with ZERO corpus-side
+    * exchange (PlanSpec-pinned). */
   private def shingledDocs(spark: SparkSession, dir: String): DataFrame =
-    withShingles(Relational.table(spark, dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism))
+    withShingles(Scale.sizeForCompute(Relational.table(spark, dir, "documents")))
       .select(col("doc_id"), col("shingles"))
 
   def dedupMinHash(spark: SparkSession, dir: String): DataFrame = {
@@ -369,10 +370,8 @@ object Similarity {
   def nearDupRepPairs(spark: SparkSession, dir: String): DataFrame = {
     val reps = exactDupGroups(spark, dir)
       .filter(col("doc_id") === col("rep")).select(col("doc_id"))
-    val docs = withShingles(
-      Relational.table(spark, dir, "documents")
-        .join(reps, "doc_id")
-        .repartition(spark.sparkContext.defaultParallelism))
+    val docs = withShingles(Scale.sizeForCompute(
+      Relational.table(spark, dir, "documents").join(reps, "doc_id")))
       .select(col("doc_id"), col("shingles"))
     minhashCandidates(docs)
       .select(col("da"), col("db"), expr(
@@ -450,7 +449,7 @@ object Similarity {
   /** (doc_id, hs) projection of a raw documents frame — the only pass
     * that reads text; everything downstream is 8-byte longs. */
   private[graft] def hashedShingles(spark: SparkSession, docs: DataFrame): DataFrame =
-    withShingles(docs.repartition(spark.sparkContext.defaultParallelism))
+    withShingles(Scale.sizeForCompute(docs))
       .select(col("doc_id"),
         expr("array_distinct(transform(shingles, s -> xxhash64(s)))").as("hs"))
 
@@ -704,10 +703,10 @@ object Similarity {
   // enough to cut log(n)-bit keys from).
   def dedupSimHash(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    // repartition before the hash/vote projections — signature work must
-    // scale with cores, not input file count (see minhashCandidates)
-    val docs = Relational.table(spark, dir, "documents")
-      .repartition(spark.sparkContext.defaultParallelism)
+    // size before the hash/vote projections — signature work must scale
+    // with cores on an under-partitioned source, with zero exchange on
+    // a many-partitioned one (Scale.sizeForCompute doctrine)
+    val docs = Scale.sizeForCompute(Relational.table(spark, dir, "documents"))
       .withColumn("hashes", expr("transform(split(text, ' '), t -> xxhash64(t))"))
       .withColumn("sigs", expr("graft_simhash(hashes, 4)"))
       .select(col("doc_id"), col("sigs"))
@@ -837,8 +836,7 @@ object Similarity {
     val bBits = math.min(56, math.max(32,
       math.ceil(math.log(n.toDouble) / math.log(1.5)).toInt + 4))
     val mask = (1L << bBits) - 1
-    val e = base.unionByName(noisy)
-      .repartition(spark.sparkContext.defaultParallelism)
+    val e = Scale.sizeForCompute(base.unionByName(noisy))
       .withColumn("sigs", expr("graft_srp_sign(embedding, 42L, 8)"))
     // sigs bound once inside the band transform — otherwise the optimizer
     // may inline the whole 512-plane projection per band (see withShingles)
@@ -890,8 +888,7 @@ object Similarity {
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val base = Relational.table(spark, dir, "embeddings")
-    val all = base.unionByName(plantedNoisy(base))
-      .repartition(spark.sparkContext.defaultParallelism)
+    val all = Scale.sizeForCompute(base.unionByName(plantedNoisy(base)))
       .withColumn("features",
         array_to_vector(expr("cast(embedding as array<double>)")))
     // `graft.semdedup.cellPop` set → constant-population mode: k = n/pop
@@ -930,7 +927,9 @@ object Similarity {
     // only survivors reach the exact-cosine verify joins. Production
     // corpora additionally hold cluster POPULATION constant (k = n/pop
     // instead of √n) to make enumeration itself linear — the
-    // `graft.semdedup.cellPop` conf, consumed by fitCoarse.
+    // `graft.semdedup.cellPop` conf, consumed by dedupSemantic and
+    // buildIvfIndexFrom (which then fit the two-level quantizer and
+    // assign through the shared indexCellsCol kernel).
     val ids = a.select(col("vec_id"), col("cell"), col("sigs"))
     // four unrolled word popcounts, NOT aggregate(zip_with(...)): a HOF
     // in the join predicate allocates arrays per ENUMERATED pair — the
@@ -2017,14 +2016,27 @@ object Similarity {
     // append cost in that guard's file opens — BASELINE.md round 7).
     // Same generation protocol as the layout; appends add one file.
     val (idsGen, oldIds) = IndexMeta.nextGen(spark, indexDir, "ids")
-    embeddings.select(col("vec_id"))
-      // parallel write, bounded file count (NOT coalesce(1): billions of
-      // 8-byte ids would then funnel through one task at cluster scale)
-      .repartition(spark.sparkContext.defaultParallelism)
+    // parallel write, bounded file count (NOT coalesce(1): billions of
+    // 8-byte ids would then funnel through one task at cluster scale);
+    // sizeForWrite coalesces shuffle-free when the batch arrives
+    // over-partitioned instead of paying a repartition exchange
+    Scale.sizeForWrite(embeddings.select(col("vec_id")))
       .write.mode("overwrite").parquet(idsGen)
     import spark.implicits._
     twoLevel match {
       case Some((coFlat, subFlat, dim, k2)) =>
+        // Codebook crash-ordering: retire the OLD coarse codebook, write
+        // the flat sub-centroid table, write the new coarse codebook
+        // LAST. The two tables are separate non-atomic overwrites, so
+        // every crash window must leave a usable pair: before the
+        // centroids2 rewrite the index reads as a FLAT index over the
+        // new sub-centroids (correct cells, slower probe); a crash mid
+        // centroids2-write leaves it uncommitted and indexCellsCol's
+        // `_SUCCESS` check falls back to flat. A new-coarse/old-flat
+        // mismatch (the dangerous pairing — k2 mis-derives) can never
+        // exist on disk. indexCellsCol additionally validates
+        // divisibility as defense in depth.
+        IndexMeta.delete(spark, s"$indexDir/centroids2")
         val subCents = (0 until subFlat.length / dim).map(i =>
           (i, (0 until dim).map(j => subFlat(i * dim + j))))
         subCents.toDF("cell", "centroid")
@@ -2321,7 +2333,7 @@ object Similarity {
     // the tombstoned-away ids): re-inserting those ids then fails
     // loudly until rebuildIdsSidecar — never silently duplicates.
     val (idsNext, oldIds) = IndexMeta.nextGen(spark, indexDir, "ids")
-    v.select(col("vec_id")).repartition(spark.sparkContext.defaultParallelism)
+    Scale.sizeForWrite(v.select(col("vec_id")))
       .write.mode("overwrite").parquet(idsNext)
     oldGens.foreach(IndexMeta.delete(spark, _))
     oldIds.foreach(IndexMeta.delete(spark, _))
@@ -2365,8 +2377,8 @@ object Similarity {
     * every append, paid once per repair. */
   def rebuildIdsSidecar(spark: SparkSession, indexDir: String): Unit = {
     val (idsNext, oldIds) = IndexMeta.nextGen(spark, indexDir, "ids")
-    spark.read.parquet(liveVectorsPath(spark, indexDir)).select(col("vec_id"))
-      .repartition(spark.sparkContext.defaultParallelism)
+    Scale.sizeForWrite(
+      spark.read.parquet(liveVectorsPath(spark, indexDir)).select(col("vec_id")))
       .write.mode("overwrite").parquet(idsNext)
     oldIds.foreach(IndexMeta.delete(spark, _))
   }
@@ -2494,16 +2506,21 @@ object Similarity {
     val coarseModel = new KMeans().setK(k1).setSeed(42L).setMaxIter(20)
       .setFeaturesCol("features").setPredictionCol("cell1").fit(train)
     val (coarseFlat, dim) = centroidMatrix(coarseModel)
+    // k1 from the FITTED model, not the request: Spark KMeans returns
+    // fewer than k centers on duplicate-heavy or tiny samples (exactly
+    // the dedup-corpus shape); sizing subFlat with the requested k1
+    // would fail TwoLevelCells' k1·k2·dim length check downstream.
+    val k1f = coarseFlat.length / dim
     val subs: Map[Int, Array[Array[Double]]] = train
       .withColumn("cell1", nearestCellsColOf(col("embedding"), coarseFlat, dim, 1).getItem(0))
       .select(col("cell1"), col("embedding"))
       .rdd.map(r => (r.getInt(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
-      .groupByKey(k1)
+      .groupByKey(k1f)
       .mapValues(vs => localLloyd(vs.toArray, k2, 10))
       .collect().toMap // ≤ k1 rows of k2×d doubles — driver-safe
-    val subFlat = new Array[Float](k1 * k2 * dim)
+    val subFlat = new Array[Float](k1f * k2 * dim)
     var c = 0
-    while (c < k1) {
+    while (c < k1f) {
       val cs = subs.getOrElse(c, Array.empty)
       var s = 0
       while (s < k2) {
@@ -2607,8 +2624,15 @@ object Similarity {
         var j = 0
         while (j < dim) { coFlat(c * dim + j) = a2(j); j += 1 }
       }
-      val k2 = (flat.length / dim) / co.length
-      twoLevelCellsColOf(col("embedding"), coFlat, flat, dim, k2, nprobe)
+      // defense in depth against a mismatched coarse/sub codebook pair
+      // (a crash that survives the write-ordering in buildIvfIndexFrom,
+      // or a hand-edited index): a non-dividing pair cannot be a valid
+      // two-level codebook — fall back to the flat probe, which is
+      // correct for ANY sub-centroid table, rather than mis-derive k2
+      if (co.nonEmpty && (flat.length / dim) % co.length == 0) {
+        val k2 = (flat.length / dim) / co.length
+        twoLevelCellsColOf(col("embedding"), coFlat, flat, dim, k2, nprobe)
+      } else nearestCellsCol(flat, dim, nprobe)
     } else nearestCellsCol(flat, dim, nprobe)
 
   /** nprobe-nearest-cell choice as a Column over the codegen'd

@@ -507,10 +507,12 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
   test("C2 semantic-dedup append cycle under cellPop: identical drops through the two-level index") {
     // pins the WHOLE lifecycle (build → probe → append → probe) on the
     // constant-population index: batch-1 twins drop against the
-    // hierarchical index, batch-1 survivors append (flat-global cell
-    // choice over the sub-centroid table), batch-2 twins of those
-    // survivors drop through the hierarchical probe — same drop map as
-    // the default sqrt-n cycle at this scale.
+    // hierarchical index, batch-1 survivors append through the SAME
+    // indexCellsCol hierarchical kernel the probe uses (a round-9 bug
+    // placed them flat-global while the probe searched
+    // branch-restricted — 40% of appended-survivor twins unfindable),
+    // batch-2 twins of those survivors drop through the hierarchical
+    // probe — same drop map as the default sqrt-n cycle at this scale.
     val base = Similarity.queries("c2_dedup_semantic_cycle")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     spark.conf.set("graft.semdedup.cellPop", "100")
