@@ -428,6 +428,88 @@ object Relational {
          |ORDER BY s_suppkey""".stripMargin)
   }
 
+  // B38 — TPC-H Q17 shape: CORRELATED SCALAR AVG inside a filter (the
+  // "small-quantity-order revenue" query; Q17's Brand/container filter
+  // re-expressed as a per-brand report since this corpus has no
+  // p_container). The planner stress: `l_quantity < (SELECT 0.2*avg
+  // WHERE correlated)` must decorrelate to ONE avg aggregate over
+  // lineitem grouped by l_partkey, hash-joined back — never a per-row
+  // subquery (PlanSpec-pinned). At 100 TB that is one extra
+  // l_partkey-shuffled aggregate of the fact table, reusing the join's
+  // exchange shape. avg of integral-double quantities is order-exact;
+  // 0.2*avg is one deterministic double op in both engines. Money sum
+  // via the cents-exact msum form; /7.0 as an explicit double (the
+  // b12c DECIMAL literal trap). Identical SQL runs in DuckDB.
+  def tpchQ17(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    table(spark, dir, "part").createOrReplaceTempView("part")
+    spark.sql(
+      s"""SELECT p_brand,
+         |       round(sum(cast(round((l_extendedprice) * 10000, 0) as bigint))
+         |             / cast(10000.0 as double) / cast(7.0 as double), 4) AS avg_yearly,
+         |       count(*) AS n_lines
+         |FROM lineitem l JOIN part ON p_partkey = l.l_partkey
+         |WHERE l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+         |                    WHERE l2.l_partkey = l.l_partkey)
+         |GROUP BY p_brand
+         |ORDER BY p_brand""".stripMargin)
+  }
+
+  // B39 — TPC-H Q20 shape: NESTED two-level IN (suppliers of parts in a
+  // name-matched set) PLUS Q20's correlated quantity threshold, here
+  // correlated on the COMPOSITE (l_partkey, l_suppkey) key — the
+  // two-column decorrelation b36/b38's single-key aggregates don't
+  // cover. Catalyst must plan: part-name filter → semi join into
+  // lineitem, composite-keyed avg aggregate joined back for the
+  // threshold, then a semi join into supplier — three hash joins, no
+  // per-row subquery, no nested loop (PlanSpec-pinned). The 1.8×avg
+  // bar keeps the result discriminating (62/100 suppliers at sf0.01).
+  // Identical SQL runs in DuckDB.
+  def tpchQ20(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "supplier").createOrReplaceTempView("supplier")
+    table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    table(spark, dir, "part").createOrReplaceTempView("part")
+    spark.sql(
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem l
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%gizmo%')
+        |    AND l_quantity > (SELECT 1.8 * avg(l2.l_quantity) FROM lineitem l2
+        |                      WHERE l2.l_partkey = l.l_partkey
+        |                        AND l2.l_suppkey = l.l_suppkey))
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  // B40 — TPC-H Q22 shape: NOT EXISTS + an UNCORRELATED scalar AVG over
+  // a filtered set (the "global sales opportunity" query; cntrycode →
+  // c_mktsegment, "no orders" → "no URGENT orders" since every sf0.01
+  // customer has some order). Planner stress: the avg-over-positive-
+  // balances subquery is uncorrelated → evaluated ONCE as a one-shot
+  // subquery stage feeding a literal into the filter (b37's reuse
+  // doctrine), and the NOT EXISTS decorrelates to a left-anti hash
+  // join on custkey. The threshold compares in EXACT cents (sum of
+  // rounded-cents bigints / count) so the boundary is engine-portable
+  // — a raw double avg's summation order could flip threshold-adjacent
+  // rows between engines. Identical SQL runs in DuckDB.
+  def tpchQ22(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "customer").createOrReplaceTempView("customer")
+    table(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      s"""SELECT c_mktsegment, count(*) AS numcust,
+         |       round(sum(cast(round(c_acctbal * 10000, 0) as bigint))
+         |             / cast(10000.0 as double), 4) AS totacctbal
+         |FROM customer c
+         |WHERE cast(round(c_acctbal * 100, 0) as bigint) >
+         |      (SELECT sum(cast(round(c_acctbal * 100, 0) as bigint)) / count(*)
+         |       FROM customer WHERE c_acctbal > 0)
+         |  AND NOT EXISTS (SELECT 1 FROM orders o
+         |                  WHERE o.o_custkey = c.c_custkey
+         |                    AND o.o_orderpriority = '1-URGENT')
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin)
+  }
+
   // B13 — scalar function battery (string/date/math/CASE)
   def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "orders")
@@ -807,6 +889,9 @@ object Relational {
     "b35_tpch_q18" -> (tpchQ18 _),
     "b36_tpch_q2" -> (tpchQ2 _),
     "b37_tpch_q15" -> (tpchQ15 _),
+    "b38_tpch_q17" -> (tpchQ17 _),
+    "b39_tpch_q20" -> (tpchQ20 _),
+    "b40_tpch_q22" -> (tpchQ22 _),
     "b13_scalar_funcs" -> (scalarFuncs _),
     "b13b_scalar_funcs2" -> (scalarFuncs2 _),
     "b22_sql_subquery" -> (sqlSubquery _),
@@ -1010,6 +1095,39 @@ object Relational {
          |FROM supplier JOIN revenue ON s_suppkey = supplier_no
          |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
          |ORDER BY s_suppkey""".stripMargin,
+    "b38_tpch_q17" ->
+      """SELECT p_brand,
+        |       round(sum(cast(round((l_extendedprice) * 10000, 0) as bigint))
+        |             / 10000.0 / 7.0, 4) AS avg_yearly,
+        |       count(*) AS n_lines
+        |FROM lineitem l JOIN part ON p_partkey = l.l_partkey
+        |WHERE l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+    "b39_tpch_q20" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem l
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%gizmo%')
+        |    AND l_quantity > (SELECT 1.8 * avg(l2.l_quantity) FROM lineitem l2
+        |                      WHERE l2.l_partkey = l.l_partkey
+        |                        AND l2.l_suppkey = l.l_suppkey))
+        |ORDER BY s_suppkey""".stripMargin,
+    "b40_tpch_q22" ->
+      """SELECT c_mktsegment, count(*) AS numcust,
+        |       round(sum(cast(round(c_acctbal * 10000, 0) as bigint))
+        |             / 10000.0, 4) AS totacctbal
+        |FROM customer c
+        |WHERE cast(round(c_acctbal * 100, 0) as bigint) >
+        |      (SELECT sum(cast(round(c_acctbal * 100, 0) as bigint)) / count(*)
+        |       FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "b13_scalar_funcs" ->
       """SELECT o_orderkey,
         |  upper(substr(o_orderpriority, 1, 3)) AS pri3,

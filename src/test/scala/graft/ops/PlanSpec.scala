@@ -102,6 +102,41 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("HashAggregate"), s"q15 revenue aggregate missing:\n$p")
   }
 
+  test("B38: Q17 correlated scalar AVG filter → one aggregate + join, no per-row subquery") {
+    val p = plan(Relational.tpchQ17(spark, dir))
+    // `l_quantity < (SELECT 0.2*avg WHERE l2.l_partkey = l_partkey)`
+    // must materialize as ONE l_partkey-grouped avg over lineitem
+    // hash-joined back — at 100 TB a per-row re-aggregation is a
+    // cartesian-sized disaster
+    assert(!p.toLowerCase.contains("scalarsubquery"), s"q17 kept a per-row subquery:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      s"q17 avg subquery did not materialize as an aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q17 nested loop:\n$p")
+  }
+
+  test("B39: Q20 nested two-level IN + composite-key correlated avg → semi joins only") {
+    val p = plan(Relational.tpchQ20(spark, dir))
+    // both IN levels decorrelate to semi joins; the (partkey, suppkey)
+    // correlated avg becomes a composite-keyed aggregate joined back
+    assert(p.contains("LeftSemi"), s"q20 IN not a semi join:\n$p")
+    assert(!p.contains("InSubquery"), s"q20 kept a per-row IN-subquery:\n$p")
+    assert(!p.toLowerCase.contains("scalarsubquery"), s"q20 kept a per-row scalar subquery:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q20 nested loop:\n$p")
+  }
+
+  test("B40: Q22 NOT-EXISTS anti join + one-shot uncorrelated scalar avg") {
+    val p = plan(Relational.tpchQ22(spark, dir))
+    assert(p.contains("LeftAnti"), s"q22 NOT EXISTS not an anti join:\n$p")
+    // the avg-over-positive-balances threshold is uncorrelated: planned
+    // as a one-shot subquery stage (like b37), never re-evaluated per row
+    assert(p.contains("Subquery") || p.contains("subquery"),
+      s"q22 scalar avg not planned as a one-shot subquery:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q22 nested loop:\n$p")
+  }
+
   test("B5: fixed-size dims broadcast; fact joins do not nest loops") {
     val p = plan(Relational.joinMulti(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"nation/region not broadcast:\n$p")
