@@ -2597,10 +2597,11 @@ object Similarity {
   }
 
   private def twoLevelCellsColOf(child: org.apache.spark.sql.Column, coarse: Array[Float],
-      sub: Array[Float], dim: Int, k2: Int, nprobe: Int): org.apache.spark.sql.Column = {
+      sub: Array[Float], dim: Int, k2: Int, nprobe: Int,
+      nprobe1: Int = 1): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graft.{GraftColumns => ExpressionUtils}
     ExpressionUtils.column(graft.functions.TwoLevelCells(
-      ExpressionUtils.expression(child), coarse, sub, dim, k2, nprobe))
+      ExpressionUtils.expression(child), coarse, sub, dim, k2, nprobe, nprobe1))
   }
 
   /** THE cell-choice kernel for an index at `indexDir`, given its flat
@@ -2631,7 +2632,17 @@ object Similarity {
       // correct for ANY sub-centroid table, rather than mis-derive k2
       if (co.nonEmpty && (flat.length / dim) % co.length == 0) {
         val k2 = (flat.length / dim) / co.length
-        twoLevelCellsColOf(col("embedding"), coFlat, flat, dim, k2, nprobe)
+        // `graft.semdedup.coarseProbes` (default 1): search the top-b
+        // coarse branches, not just the nearest — the standard FAISS
+        // coarse-nprobe knob that closes the hierarchical probe's
+        // coarse-boundary recall dip (DispatchProbe: 993–995/1000
+        // planted twins at b=1 vs the flat index's 999–1000) at b×
+        // probe cost. Placement is b-INVARIANT (TwoLevelCells element 1
+        // is always the nearest branch's best cell), so probe width
+        // can change over an index's lifetime without re-placing.
+        val b = spark.conf.getOption("graft.semdedup.coarseProbes")
+          .map(_.toInt).getOrElse(1)
+        twoLevelCellsColOf(col("embedding"), coFlat, flat, dim, k2, nprobe, b)
       } else nearestCellsCol(flat, dim, nprobe)
     } else nearestCellsCol(flat, dim, nprobe)
 

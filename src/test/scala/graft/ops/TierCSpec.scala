@@ -368,6 +368,47 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
       "sqrt-n rebuild left a stale coarse codebook")
   }
 
+  test("C2 multi-branch coarse probe (coarseProbes) widens hierarchical recall monotonically") {
+    // graft.semdedup.coarseProbes = the FAISS-style coarse-nprobe knob:
+    // search the top-b coarse branches instead of only the nearest —
+    // the production answer to the hierarchical probe's coarse-boundary
+    // recall dip (DispatchProbe: 993-995/1000 planted twins at b=1 vs
+    // the flat index's 999-1000). Three pinned properties: b=2 drops
+    // are a SUPERSET of b=1 (TwoLevelCells prefix monotonicity made
+    // structural), b=2 drops match the FLAT index's at this scale
+    // (recall parity with the full k-cell scan), and placement is
+    // b-invariant so the knob can change over an index's lifetime.
+    val e = Relational.table(spark, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") % 20 =!= 7).select(col("vec_id"), col("embedding"))
+    val off = Similarity.plantedOffset(e)
+    val arrivals = e.filter(col("vec_id") % 20 === 7)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(Similarity.plantedNoisy(corpus, off).select(col("vec_id"), col("embedding")))
+      .localCheckpoint()
+    val flatIdx = java.nio.file.Files.createTempDirectory("graft_cp_flat").toString
+    Similarity.buildIvfIndexFrom(spark, corpus, flatIdx)
+    val flat = Similarity.dedupSemanticIncremental(spark, flatIdx, arrivals)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val popIdx = java.nio.file.Files.createTempDirectory("graft_cp_pop").toString
+    spark.conf.set("graft.semdedup.cellPop", "100")
+    try {
+      Similarity.buildIvfIndexFrom(spark, corpus, popIdx)
+      val b1 = Similarity.dedupSemanticIncremental(spark, popIdx, arrivals)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.conf.set("graft.semdedup.coarseProbes", "2")
+      val b2 = Similarity.dedupSemanticIncremental(spark, popIdx, arrivals)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(b1.subsetOf(b2),
+        s"widening the coarse probe LOST drops: ${(b1 -- b2).take(5)}")
+      assert(b2 === flat,
+        s"b=2 hierarchical recall diverges from the flat index: " +
+          s"extra=${(b2 -- flat).take(5)} missing=${(flat -- b2).take(5)}")
+    } finally {
+      spark.conf.unset("graft.semdedup.coarseProbes")
+      spark.conf.unset("graft.semdedup.cellPop")
+    }
+  }
+
   test("compaction cadence: file-count trigger compacts once, then holds") {
     val idx = java.nio.file.Files.createTempDirectory("graft_cadence_spec").toString
     val e = Relational.table(spark, dir, "embeddings")
