@@ -100,6 +100,68 @@ object Training {
   def dedupPassage(spark: SparkSession, dir: String): DataFrame =
     passageOn(Relational.table(spark, dir, "documents"))
 
+  /** Minimum repeated-span length (tokens) c23b catches. Lee et al.
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * 2022) use 50 BPE tokens on web corpora; 8 fits the 20–90-token
+    * synthetic docs the same way [[chunkTokens]] does. */
+  private val spanTokens = 8
+
+  /** C23b — VARIABLE-LENGTH repeated-span dedup: remove every token
+    * that lies inside a span of ≥ [[spanTokens]] tokens repeated across
+    * documents at ANY alignment — the suffix-array semantics of Lee et
+    * al., which [[dedupPassage]]'s doc-aligned fixed chunks provably
+    * miss (a span repeated at offsets differing mod chunkTokens shares
+    * no aligned chunk; the discriminator spec plants exactly that).
+    *
+    * Spark-native reformulation instead of a distributed suffix array:
+    * hash EVERY w-token window (all offsets, not every w-th). A maximal
+    * repeated span of length s ≥ w contains a repeated window at each
+    * of its s−w+1 starts, and every token of the span lies in at least
+    * one window fully inside the span — so "union of positions covered
+    * by a cross-doc-duplicated window" is EXACTLY "tokens inside some
+    * repeated span ≥ w". No approximation, no candidate verify step.
+    *
+    * Scale: the window explode emits one 8-byte hash per token (≈ the
+    * token explode docLogprob already pays, w× the chunk rows of c23);
+    * the dup aggregate and cover join shuffle only (h) / (doc_id, pos)
+    * longs — window TEXT never shuffles. Coverage explode fans out only
+    * DUPLICATED occurrences (the small set by construction). The final
+    * reconstruction is one doc-keyed join of the covered-position sets
+    * against the docs scan — same exchange class as c23's rebuild.
+    * Deterministic → full DuckDB oracle (strings vs xxhash64 longs,
+    * identical absent 64-bit collisions — the c12/c23 doctrine). */
+  private[graft] def spanOn(df: DataFrame): DataFrame = {
+    val occ = df
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(array(split(text, ' ')), t ->
+           |  CASE WHEN size(t) >= $spanTokens THEN
+           |    transform(sequence(0, size(t) - $spanTokens),
+           |      i -> xxhash64(concat_ws(' ', slice(t, i + 1, $spanTokens))))
+           |  ELSE array() END)[0]""".stripMargin)))
+      .withColumnRenamed("pos", "wpos").withColumnRenamed("col", "h")
+    val dup = occ.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("h"))
+    val covered = occ.join(dup, Seq("h"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(wpos, wpos + $spanTokens - 1)")).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("p")).as("cov"))
+    df.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("kept", expr(
+        "CASE WHEN cov IS NULL THEN toks " +
+          "ELSE filter(toks, (t, i) -> NOT array_contains(cov, i)) END"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(concat_ws(" ", col("kept"))).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  def dedupSpan(spark: SparkSession, dir: String): DataFrame =
+    spanOn(Relational.table(spark, dir, "documents"))
+
   // ------------------------------------------ C24 unigram LM quality
 
   /** C24 — unigram log-prob scoring: fit a unigram LM on the corpus
@@ -450,6 +512,7 @@ object Training {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c23_dedup_passage" -> (dedupPassage _),
+    "c23b_dedup_span" -> (dedupSpan _),
     "c24_doc_logprob" -> (docLogprob _),
     "c24b_doc_logprob_lm" -> (docLogprobLm _),
     "c25_shard_shuffle" -> (shardShuffle _),
@@ -476,6 +539,28 @@ object Training {
          |SELECT na.doc_id, n_chunks, coalesce(n_kept, 0) AS n_kept,
          |  md5(coalesce(kept_text, '')) AS kept_md5
          |FROM na LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "c23b_dedup_span" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |w AS (SELECT doc_id, i,
+         |    array_to_string(toks[i+1:i+$spanTokens], ' ') AS win
+         |  FROM t, UNNEST(range(len(toks) - ${spanTokens - 1})) AS u(i)
+         |  WHERE len(toks) >= $spanTokens),
+         |dup AS (SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) > 1),
+         |cov AS (SELECT doc_id, list(DISTINCT p) AS cov
+         |  FROM (SELECT w.doc_id, c.p FROM w JOIN dup USING (win),
+         |        UNNEST(range(w.i, w.i + $spanTokens)) AS c(p))
+         |  GROUP BY doc_id),
+         |k AS (SELECT t.doc_id, toks,
+         |    CASE WHEN cov IS NULL THEN toks
+         |         ELSE list_transform(
+         |                list_filter(list_transform(range(len(toks)),
+         |                              i -> {'i': i, 'tk': toks[i+1]}),
+         |                            s -> NOT list_contains(cov, s.i)),
+         |                s -> s.tk) END AS kept
+         |  FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id)
+         |SELECT doc_id, len(toks) AS n_tokens, len(kept) AS n_kept,
+         |  md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
+         |FROM k ORDER BY doc_id""".stripMargin,
     "c24_doc_logprob" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),

@@ -62,6 +62,54 @@ class TrainingSpec extends AnyFunSuite with SparkTestSession {
     assert(counts.getLong(0) > 1000, "corpus should carry a real chunk population")
   }
 
+  test("dedupSpan: catches a repeated span at NON-chunk alignment that dedupPassage misses") {
+    import spark.implicits._
+    // A 12-token span repeated in two docs at offsets 3 and 5 — every
+    // aligned 8-chunk of the two carriers differs (offsets differ
+    // mod 8), so c23 keeps everything; c23b must remove exactly the 12
+    // span tokens from BOTH docs. This is the discriminator for the
+    // variable-length (suffix-array-semantics) operator.
+    val span = (1 to 12).map(i => s"boiler$i").mkString(" ")
+    val p1 = (1 to 3).map(i => s"pre$i").mkString(" ")
+    val s1 = (1 to 9).map(i => s"suf$i").mkString(" ")
+    val p2 = (1 to 5).map(i => s"head$i").mkString(" ")
+    val s2 = (1 to 7).map(i => s"tail$i").mkString(" ")
+    val docs = Seq((1L, s"$p1 $span $s1"), (2L, s"$p2 $span $s2")).toDF("doc_id", "text")
+
+    // c23 (aligned chunks) provably misses the misaligned span
+    val c23 = Training.passageOn(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(c23(1L) === 3 && c23(2L) === 3,
+      s"aligned chunking unexpectedly caught the misaligned span: $c23")
+
+    // c23b removes exactly the span from both carriers
+    def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = Training.spanOn(docs).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((24L, 12L, md5s(s"$p1 $s1"))),
+      s"doc 1 span not excised: ${out(1L)}")
+    assert(out(2L) === ((24L, 12L, md5s(s"$p2 $s2"))),
+      s"doc 2 span not excised: ${out(2L)}")
+  }
+
+  test("dedupSpan: sub-window repeats survive; full-doc duplicate reports empty") {
+    import spark.implicits._
+    // a 7-token repeat (< spanTokens=8) must survive — the operator's
+    // minimum-span contract; a full duplicate doc empties entirely
+    val short7 = (1 to 7).map(i => s"rep$i").mkString(" ")
+    val dup = (1 to 20).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$short7 onlyone1"), (2L, s"$short7 onlytwo1 onlytwo2"),
+      (3L, dup), (4L, dup)).toDF("doc_id", "text")
+    val out = Training.spanOn(docs).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((8L, 8L)), s"7-token repeat wrongly removed: ${out(1L)}")
+    assert(out(2L) === ((9L, 9L)), s"7-token repeat wrongly removed: ${out(2L)}")
+    assert(out(3L) === ((20L, 0L)) && out(4L) === ((20L, 0L)),
+      s"full duplicates not emptied: ${out(3L)} ${out(4L)}")
+  }
+
   test("docLogprob: hand-computed surprisal on a two-doc corpus") {
     // corpus = "a a b" + "a c": N=5, cnt(a)=3, cnt(b)=1, cnt(c)=1
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_trainspec_lp"
