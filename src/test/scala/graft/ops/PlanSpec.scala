@@ -345,6 +345,19 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"explode count regressed:\n$p")
   }
 
+  test("C23b: span-window shuffles carry 8-byte hashes; no window string as a key") {
+    val p = plan(Training.dedupSpan(spark, dir))
+    // the every-offset window explode emits one xxhash64 long per
+    // token; every exchange after it must key on the hash or on
+    // (doc_id, pos) ints — a window STRING key would shuffle ~8x the
+    // corpus text
+    p.linesIterator.filter(_.contains("hashpartitioning(")).foreach { l =>
+      assert(!l.contains("win") && !l.contains("chunk"),
+        s"window string used as shuffle key: $l")
+    }
+    assert(!p.contains("CartesianProduct"), s"cartesian in span dedup:\n$p")
+  }
+
   test("C24: corpus total is a map-only scan, not a second vocab aggregate") {
     val p = plan(Training.docLogprob(spark, dir))
     assert(p.linesIterator.count(_.contains("Generate explode")) == 2,
