@@ -632,10 +632,12 @@ object Similarity {
     * store at `idx`; returns the store's complete pair set. Spec entry
     * point for planted-arrival cross-batch proofs. */
   private[graft] def dedupStreamNearStoreOn(spark: SparkSession, idx: String,
-      arrivals: DataFrame, name: String): DataFrame = {
+      arrivals: DataFrame, name: String,
+      nSlices: Int = Relational.replaySlices): DataFrame = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
-    val stage = Relational.stageSlices(spark, arrivals, col("doc_id"), s"${name}_stage")
+    val stage = Relational.stageSlices(spark, arrivals, col("doc_id"), s"${name}_stage",
+      nSlices)
     // checkpoint-only harness dir (the sink IS the store)
     val base = Paths.get(System.getProperty("java.io.tmpdir"),
       s"sink_${spark.sparkContext.applicationId}_$name")
@@ -1229,6 +1231,40 @@ object Similarity {
     * held-outs — the last group arrives ≥2 micro-batches after its
     * originals, so catching it requires the stream to have folded the
     * earlier batches' survivors into the index. */
+  /** STEADY-STATE streaming rehearsal entries (round-10): the decade
+    * replay tables measured per-batch cost while streaming the WHOLE
+    * corpus against a growing index — honest for a cold backfill, but
+    * confounded for capacity planning, where the question is "what does
+    * one arrival batch cost once the index is at full scale?". Here the
+    * index/store is PREBUILT from the 95% slice, and only the held-out
+    * 5% streams, in `nBatches` equal micro-batches — each batch grows
+    * the index < 1%, so the per-batch `[stream-batch]` telemetry reads
+    * out the flat steady-state ingest cost (BASELINE.md round-10
+    * table). Consumed by [[graft.tools.SteadyStateStream]]. */
+  def semanticSteadyState(spark: SparkSession, dir: String, nBatches: Int): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val idx = freshScratch(spark, s"graft_sem_steady_${key}_")
+    val e = Relational.table(spark, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") % 20 =!= 7)
+    buildIvfIndexFrom(spark, corpus.select(col("vec_id"), col("embedding")), idx)
+    val arrivals = e.filter(col("vec_id") % 20 === 7)
+      .select(col("vec_id"), col("embedding"))
+    val stage = Relational.stageSlices(spark, arrivals, col("vec_id"),
+      s"graft_steady_sem_stage_$key", nBatches)
+    dedupSemanticStream(spark, idx, stage, arrivals.schema,
+      s"graft_steady_sem_sink_$key")
+  }
+
+  /** Near-dup store twin of [[semanticSteadyState]]. */
+  def nearDupSteadyState(spark: SparkSession, dir: String, nBatches: Int): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val idx = freshScratch(spark, s"graft_nd_steady_${key}_")
+    val docs = Relational.table(spark, dir, "documents")
+    buildNearDupIndex(spark, docs.filter(col("doc_id") % 20 =!= 7), idx)
+    dedupStreamNearStoreOn(spark, idx, docs.filter(col("doc_id") % 20 === 7),
+      s"graft_steady_nd_$key", nBatches)
+  }
+
   def dedupSemanticStreamQuery(spark: SparkSession, dir: String): DataFrame = {
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val idx = freshScratch(spark, s"graft_sem_stream_${key}_")

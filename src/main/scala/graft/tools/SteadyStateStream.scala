@@ -1,0 +1,46 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/**
+ * Steady-state streaming economics (round-10): per-micro-batch ingest
+ * cost against a PREBUILT full-scale index/store, across enough equal
+ * batches to read the trend. The round-9 decade tables replayed the
+ * whole corpus against a growing index — the right number for a cold
+ * backfill, confounded for capacity planning; here the index is built
+ * from the 95% slice first, then ONLY the held-out 5% streams in N
+ * batches, so each batch's `[stream-batch]` stderr line prices one
+ * arrival batch at fixed index scale.
+ *
+ * Usage: runMain graft.tools.SteadyStateStream <store> <dir> [nBatches]
+ *   store: seminc (c22c shape, embeddings) | neardup (c22d shape, docs)
+ * Telemetry lines land on stderr; the one summary JSON line on stdout.
+ */
+object SteadyStateStream {
+  def main(args: Array[String]): Unit = {
+    val store = args(0)
+    val dir = args(1)
+    val nBatches = if (args.length > 2) args(2).toInt else 8
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.nonEmpty)
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
+
+    val t0 = System.nanoTime()
+    val out = store match {
+      case "seminc"  => Similarity.semanticSteadyState(spark, dir, nBatches)
+      case "neardup" => Similarity.nearDupSteadyState(spark, dir, nBatches)
+      case other     => sys.error(s"unknown store: $other (seminc|neardup)")
+    }
+    val rows = out.agg(count(lit(1))).head().getLong(0)
+    println(f"""{"store":"$store","dir":"$dir","n_batches":$nBatches,""" +
+      f""""result_rows":$rows,"total_sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
+    spark.stop()
+  }
+}
