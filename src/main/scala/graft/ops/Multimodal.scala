@@ -263,10 +263,30 @@ object Multimodal {
         // channels — AudioSystem accepts them, so gate here (the dims
         // contract is decoded_w/decoded_h >= -1)
         val rate = fmt.getSampleRate
+        // channels is also bounded ABOVE: a fuzzed fmt chunk can carry
+        // a huge positive channel count, making frameSize exceed any
+        // read buffer — AudioInputStream.read then returns 0 forever
+        // (it refuses partial frames) and InputStream.readAllBytes
+        // SPINS on the 0-returns. Caught live by MultimodalFuzzSpec
+        // (28 CPU-minutes in one decode); at 100 TB that is one corrupt
+        // blob wedging an executor core.
         if (fmt.getSampleSizeInBits != 16 || fmt.getChannels <= 0 ||
+            fmt.getChannels > 1024 ||
             !java.lang.Float.isFinite(rate) || rate <= 0 || rate > 1e8f) None
         else {
-          val raw = in.readAllBytes()
+          // bounded manual read, never readAllBytes: PCM-family decoded
+          // bytes can't exceed the container (we gate to 16-bit PCM, so
+          // no 8→16 expansion), and a 0-return — the partial-frame
+          // stall — is treated as EOF instead of retried forever
+          val cap = d.media.length
+          val chunk = new Array[Byte](math.min(math.max(cap, 1), 1 << 20))
+          val bos = new java.io.ByteArrayOutputStream()
+          var got = in.read(chunk)
+          while (got > 0 && bos.size < cap) {
+            bos.write(chunk, 0, math.min(got, cap - bos.size))
+            got = in.read(chunk)
+          }
+          val raw = bos.toByteArray
           val bb = java.nio.ByteBuffer.wrap(raw).order(
             if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
             else java.nio.ByteOrder.LITTLE_ENDIAN)

@@ -99,6 +99,27 @@ class MultimodalFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("regression: a WAV with a huge channel count / frame size cannot wedge the decoder") {
+    // the round-10 live catch: AudioInputStream.read refuses partial
+    // frames and returns 0 when the buffer is smaller than frameSize;
+    // InputStream.readAllBytes retries a 0-return forever — one corrupt
+    // blob then spins an executor core indefinitely (observed 28
+    // CPU-minutes before the suite was killed). The fix gates absurd
+    // channel counts AND treats a 0-return as EOF in a bounded manual
+    // read. Deterministic reproduction of the fuzz input shape:
+    val b = Multimodal.synthWav(5L)
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putShort(22, 0x7fff.toShort) // fmt channels → 32767
+    bb.putShort(32, 0x7ffe.toShort) // fmt block align (frame size) → 32766
+    @volatile var ok = false
+    val t = new Thread(() => { ok = decodesSafely("audio", b) })
+    t.setDaemon(true)
+    t.start()
+    t.join(30000)
+    assert(!t.isAlive, "decode wedged on the huge-frame WAV (the readAllBytes spin)")
+    assert(ok, "huge-frame WAV broke the decode invariants")
+  }
+
   test("an AVI whose avih dims are corrupt falls back even for codec'd frames") {
     // minimal MJPEG-shape AVI (one real JPEG 00dc frame) with garbage
     // avih width/height — ImageIO decodes the frame fine, so only the
