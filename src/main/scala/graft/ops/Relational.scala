@@ -510,6 +510,88 @@ object Relational {
          |ORDER BY c_mktsegment""".stripMargin)
   }
 
+  // B41 — TPC-H Q13 shape: customer distribution by order count, with
+  // the filter INSIDE the outer join's ON clause (a post-join WHERE
+  // would silently turn the left join inner — the classic Q13 trap)
+  // and a double aggregation (per-customer count, then distribution).
+  // Catalyst pushes the one-sided <> predicate to the orders scan
+  // below the join — same result, pre-join pruning. Counts are bigint
+  // in both engines; no float anywhere. Identical SQL in DuckDB.
+  def tpchQ13(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "customer").createOrReplaceTempView("customer")
+    table(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+  }
+
+  // B42 — TPC-H Q16 shape: NOT IN over a subquery + count(DISTINCT)
+  // per grouped attributes. NOT IN is the NULL-AWARE anti join case —
+  // semantically "no row equal AND no NULL in the set"; Spark plans a
+  // left-anti with the null-aware condition (here s_suppkey is
+  // non-null so it degenerates to a plain anti join — but the SHAPE is
+  // the planner stress Q16 brings). count(DISTINCT l_suppkey) expands
+  // to the two-phase distinct aggregate. Identical SQL in DuckDB.
+  def tpchQ16(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    table(spark, dir, "part").createOrReplaceTempView("part")
+    table(spark, dir, "supplier").createOrReplaceTempView("supplier")
+    spark.sql(
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 9, 14, 19, 25, 36, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+  }
+
+  // B43 — TPC-H Q11 shape: HAVING against a fraction of the GLOBAL
+  // aggregate (an uncorrelated scalar subquery over the SAME table the
+  // outer aggregates — the exchange-reuse twin of b37's CTE case).
+  // The 1.2/nparts threshold is scale-invariant: "parts 20% above the
+  // average share" stays discriminating at every sf, where a fixed
+  // fraction empties as the part count grows. Cents-exact long sums;
+  // the only doubles are the threshold's two deterministic ops.
+  // Identical SQL in DuckDB (the cast keeps Spark's literal out of
+  // DECIMAL arithmetic — the b12c trap).
+  def tpchQ11(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT l_partkey,
+        |       round(sum(cast(round(l_extendedprice * l_quantity * 100, 0) as bigint))
+        |             / cast(100.0 as double), 4) AS value
+        |FROM lineitem GROUP BY l_partkey
+        |HAVING sum(cast(round(l_extendedprice * l_quantity * 100, 0) as bigint)) >
+        |       (SELECT sum(cast(round(l_extendedprice * l_quantity * 100, 0) as bigint))
+        |               * cast(1.2 as double) / count(DISTINCT l_partkey) FROM lineitem)
+        |ORDER BY value DESC, l_partkey""".stripMargin)
+  }
+
+  // B44 — TPC-H Q14 shape: conditional aggregation (promo revenue
+  // share) — CASE inside the sum, two aggregates over one scan, a
+  // single-row percentage. Cents-exact long sums; the ratio is one
+  // double division on identical longs. Identical SQL in DuckDB
+  // (modulo the DECIMAL-literal casts on the Spark side).
+  def tpchQ14(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    table(spark, dir, "part").createOrReplaceTempView("part")
+    spark.sql(
+      """SELECT round(cast(100.0 as double) *
+        |  sum(CASE WHEN p_type = 'PROMO'
+        |      THEN cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) as bigint)
+        |      ELSE 0 END)
+        |  / sum(cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) as bigint)), 4)
+        |  AS promo_revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin)
+  }
+
   // B13 — scalar function battery (string/date/math/CASE)
   def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "orders")
@@ -892,6 +974,10 @@ object Relational {
     "b38_tpch_q17" -> (tpchQ17 _),
     "b39_tpch_q20" -> (tpchQ20 _),
     "b40_tpch_q22" -> (tpchQ22 _),
+    "b41_tpch_q13" -> (tpchQ13 _),
+    "b42_tpch_q16" -> (tpchQ16 _),
+    "b43_tpch_q11" -> (tpchQ11 _),
+    "b44_tpch_q14" -> (tpchQ14 _),
     "b13_scalar_funcs" -> (scalarFuncs _),
     "b13b_scalar_funcs2" -> (scalarFuncs2 _),
     "b22_sql_subquery" -> (sqlSubquery _),
@@ -1128,6 +1214,40 @@ object Relational {
         |                    AND o.o_orderpriority = '1-URGENT')
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    "b41_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "b42_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 9, 14, 19, 25, 36, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "b43_tpch_q11" ->
+      """SELECT l_partkey,
+        |       round(sum(cast(round(l_extendedprice * l_quantity * 100, 0) as bigint))
+        |             / 100.0, 4) AS value
+        |FROM lineitem GROUP BY l_partkey
+        |HAVING sum(cast(round(l_extendedprice * l_quantity * 100, 0) as bigint)) >
+        |       (SELECT sum(cast(round(l_extendedprice * l_quantity * 100, 0) as bigint))
+        |               * cast(1.2 as double) / count(DISTINCT l_partkey) FROM lineitem)
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    "b44_tpch_q14" ->
+      """SELECT round(100.0 *
+        |  sum(CASE WHEN p_type = 'PROMO'
+        |      THEN cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) as bigint)
+        |      ELSE 0 END)
+        |  / sum(cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) as bigint)), 4)
+        |  AS promo_revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
     "b13_scalar_funcs" ->
       """SELECT o_orderkey,
         |  upper(substr(o_orderpriority, 1, 3)) AS pri3,

@@ -137,6 +137,45 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"q22 nested loop:\n$p")
   }
 
+  test("B41: Q13 outer join stays OUTER with the <> inside it; predicate prunes pre-join") {
+    val p = plan(Relational.tpchQ13(spark, dir))
+    // the ON-clause filter must not convert the left join to inner —
+    // customers with zero qualifying orders must survive as c_count=0
+    assert(p.contains("LeftOuter"), s"q13 left join converted:\n$p")
+    // the one-sided <> predicate prunes the orders side BELOW the join
+    assert(p.contains("Not(EqualTo(o_orderpriority,1-URGENT))") ||
+      p.linesIterator.exists(l => l.contains("Filter") && l.contains("1-URGENT")),
+      s"q13 priority predicate not pushed below the join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q13 nested loop:\n$p")
+  }
+
+  test("B42: Q16 NOT IN plans an anti join; no nested loop") {
+    val p = plan(Relational.tpchQ16(spark, dir))
+    assert(p.contains("LeftAnti"), s"q16 NOT IN not an anti join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q16 nested loop:\n$p")
+    // count(DISTINCT) expands to the two-phase aggregate, not a global collect
+    assert(p.contains("HashAggregate"), s"q16 distinct aggregate missing:\n$p")
+  }
+
+  test("B43: Q11 global-sum threshold is a one-shot subquery over the same table") {
+    val p = plan(Relational.tpchQ11(spark, dir))
+    assert(p.contains("Subquery") || p.contains("subquery"),
+      s"q11 global sum not a one-shot subquery:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q11 nested loop:\n$p")
+  }
+
+  test("B44: Q14 conditional aggregation is one pass — a single aggregate over the join") {
+    val p = plan(Relational.tpchQ14(spark, dir))
+    // both sums (promo CASE + total) live in ONE HashAggregate pair
+    // (partial + final), not two scans stitched by a join
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs == 2, s"q14 expected one partial+final aggregate pair, got $aggs:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), s"q14 date range not pushed:\n$p")
+  }
+
   test("B5: fixed-size dims broadcast; fact joins do not nest loops") {
     val p = plan(Relational.joinMulti(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"nation/region not broadcast:\n$p")
