@@ -44,11 +44,18 @@ object HierProbe {
       (n, (System.nanoTime() - t) / 1e9)
     }
     val (hd1, ht1) = probe(); val (_, ht2) = probe()
+    // the round-10 recall knob priced at the same crossover cell count:
+    // top-2 coarse branches, 2×(k/k1) sub-scan + 2× candidate fan-out
+    spark.conf.set("graft.semdedup.coarseProbes", "2")
+    val (h2d, h2t1) = probe(); val (_, h2t2) = probe()
+    spark.conf.unset("graft.semdedup.coarseProbes")
     IndexMeta.delete(spark, s"$idx/centroids2")
     val (fd1, ft1) = probe(); val (_, ft2) = probe()
     println(f"""{"dir":"$dir","pop":$pop,"cells":$k,"coarse":$k1,""" +
       f""""build_sec":$tBuild%.1f,"hier_drops":$hd1,""" +
-      f""""hier_sec":${math.min(ht1, ht2)}%.1f,"flat_drops":$fd1,""" +
+      f""""hier_sec":${math.min(ht1, ht2)}%.1f,""" +
+      f""""hier2_drops":$h2d,"hier2_sec":${math.min(h2t1, h2t2)}%.1f,""" +
+      f""""flat_drops":$fd1,""" +
       f""""flat_sec":${math.min(ft1, ft2)}%.1f}""")
     IndexMeta.delete(spark, idx)
     spark.stop()
