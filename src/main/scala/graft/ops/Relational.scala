@@ -533,10 +533,11 @@ object Relational {
   // B42 — TPC-H Q16 shape: NOT IN over a subquery + count(DISTINCT)
   // per grouped attributes. NOT IN is the NULL-AWARE anti join case —
   // semantically "no row equal AND no NULL in the set"; Spark plans a
-  // left-anti with the null-aware condition (here s_suppkey is
-  // non-null so it degenerates to a plain anti join — but the SHAPE is
-  // the planner stress Q16 brings). count(DISTINCT l_suppkey) expands
-  // to the two-phase distinct aggregate. Identical SQL in DuckDB.
+  // BroadcastHashJoin LeftAnti with the isNullAwareAntiJoin flag SET
+  // (visible as the trailing `true` in the plan) — the single-column
+  // NAAJ fast path, not a nested loop. count(DISTINCT l_suppkey)
+  // expands to the two-phase distinct aggregate. Identical SQL in
+  // DuckDB.
   def tpchQ16(spark: SparkSession, dir: String): DataFrame = {
     table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
     table(spark, dir, "part").createOrReplaceTempView("part")
