@@ -103,11 +103,21 @@ object Training {
   /** Minimum repeated-span length (tokens) c23b catches. Lee et al.
     * ("Deduplicating Training Data Makes Language Models Better",
     * 2022) use 50 BPE tokens on web corpora; 8 fits the 20–90-token
-    * synthetic docs the same way [[chunkTokens]] does. */
-  private val spanTokens = 8
+    * synthetic docs the same way [[chunkTokens]] does. Production sets
+    * `graft.span.tokens` (≈50) — read by BOTH the query and the
+    * oracle (the c25 shard-count contract), so the dumped oracle
+    * always describes the session's effective operator. */
+  private val spanTokensDefault = 8
+
+  private def effectiveSpanTokens(spark: SparkSession): Int =
+    spark.conf.getOption("graft.span.tokens")
+      .map(_.toInt).getOrElse(spanTokensDefault)
+
+  private def activeSpanTokens: Int =
+    SparkSession.getActiveSession.map(effectiveSpanTokens).getOrElse(spanTokensDefault)
 
   /** C23b — VARIABLE-LENGTH repeated-span dedup: remove every token
-    * that lies inside a span of ≥ [[spanTokens]] tokens repeated across
+    * that lies inside a span of ≥ `graft.span.tokens` tokens repeated across
     * documents at ANY alignment — the suffix-array semantics of Lee et
     * al., which [[dedupPassage]]'s doc-aligned fixed chunks provably
     * miss (a span repeated at offsets differing mod chunkTokens shares
@@ -131,6 +141,7 @@ object Training {
     * Deterministic → full DuckDB oracle (strings vs xxhash64 longs,
     * identical absent 64-bit collisions — the c12/c23 doctrine). */
   private[graft] def spanOn(df: DataFrame): DataFrame = {
+    val spanTokens = effectiveSpanTokens(df.sparkSession)
     val occ = df
       .select(col("doc_id"), posexplode(expr(
         s"""transform(array(split(text, ' ')), t ->
@@ -542,13 +553,13 @@ object Training {
     "c23b_dedup_span" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |w AS (SELECT doc_id, i,
-         |    array_to_string(toks[i+1:i+$spanTokens], ' ') AS win
-         |  FROM t, UNNEST(range(len(toks) - ${spanTokens - 1})) AS u(i)
-         |  WHERE len(toks) >= $spanTokens),
+         |    array_to_string(toks[i+1:i+$activeSpanTokens], ' ') AS win
+         |  FROM t, UNNEST(range(len(toks) - ${activeSpanTokens - 1})) AS u(i)
+         |  WHERE len(toks) >= $activeSpanTokens),
          |dup AS (SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) > 1),
          |cov AS (SELECT doc_id, list(DISTINCT p) AS cov
          |  FROM (SELECT w.doc_id, c.p FROM w JOIN dup USING (win),
-         |        UNNEST(range(w.i, w.i + $spanTokens)) AS c(p))
+         |        UNNEST(range(w.i, w.i + $activeSpanTokens)) AS c(p))
          |  GROUP BY doc_id),
          |k AS (SELECT t.doc_id, toks,
          |    CASE WHEN cov IS NULL THEN toks

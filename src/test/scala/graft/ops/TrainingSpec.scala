@@ -93,6 +93,27 @@ class TrainingSpec extends AnyFunSuite with SparkTestSession {
       s"doc 2 span not excised: ${out(2L)}")
   }
 
+  test("dedupSpan: graft.span.tokens raises the minimum span — the oracle text follows") {
+    import spark.implicits._
+    // the planted 12-token span is removed at the default w=8 but must
+    // SURVIVE at w=16 (12 < 16: no 16-window fits inside it); the
+    // session conf drives both the operator and the dumped oracle SQL
+    // (the c25 shard-count contract)
+    val span = (1 to 12).map(i => s"boiler$i").mkString(" ")
+    val docs = Seq((1L, s"pre1 pre2 pre3 $span suf1 suf2 suf3 suf4"),
+      (2L, s"head1 head2 head3 head4 head5 $span tail1 tail2")).toDF("doc_id", "text")
+    spark.conf.set("graft.span.tokens", "16")
+    try {
+      val out = Training.spanOn(docs).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(out(1L) === 19L && out(2L) === 19L,
+        s"w=16 wrongly removed a 12-token span: $out")
+      assert(Training.oracleSql("c23b_dedup_span").contains("16"),
+        "dumped oracle does not reflect the effective span length")
+    } finally spark.conf.unset("graft.span.tokens")
+    val dflt = Training.spanOn(docs).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(dflt(1L) === 7L && dflt(2L) === 7L, s"default w=8 missed the span: $dflt")
+  }
+
   test("dedupSpan: sub-window repeats survive; full-doc duplicate reports empty") {
     import spark.implicits._
     // a 7-token repeat (< spanTokens=8) must survive — the operator's
