@@ -36,8 +36,20 @@ object Scale {
     * PlanSpec pins no-Exchange on a many-partitioned source. */
   def sizeForCompute(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    // Exchange-bearing frames pass through WITHOUT the partition probe:
+    // their output parallelism is already the shuffle.partitions config
+    // (sized to cores), and — the sharper reason — `df.rdd` under AQE
+    // EXECUTES the plan's query stages eagerly to fix the final plan,
+    // so probing a joined/aggregated frame would run its shuffles twice
+    // (once here, once in the real query). Callers size the raw SCAN
+    // before any join for exactly this reason. For exchange-free frames
+    // (scans/projections) `.rdd` is pure planning — no job runs.
+    if (hasExchange(df)) df
+    else if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
   }
+
+  private def hasExchange(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("Exchange")
 
   /** Size a small-row (8-byte id column) WRITE: repartition up for
     * parallelism when under-partitioned; when the source arrives far
@@ -46,10 +58,13 @@ object Scale {
     * its read-guard cost model forbids; see appendToIvfIndex). */
   def sizeForWrite(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    val n = df.rdd.getNumPartitions
-    if (n < cores) df.repartition(cores)
-    else if (n > cores * 4) df.coalesce(cores * 4)
-    else df
+    if (hasExchange(df)) df // see sizeForCompute: no .rdd probe on AQE stages
+    else {
+      val n = df.rdd.getNumPartitions
+      if (n < cores) df.repartition(cores)
+      else if (n > cores * 4) df.coalesce(cores * 4)
+      else df
+    }
   }
 
   /** Deterministic salt: hash of the whole row spreads a hot key's rows

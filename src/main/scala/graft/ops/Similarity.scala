@@ -370,8 +370,13 @@ object Similarity {
   def nearDupRepPairs(spark: SparkSession, dir: String): DataFrame = {
     val reps = exactDupGroups(spark, dir)
       .filter(col("doc_id") === col("rep")).select(col("doc_id"))
-    val docs = withShingles(Scale.sizeForCompute(
-      Relational.table(spark, dir, "documents").join(reps, "doc_id")))
+    // size the raw SCAN, then join: sizing a joined frame would be a
+    // no-op (Scale.sizeForCompute passes exchange-bearing plans
+    // through), and the broadcast rep-join preserves the sized docs
+    // partitioning for the shingle work downstream
+    val docs = withShingles(
+      Scale.sizeForCompute(Relational.table(spark, dir, "documents"))
+        .join(reps, "doc_id"))
       .select(col("doc_id"), col("shingles"))
     minhashCandidates(docs)
       .select(col("da"), col("db"), expr(

@@ -521,4 +521,30 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(pW.linesIterator.count(_.contains("Exchange")) <= 1,
       s"sizeForWrite added an exchange to an over-partitioned source:\n$pW")
   }
+
+  test("Scale: sizing an exchange-bearing frame passes through and runs ZERO jobs") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // under AQE, df.rdd EXECUTES the plan's query stages to fix the
+    // final plan — probing a joined/aggregated frame's partition count
+    // would run its shuffles twice. The helper must detect the
+    // exchange and pass through without touching .rdd at all.
+    val joined = Relational.table(spark, dir, "orders")
+      .join(Relational.table(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey")).agg(count(lit(1)).as("n"))
+    @volatile var jobs = 0
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val sized = Scale.sizeForCompute(joined)
+      val sizedW = Scale.sizeForWrite(joined)
+      Thread.sleep(1500) // listener bus is async
+      assert(sized eq joined, "exchange-bearing frame was re-planned")
+      assert(sizedW eq joined, "exchange-bearing frame was re-planned (write)")
+      assert(jobs == 0, s"sizing executed $jobs job(s) — the AQE .rdd trap")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
 }
