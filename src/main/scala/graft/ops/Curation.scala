@@ -518,7 +518,7 @@ object Curation {
     st.join(vocab, Seq("tok"))
       .join(broadcast(srcTotals), Seq("source"))
       .withColumn("term", col("c_st") *
-        expr(s"cast(round((ln(c_st * 1.0 / n_s) - ln(c_t * 1.0 / $total)) * 1000000, 0) as bigint)"))
+        expr(s"cast(round((ln(cast(c_st as double) / n_s) - ln(cast(c_t as double) / $total)) * 1000000, 0) as bigint)"))
       .groupBy(col("source"))
       .agg(max(col("n_s")).as("n_tokens"), sum(col("term")).as("s"))
       .select(col("source"), col("n_tokens"),

@@ -200,7 +200,7 @@ object Training {
     val total = Relational.table(spark, dir, "documents")
       .agg(sum(size(split(col("text"), " "))).cast("long").as("n_total"))
     val scored = vocab.crossJoin(broadcast(total))
-      .withColumn("nll", expr("cast(round(-ln(cnt * 1.0 / n_total) * 1000000, 0) as bigint)"))
+      .withColumn("nll", expr("cast(round(-ln(cast(cnt as double) / n_total) * 1000000, 0) as bigint)"))
       .select(col("tok"), col("nll"))
     toks.join(scored, Seq("tok"))
       .groupBy(col("doc_id"))
@@ -243,7 +243,7 @@ object Training {
       .filter(col("cnt") >= minCount)
     val total = docs.agg(sum(size(split(col("text"), " "))).cast("long").as("n_total"))
     vocab.crossJoin(broadcast(total))
-      .withColumn("nll", expr("cast(round(-ln(cnt * 1.0 / n_total) * 1000000, 0) as bigint)"))
+      .withColumn("nll", expr("cast(round(-ln(cast(cnt as double) / n_total) * 1000000, 0) as bigint)"))
       .select(col("tok"), col("nll"))
       .write.mode("overwrite").parquet(s"$lmDir/vocab")
     total.coalesce(1).write.mode("overwrite").parquet(s"$lmDir/total")
