@@ -593,6 +593,66 @@ object Relational {
         |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin)
   }
 
+  // B45 — TPC-H Q19 shape: a DISJUNCTION of conjunctive brackets
+  // spanning BOTH join sides (brand/size predicates on part AND
+  // quantity ranges on lineitem, OR'd). The planner stress is partial
+  // pushdown from a disjunction: neither side's predicate set is
+  // implied by the WHERE as written, but Catalyst extracts the
+  // per-side common factors (brand ∈ {1,2,3} to the part scan,
+  // quantity ∈ [1,50] to the lineitem scan) while the full bracket
+  // rides the join as a residual — at 100 TB the extracted ranges
+  // prune row groups even though the predicate is an OR. Identical
+  // SQL in DuckDB.
+  def tpchQ19(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    table(spark, dir, "part").createOrReplaceTempView("part")
+    spark.sql(
+      """SELECT round(sum(cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) as bigint))
+        |             / cast(10000.0 as double), 4) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity >= 1 AND l_quantity <= 30)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25
+        |       AND l_quantity >= 10 AND l_quantity <= 40)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 40
+        |       AND l_quantity >= 20 AND l_quantity <= 50)""".stripMargin)
+  }
+
+  // B46 — TPC-H Q7 shape: bilateral volume shipping — nation joined
+  // TWICE (supplier side and customer side) with an OR of the two
+  // directed pairs. The stress: the disjunction correlates the two
+  // broadcast dims across the fact chain, so it can only apply after
+  // both nation joins — but each disjunct's single-side component
+  // (n_name ∈ {NATION_0, NATION_1}) is still extractable to BOTH dim
+  // scans, collapsing the broadcast build to two rows each before the
+  // 4-fact-join chain. Identical SQL in DuckDB (year() int width is
+  // driver-benign).
+  def tpchQ7(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "supplier").createOrReplaceTempView("supplier")
+    table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    table(spark, dir, "orders").createOrReplaceTempView("orders")
+    table(spark, dir, "customer").createOrReplaceTempView("customer")
+    table(spark, dir, "nation").createOrReplaceTempView("nation")
+    spark.sql(
+      """SELECT supp_nation, cust_nation, yr,
+        |       round(sum(cast(round(volume * 10000, 0) as bigint))
+        |             / cast(10000.0 as double), 4) AS revenue,
+        |       count(*) AS n_lines
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |             year(l_shipdate) AS yr,
+        |             l_extendedprice * (1 - l_discount) AS volume
+        |      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |      JOIN orders ON o_orderkey = l_orderkey
+        |      JOIN customer ON c_custkey = o_custkey
+        |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |      WHERE (n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1')
+        |         OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0'))
+        |GROUP BY supp_nation, cust_nation, yr
+        |ORDER BY supp_nation, cust_nation, yr""".stripMargin)
+  }
+
   // B13 — scalar function battery (string/date/math/CASE)
   def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "orders")
@@ -979,6 +1039,8 @@ object Relational {
     "b42_tpch_q16" -> (tpchQ16 _),
     "b43_tpch_q11" -> (tpchQ11 _),
     "b44_tpch_q14" -> (tpchQ14 _),
+    "b45_tpch_q19" -> (tpchQ19 _),
+    "b46_tpch_q7" -> (tpchQ7 _),
     "b13_scalar_funcs" -> (scalarFuncs _),
     "b13b_scalar_funcs2" -> (scalarFuncs2 _),
     "b22_sql_subquery" -> (sqlSubquery _),
@@ -1249,6 +1311,34 @@ object Relational {
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+    "b45_tpch_q19" ->
+      """SELECT round(sum(cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) as bigint))
+        |             / 10000.0, 4) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity >= 1 AND l_quantity <= 30)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25
+        |       AND l_quantity >= 10 AND l_quantity <= 40)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 40
+        |       AND l_quantity >= 20 AND l_quantity <= 50)""".stripMargin,
+    "b46_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, yr,
+        |       round(sum(cast(round(volume * 10000, 0) as bigint))
+        |             / 10000.0, 4) AS revenue,
+        |       count(*) AS n_lines
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |             year(l_shipdate) AS yr,
+        |             l_extendedprice * (1 - l_discount) AS volume
+        |      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |      JOIN orders ON o_orderkey = l_orderkey
+        |      JOIN customer ON c_custkey = o_custkey
+        |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |      WHERE (n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1')
+        |         OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0'))
+        |GROUP BY supp_nation, cust_nation, yr
+        |ORDER BY supp_nation, cust_nation, yr""".stripMargin,
     "b13_scalar_funcs" ->
       """SELECT o_orderkey,
         |  upper(substr(o_orderpriority, 1, 3)) AS pri3,

@@ -176,6 +176,34 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("GreaterThanOrEqual(l_shipdate"), s"q14 date range not pushed:\n$p")
   }
 
+  test("B45: Q19 disjunctive brackets — per-side factors extracted to BOTH scans") {
+    val p = plan(Relational.tpchQ19(spark, dir))
+    // neither side's predicates are implied by the OR as written;
+    // Catalyst must extract each side's common disjunction and push it
+    // (quantity brackets → lineitem scan, brand/size → part scan) while
+    // the full cross-side bracket rides the join as a residual
+    val liScan = p.linesIterator.find(l => l.contains("FileScan") && l.contains("l_quantity"))
+      .getOrElse("")
+    assert(liScan.contains("l_quantity"), s"q19 quantity factor not at the lineitem scan:\n$p")
+    val pScan = p.linesIterator.find(l => l.contains("FileScan") && l.contains("p_brand"))
+      .getOrElse("")
+    assert(pScan.contains("Brand#"), s"q19 brand factor not at the part scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q19 nested loop:\n$p")
+  }
+
+  test("B46: Q7 nation-pair OR — per-side name factors prune both dim scans") {
+    val p = plan(Relational.tpchQ7(spark, dir))
+    // nation joins twice; each side's OR-factor (name IN the pair) must
+    // reach ITS dim scan so the broadcasts build on 2 rows, with the
+    // directed-pair disjunction as the final join's residual
+    val nScans = p.linesIterator.filter(l =>
+      l.contains("FileScan") && l.contains("n_name") && l.contains("NATION_")).toSeq
+    assert(nScans.size == 2, s"q7 nation-name factors not pushed to both dim scans:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q7 nested loop:\n$p")
+  }
+
   test("B5: fixed-size dims broadcast; fact joins do not nest loops") {
     val p = plan(Relational.joinMulti(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"nation/region not broadcast:\n$p")
