@@ -624,7 +624,7 @@ object Relational {
   // directed pairs. The stress: the disjunction correlates the two
   // broadcast dims across the fact chain, so it can only apply after
   // both nation joins — but each disjunct's single-side component
-  // (n_name ∈ {NATION_0, NATION_1}) is still extractable to BOTH dim
+  // (n_name ∈ {NATION_18, NATION_19}) is still extractable to BOTH dim
   // scans, collapsing the broadcast build to two rows each before the
   // 4-fact-join chain. Identical SQL in DuckDB (year() int width is
   // driver-benign).
@@ -647,8 +647,8 @@ object Relational {
         |      JOIN customer ON c_custkey = o_custkey
         |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
         |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        |      WHERE (n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1')
-        |         OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0'))
+        |      WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        |         OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
         |GROUP BY supp_nation, cust_nation, yr
         |ORDER BY supp_nation, cust_nation, yr""".stripMargin)
   }
@@ -1335,8 +1335,8 @@ object Relational {
         |      JOIN customer ON c_custkey = o_custkey
         |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
         |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        |      WHERE (n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1')
-        |         OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0'))
+        |      WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        |         OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
         |GROUP BY supp_nation, cust_nation, yr
         |ORDER BY supp_nation, cust_nation, yr""".stripMargin,
     "b13_scalar_funcs" ->
