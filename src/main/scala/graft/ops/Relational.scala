@@ -653,6 +653,170 @@ object Relational {
         |ORDER BY supp_nation, cust_nation, yr""".stripMargin)
   }
 
+  // B47 — TPC-H Q3 shape: the shipping-priority report — the classic
+  // join + group + top-k COMPOSITION (filtered dim → filtered fact →
+  // filtered fact, grouped per order, top-10 by revenue).
+  // o_orderpriority stands in for Q3's o_shippriority (this corpus has
+  // no shippriority column). The planner properties that matter at
+  // 100 TB: the segment predicate prunes customer BEFORE the join, both
+  // date ranges reach their parquet scans' PushedFilters, and the
+  // top-10 plans TakeOrderedAndProject over the aggregate — never a
+  // global sort (all PlanSpec-pinned). The ORDER BY ranks on the exact
+  // cents BIGINT (not the rounded double) with l_orderkey as the tie
+  // break, so the selected 10-row SET is engine-portable. Identical
+  // SQL runs in DuckDB as the oracle.
+  def tpchQ3(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "customer").createOrReplaceTempView("customer")
+    table(spark, dir, "orders").createOrReplaceTempView("orders")
+    table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |       round(sum(cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) as bigint))
+        |             / cast(10000.0 as double), 4) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY sum(cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) as bigint)) DESC,
+        |         l_orderkey
+        |LIMIT 10""".stripMargin)
+  }
+
+  // B48 — TPC-H Q8 shape: national market share — the WIDEST classic
+  // join graph (8 relations: part + the 4-table fact chain + nation
+  // TWICE + region) with a CASE share-of-sum per year. nation n1 scopes
+  // the CUSTOMER side to a region (via the region dim); nation n2 names
+  // the SUPPLIER side, and the share is "NATION_3's fraction of that
+  // market's volume by order year". Planner stresses: the two nation
+  // broadcasts serve different join keys and must not merge; region's
+  // name filter prunes its 5-row broadcast before the n1 join; both
+  // CASE-sum and total-sum live in ONE aggregate pair over the join —
+  // never two scans stitched together (PlanSpec-pinned). Share math is
+  // exact: both sums are cents BIGINTs, the division is one double op
+  // on identical longs. Identical SQL in DuckDB.
+  def tpchQ8(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "part").createOrReplaceTempView("part")
+    table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    table(spark, dir, "supplier").createOrReplaceTempView("supplier")
+    table(spark, dir, "orders").createOrReplaceTempView("orders")
+    table(spark, dir, "customer").createOrReplaceTempView("customer")
+    table(spark, dir, "nation").createOrReplaceTempView("nation")
+    table(spark, dir, "region").createOrReplaceTempView("region")
+    spark.sql(
+      """SELECT yr,
+        |       round(sum(CASE WHEN nation = 'NATION_3' THEN cents ELSE 0 END)
+        |             / cast(sum(cents) as double), 4) AS mkt_share,
+        |       count(*) AS n_lines
+        |FROM (SELECT year(o_orderdate) AS yr, n2.n_name AS nation,
+        |             cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) as bigint) AS cents
+        |      FROM part
+        |      JOIN lineitem ON p_partkey = l_partkey
+        |      JOIN supplier ON s_suppkey = l_suppkey
+        |      JOIN orders ON l_orderkey = o_orderkey
+        |      JOIN customer ON o_custkey = c_custkey
+        |      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |      JOIN region ON n1.n_regionkey = r_regionkey
+        |      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |      WHERE r_name = 'AMERICA' AND p_type = 'PROMO')
+        |GROUP BY yr ORDER BY yr""".stripMargin)
+  }
+
+  // B49 — TPC-H Q9 shape: product-line profit by nation and year — the
+  // hardest classic join-graph stress: a NON-SARGABLE `p_name LIKE
+  // '%gizmo%'` filter (no range to push; only a StringContains filter
+  // reaches the scan, so the planner cannot rely on row-group pruning)
+  // plus a SIX-way join that includes a COMPOSITE-key edge. This corpus
+  // has no partsupp table, so partsupp is derived in-query (per
+  // (partkey, suppkey) min unit price as the supplycost — a grouped
+  // aggregate over lineitem, exactly the extra fact-table pass Q9's
+  // partsupp scan costs at 100 TB) and joined back on BOTH keys — the
+  // composite equi-join Catalyst must key correctly rather than
+  // degrade to a single-key join + filter or a nested loop
+  // (PlanSpec-pinned: a hash join keyed on both columns, no cartesian).
+  // Profit = revenue cents − cost cents, each an exact BIGINT; min of
+  // identical doubles is engine-exact. Identical SQL in DuckDB.
+  def tpchQ9(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "part").createOrReplaceTempView("part")
+    table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    table(spark, dir, "supplier").createOrReplaceTempView("supplier")
+    table(spark, dir, "nation").createOrReplaceTempView("nation")
+    table(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """WITH partsupp AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         min(l_extendedprice / l_quantity) AS ps_supplycost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT nation, yr,
+        |       round(sum(amount) / cast(10000.0 as double), 4) AS sum_profit,
+        |       count(*) AS n_lines
+        |FROM (SELECT n_name AS nation, year(o_orderdate) AS yr,
+        |             cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) as bigint)
+        |             - cast(round(ps_supplycost * cast(0.5 as double) * l_quantity * 10000, 0) as bigint)
+        |               AS amount
+        |      FROM part
+        |      JOIN lineitem ON p_partkey = l_partkey
+        |      JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        |      JOIN supplier ON s_suppkey = l_suppkey
+        |      JOIN nation ON s_nationkey = n_nationkey
+        |      JOIN orders ON o_orderkey = l_orderkey
+        |      WHERE p_name LIKE '%gizmo%')
+        |GROUP BY nation, yr
+        |ORDER BY nation, yr DESC""".stripMargin)
+  }
+
+  // B50 — TPC-H Q12 shape: shipmode priority report — TWO conditional
+  // CASE counts over one fact join, grouped by mode. l_returnflag
+  // stands in for Q12's l_shipmode (this corpus has no shipmode/
+  // commitdate/receiptdate), the IN ('A','R') pair mirrors Q12's
+  // two-mode filter, and the ship-date year range stands in for the
+  // receipt-year window. The plan property: both CASE sums live in ONE
+  // aggregate pair over the join and the returnflag IN + date range
+  // both reach the lineitem scan's PushedFilters (PlanSpec-pinned) —
+  // at 100 TB the 2-of-6 flag filter prunes row groups before the
+  // orders join. Pure counts — no float anywhere; the sums cast to
+  // bigint because DuckDB's sum(int) is HUGEINT (int128), a width the
+  // driver tolerates but pandas round-trips as float. Identical SQL in
+  // DuckDB.
+  def tpchQ12(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "orders").createOrReplaceTempView("orders")
+    table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT l_returnflag,
+        |       cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) as bigint) AS high_line_count,
+        |       cast(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) as bigint) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_returnflag IN ('A', 'R')
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  // B51 — TPC-H Q6 shape: the forecast-revenue-change aggregate — a
+  // pure SCAN query (no join at all; PlanSpec pins that none creeps
+  // in) whose entire cost is how much of the fact table the scan can
+  // skip: date range + discount bracket + quantity cap all reach
+  // PushedFilters, so at 100 TB the query reads only row groups whose
+  // min/max overlap a ~1-in-50 predicate. The discount literals are
+  // cast to double explicitly — Spark would otherwise parse 0.05 as
+  // DECIMAL(3,2) and run the comparison in decimal (the b12c trap's
+  // comparison form); the cast keeps both engines comparing the same
+  // stored double to the same IEEE literal. Identical SQL in DuckDB.
+  def tpchQ6(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT round(sum(cast(round(l_extendedprice * l_discount * 10000, 0) as bigint))
+        |             / cast(10000.0 as double), 4) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= cast(0.05 as double) AND l_discount <= cast(0.07 as double)
+        |  AND l_quantity < cast(24 as double)""".stripMargin)
+  }
+
   // B13 — scalar function battery (string/date/math/CASE)
   def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "orders")
@@ -1041,6 +1205,11 @@ object Relational {
     "b44_tpch_q14" -> (tpchQ14 _),
     "b45_tpch_q19" -> (tpchQ19 _),
     "b46_tpch_q7" -> (tpchQ7 _),
+    "b47_tpch_q3" -> (tpchQ3 _),
+    "b48_tpch_q8" -> (tpchQ8 _),
+    "b49_tpch_q9" -> (tpchQ9 _),
+    "b50_tpch_q12" -> (tpchQ12 _),
+    "b51_tpch_q6" -> (tpchQ6 _),
     "b13_scalar_funcs" -> (scalarFuncs _),
     "b13b_scalar_funcs2" -> (scalarFuncs2 _),
     "b22_sql_subquery" -> (sqlSubquery _),
@@ -1339,6 +1508,76 @@ object Relational {
         |         OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
         |GROUP BY supp_nation, cust_nation, yr
         |ORDER BY supp_nation, cust_nation, yr""".stripMargin,
+    "b47_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |       round(sum(cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) as bigint))
+        |             / 10000.0, 4) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY sum(cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) as bigint)) DESC,
+        |         l_orderkey
+        |LIMIT 10""".stripMargin,
+    "b48_tpch_q8" ->
+      """SELECT yr,
+        |       round(sum(CASE WHEN nation = 'NATION_3' THEN cents ELSE 0 END)
+        |             / cast(sum(cents) as double), 4) AS mkt_share,
+        |       count(*) AS n_lines
+        |FROM (SELECT year(o_orderdate) AS yr, n2.n_name AS nation,
+        |             cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) as bigint) AS cents
+        |      FROM part
+        |      JOIN lineitem ON p_partkey = l_partkey
+        |      JOIN supplier ON s_suppkey = l_suppkey
+        |      JOIN orders ON l_orderkey = o_orderkey
+        |      JOIN customer ON o_custkey = c_custkey
+        |      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |      JOIN region ON n1.n_regionkey = r_regionkey
+        |      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |      WHERE r_name = 'AMERICA' AND p_type = 'PROMO')
+        |GROUP BY yr ORDER BY yr""".stripMargin,
+    "b49_tpch_q9" ->
+      """WITH partsupp AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         min(l_extendedprice / l_quantity) AS ps_supplycost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT nation, yr,
+        |       round(sum(amount) / 10000.0, 4) AS sum_profit,
+        |       count(*) AS n_lines
+        |FROM (SELECT n_name AS nation, year(o_orderdate) AS yr,
+        |             cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) as bigint)
+        |             - cast(round(ps_supplycost * cast(0.5 as double) * l_quantity * 10000, 0) as bigint)
+        |               AS amount
+        |      FROM part
+        |      JOIN lineitem ON p_partkey = l_partkey
+        |      JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        |      JOIN supplier ON s_suppkey = l_suppkey
+        |      JOIN nation ON s_nationkey = n_nationkey
+        |      JOIN orders ON o_orderkey = l_orderkey
+        |      WHERE p_name LIKE '%gizmo%')
+        |GROUP BY nation, yr
+        |ORDER BY nation, yr DESC""".stripMargin,
+    "b50_tpch_q12" ->
+      """SELECT l_returnflag,
+        |       cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) as bigint) AS high_line_count,
+        |       cast(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) as bigint) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_returnflag IN ('A', 'R')
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "b51_tpch_q6" ->
+      """SELECT round(sum(cast(round(l_extendedprice * l_discount * 10000, 0) as bigint))
+        |             / 10000.0, 4) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= cast(0.05 as double) AND l_discount <= cast(0.07 as double)
+        |  AND l_quantity < cast(24 as double)""".stripMargin,
     "b13_scalar_funcs" ->
       """SELECT o_orderkey,
         |  upper(substr(o_orderpriority, 1, 3)) AS pri3,

@@ -184,7 +184,11 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     // the full cross-side bracket rides the join as a residual
     val liScan = p.linesIterator.find(l => l.contains("FileScan") && l.contains("l_quantity"))
       .getOrElse("")
-    assert(liScan.contains("l_quantity"), s"q19 quantity factor not at the lineitem scan:\n$p")
+    // a pushed predicate VALUE, not just the column name (which the
+    // scan's output/ReadSchema always carries): the extracted bracket
+    // bound must appear inside the scan's filter list
+    assert(liScan.contains("GreaterThanOrEqual(l_quantity"),
+      s"q19 quantity bracket not pushed to the lineitem scan:\n$p")
     val pScan = p.linesIterator.find(l => l.contains("FileScan") && l.contains("p_brand"))
       .getOrElse("")
     assert(pScan.contains("Brand#"), s"q19 brand factor not at the part scan:\n$p")
@@ -202,6 +206,80 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(nScans.size == 2, s"q7 nation-name factors not pushed to both dim scans:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"q7 nested loop:\n$p")
+  }
+
+  test("B47: Q3 — segment/date filters pushed, top-10 is TakeOrderedAndProject") {
+    val p = plan(Relational.tpchQ3(spark, dir))
+    // all three pre-join filters reach their scans: at 100 TB the
+    // composition's cost is the pruned fraction of each input
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"q3 segment predicate not pushed to the customer scan:\n$p")
+    assert(p.contains("LessThan(o_orderdate"), s"q3 order-date bound not pushed:\n$p")
+    assert(p.contains("GreaterThan(l_shipdate"), s"q3 ship-date bound not pushed:\n$p")
+    // top-10 by revenue: never a global sort of the per-order aggregate
+    assert(p.contains("TakeOrderedAndProject"), s"q3 full sort:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q3 nested loop:\n$p")
+  }
+
+  test("B48: Q8 — 8-relation graph broadcasts dims, share is ONE aggregate pair") {
+    val p = plan(Relational.tpchQ8(spark, dir))
+    // region's name filter prunes its broadcast build before the n1 join
+    assert(p.contains("EqualTo(r_name,AMERICA)"),
+      s"q8 region predicate not pushed to its scan:\n$p")
+    assert(p.contains("EqualTo(p_type,PROMO)"), s"q8 part predicate not pushed:\n$p")
+    // nation appears twice (customer side + supplier side): two scans
+    val nScans = p.linesIterator.count(l => l.contains("FileScan") && l.contains("n_nationkey"))
+    assert(nScans == 2, s"q8 expected nation scanned twice, got $nScans:\n$p")
+    // the CASE share and the total live in one partial+final aggregate
+    // pair over the join — never two scans stitched by a self-join
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs == 2, s"q8 expected one aggregate pair, got $aggs:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q8 nested loop:\n$p")
+  }
+
+  test("B49: Q9 — composite-key partsupp join keyed on BOTH columns; LIKE pushed as StringContains") {
+    val p = plan(Relational.tpchQ9(spark, dir))
+    // the derived partsupp joins back on (partkey, suppkey) as ONE
+    // two-column hash join — not a single-key join + residual filter,
+    // not a nested loop
+    val composite = p.linesIterator.exists(l =>
+      (l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") ||
+        l.contains("ShuffledHashJoin")) &&
+        l.contains("ps_partkey") && l.contains("ps_suppkey"))
+    assert(composite, s"q9 partsupp join not keyed on the composite key:\n$p")
+    // the non-sargable LIKE still reaches the part scan as StringContains
+    assert(p.contains("StringContains(p_name,gizmo)"),
+      s"q9 name filter not pushed to the part scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q9 nested loop:\n$p")
+  }
+
+  test("B50: Q12 — returnflag IN + date range pushed; both CASE sums in one aggregate pair") {
+    val p = plan(Relational.tpchQ12(spark, dir))
+    assert(p.contains("In(l_returnflag, [A,R])"),
+      s"q12 returnflag IN not pushed to the lineitem scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), s"q12 date range not pushed:\n$p")
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs == 2, s"q12 expected one aggregate pair, got $aggs:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q12 nested loop:\n$p")
+  }
+
+  test("B51: Q6 — pure scan aggregate: no join anywhere, all three predicates at the scan") {
+    val p = plan(Relational.tpchQ6(spark, dir))
+    assert(!p.contains("Join"), s"q6 grew a join:\n$p")
+    // the full predicate set prunes at the scan: date range + discount
+    // bracket + quantity cap (the discount comparisons stay DOUBLE —
+    // the explicit casts keep Spark's decimal literal out of the
+    // comparison; a decimal compare would also break the pushdown).
+    // Asserted on the Filter node (the rendered PushedFilters list
+    // truncates at ~100 chars, cutting the later entries mid-name).
+    assert(p.contains(">= 1996-01-01 00:00:00)"), s"q6 date range not in the scan filter:\n$p")
+    assert(p.contains(">= 0.05)") && p.contains("<= 0.07)"),
+      s"q6 discount bracket not in the scan filter:\n$p")
+    assert(p.contains("< 24.0)"), s"q6 quantity cap not in the scan filter:\n$p")
   }
 
   test("B5: fixed-size dims broadcast; fact joins do not nest loops") {
