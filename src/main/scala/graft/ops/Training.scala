@@ -134,10 +134,11 @@ object Training {
     * Scale: the window explode emits one 8-byte hash per token (≈ the
     * token explode docLogprob already pays, w× the chunk rows of c23);
     * the dup aggregate and cover join shuffle only (h) / (doc_id, pos)
-    * longs — window TEXT never shuffles. Coverage explode fans out only
-    * DUPLICATED occurrences (the small set by construction). The final
-    * reconstruction is one doc-keyed join of the covered-position sets
-    * against the docs scan — same exchange class as c23's rebuild.
+    * longs — window TEXT never shuffles. Covered regions travel as
+    * MERGED (lo, hi) INTERVALS (one per maximal repeated region), and
+    * the rebuild slices the gaps between them — O(L) per doc however
+    * much of it is covered. One doc-keyed join against the docs scan —
+    * same exchange class as c23's rebuild.
     * Deterministic → full DuckDB oracle (strings vs xxhash64 longs,
     * identical absent 64-bit collisions — the c12/c23 doctrine). */
   private[graft] def spanOn(df: DataFrame): DataFrame = {
@@ -154,16 +155,45 @@ object Training {
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1)
       .select(col("h"))
+    // Covered regions as MERGED INTERVALS, never a per-position set: a
+    // duplicated window covers [start, start+w-1], and on the SORTED
+    // start list a fixed-width window extends the previous run iff its
+    // start is within w of the predecessor (overlap or abutment — the
+    // covered-position union is the same either way). So each maximal
+    // repeated region is ONE (lo, hi) pair: the interval list is
+    // |maximal spans| long where the old collect_set was |covered
+    // positions| long, and the exchange ships one long per duplicated
+    // WINDOW (w× fewer rows than the old per-position explode).
     val covered = occ.join(dup, Seq("h"))
-      .select(col("doc_id"),
-        explode(expr(s"sequence(wpos, wpos + $spanTokens - 1)")).as("p"))
       .groupBy(col("doc_id"))
-      .agg(collect_set(col("p")).as("cov"))
+      .agg(array_sort(collect_set(col("wpos"))).as("ss"))
+      // lambda index i is 0-based while element_at is 1-based, so
+      // element_at(ss, i) is the PREDECESSOR and element_at(ss, i+2)
+      // the SUCCESSOR of element i
+      .withColumn("ivlo", expr(
+        s"filter(ss, (s, i) -> i = 0 OR s > element_at(ss, i) + $spanTokens)"))
+      .withColumn("ivhi", expr(
+        s"""transform(
+           |  filter(ss, (s, i) -> i = size(ss) - 1 OR element_at(ss, i + 2) > s + $spanTokens),
+           |  s -> s + $spanTokens - 1)""".stripMargin))
+      .select(col("doc_id"), col("ivlo"), col("ivhi"))
+    // Reconstruction is GAP SLICING — O(L) per doc, independent of how
+    // much of it is covered: the kept text is the concatenation of the
+    // slices between consecutive covered intervals (plus the flanks),
+    // never a per-token membership probe (the old filter+array_contains
+    // form was O(L·|covered|) — quadratic on a long mostly-boilerplate
+    // doc). Empty gaps at the flanks fall out of the hi >= lo guard.
     df.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .join(covered, Seq("doc_id"), "left")
       .withColumn("kept", expr(
-        "CASE WHEN cov IS NULL THEN toks " +
-          "ELSE filter(toks, (t, i) -> NOT array_contains(cov, i)) END"))
+        """CASE WHEN ivlo IS NULL THEN toks ELSE
+          |  flatten(zip_with(
+          |    concat(array(0), transform(ivhi, h -> h + 1)),
+          |    concat(transform(ivlo, lo -> lo - 1), array(size(toks) - 1)),
+          |    (glo, ghi) -> CASE WHEN ghi >= glo
+          |                  THEN slice(toks, glo + 1, ghi - glo + 1)
+          |                  ELSE array() END))
+          |END""".stripMargin))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
         size(col("kept")).cast("long").as("n_kept"),
         md5(concat_ws(" ", col("kept"))).as("kept_md5"))

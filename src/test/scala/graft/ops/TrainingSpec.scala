@@ -114,6 +114,35 @@ class TrainingSpec extends AnyFunSuite with SparkTestSession {
     assert(dflt(1L) === 7L && dflt(2L) === 7L, s"default w=8 missed the span: $dflt")
   }
 
+  test("dedupSpan: 50k-token doc at ~50% coverage reconstructs in linear time, byte-exactly") {
+    import spark.implicits._
+    // The long-boilerplate-book shape: doc 1 alternates 1000 unique
+    // 25-token filler blocks with 1000 shared 25-token blocks (50k
+    // tokens, half covered, 1000 SEPARATE maximal repeated spans); doc 2
+    // carries the shared blocks. The old per-position reconstruction
+    // (filter + array_contains over a 25k-element cover set) pays
+    // ~50k×25k comparisons on doc 1 alone — CPU-minutes; the interval
+    // form is |spans|=1000 intervals + O(L) gap slices. Asserts byte
+    // exactness AND a wall-clock bound the quadratic form cannot meet.
+    val filler = (0 until 1000).map(b => (0 until 25).map(i => s"u${b}x$i").mkString(" "))
+    val shared = (0 until 1000).map(b => (0 until 25).map(i => s"s${b}y$i").mkString(" "))
+    val doc1 = filler.zip(shared).map { case (f, s) => s"$f $s" }.mkString(" ")
+    val doc2 = shared.mkString(" ")
+    val docs = Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text").repartition(4)
+    def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val t0 = System.nanoTime()
+    val out = Training.spanOn(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val sec = (System.nanoTime() - t0) / 1e9
+    // doc 1 keeps exactly the filler blocks, in order; doc 2 is fully
+    // covered (every token sits inside a cross-doc-repeated block)
+    assert(out(1L) === ((50000L, 25000L, md5s(filler.mkString(" ")))),
+      s"doc 1 reconstruction wrong: ${out(1L)}")
+    assert(out(2L) === ((25000L, 0L, md5s(""))), s"doc 2 not fully excised: ${out(2L)}")
+    assert(sec < 120, f"long-doc reconstruction took $sec%.1f s — quadratic regression?")
+  }
+
   test("dedupSpan: sub-window repeats survive; full-doc duplicate reports empty") {
     import spark.implicits._
     // a 7-token repeat (< spanTokens=8) must survive — the operator's
