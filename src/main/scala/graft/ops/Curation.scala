@@ -195,7 +195,12 @@ object Curation {
     * edge: grp_n > 1 (exact dup) or its rep carries a near-dup edge;
     * the component minimum is the min over reps (every doc_id ≥ its
     * rep), so cluster ids are identical to the uncontracted result. */
-  def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame =
+    clusterLabels(spark, dir).orderBy("doc_id")
+
+  /** The c14 cluster labels, unsorted — shared by [[dedupCluster]] and
+    * the quality-aware keep rule [[dedupClusterKeepBest]]. */
+  private[ops] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
     val groups = Similarity.exactDupGroups(spark, dir)
     val repLabels = clusterPairs(spark,
         Similarity.nearDupRepPairs(spark, dir).select(col("da"), col("db")))
@@ -203,7 +208,43 @@ object Curation {
     groups.join(repLabels, Seq("rep"), "left")
       .filter(col("label").isNotNull || col("grp_n") > 1)
       .select(col("doc_id"), coalesce(col("label"), col("rep")).as("cluster_id"))
-      .orderBy("doc_id")
+  }
+
+  /** C14b — quality-aware canonical selection: within every near-dup
+    * cluster keep the HIGHEST-quality document, not the lowest id. Every
+    * other keep rule in the dedup family uses lowest-id-survives (the
+    * right oracle convention); production curation keeps the *best*
+    * copy of a page — the canonical-URL / least-boilerplate variant —
+    * and drops the rest with an auditable witness. Composition of
+    * shipped code paths: [[clusterLabels]] (the c14 components) joined
+    * to the c4 composite quality (`Pipeline.qualityOn`), then ONE
+    * window per cluster picks argmax(quality) with doc_id ascending as
+    * the deterministic tie-break. Each output row carries its verdict:
+    * (kept_by, kept_q) witnesses who won the cluster and why; is_kept
+    * marks the survivor itself.
+    *
+    * Scale: the window partitions by cluster_id — cluster populations
+    * are dup-clique sized (bounded by the corpus's duplication factor,
+    * never corpus-sized), so no skewed-partition risk; everything
+    * upstream reuses c14's contracted-graph machinery. Oracle: the c14
+    * recursive-closure labels joined to the c4 quality SQL with the
+    * same window — engine-portable because the quality doubles come
+    * from identical IEEE ops on integer counts. */
+  def dedupClusterKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val q = Pipeline.qualityOn(Relational.table(spark, dir, "documents"))
+      .select(col("doc_id"), col("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    clusterLabels(spark, dir).join(q, Seq("doc_id"))
+      .withColumn("kept_by", first(col("doc_id")).over(w))
+      .withColumn("kept_q", first(col("quality")).over(w))
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        col("kept_by"), col("kept_q"),
+        (col("doc_id") === col("kept_by")).as("is_kept"))
+      .orderBy("cluster_id", "doc_id")
   }
 
   /** Min-label propagation with pointer-jumping over DataFrames: labels
@@ -330,6 +371,14 @@ object Curation {
     Training.fitBpe(spark, docs.filter(col("doc_id") % 20 =!= 7), modelDir,
       spark.conf.getOption("graft.bpe.merges").map(_.toInt).getOrElse(200),
       spark.conf.getOption("graft.bpe.maxWords").map(_.toInt).getOrElse(65536))
+    packBpeOn(spark, docs, modelDir).orderBy("doc_id")
+  }
+
+  /** The c15b BPE-count packing over any (doc_id, lang, text) frame
+    * against an already-fitted tokenizer, unsorted — shared by
+    * [[packSequencesBpe]] and the pretrain composition (c33). */
+  private[ops] def packBpeOn(spark: SparkSession, docs: DataFrame,
+      modelDir: String): DataFrame = {
     val span = effectiveShardSpan(spark)
     val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -341,7 +390,6 @@ object Curation {
         expr(s"(end_off - n_tokens) div $packBudget").as("seq_id"),
         expr(s"((end_off - 1) div $packBudget) != ((end_off - n_tokens) div $packBudget)")
           .as("straddles"))
-      .orderBy("doc_id")
   }
 
   // ---------------------------------------------------- C16 PII redaction
@@ -619,6 +667,7 @@ object Curation {
     "c12c_decontaminate_bloom" -> (decontaminateBloom _),
     "c13_sample_stratified" -> (sampleStratified _),
     "c14_dedup_cluster" -> (dedupCluster _),
+    "c14b_dedup_cluster_keep_best" -> (dedupClusterKeepBest _),
     "c28_dedup_cluster_incremental" -> (dedupClusterIncremental _),
     "c15_pack_sequences" -> (packSequences _),
     "c15b_pack_bpe" -> (packSequencesBpe _),
@@ -632,9 +681,10 @@ object Curation {
   /** Transitive closure of the exact near-dup pair graph — shared by
     * c14 (per-run edge generation) and c28 (edges from the persistent
     * store): both must produce this identical result. */
-  private val clusterClosureOracle =
-    """WITH RECURSIVE
-      |toks2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  /** The c14 transitive-closure CTE body (no final SELECT) — shared by
+    * the c14/c28 label oracle and c14b's keep-best composition. */
+  private val clusterClosureCtes =
+    """toks2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (SELECT doc_id,
       |  list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
       |    ELSE list_transform(generate_series(1, len(t) - 2),
@@ -650,9 +700,33 @@ object Curation {
       |reach AS (
       |  SELECT src AS id, src AS node FROM edges
       |  UNION
-      |  SELECT r.id, e.dst FROM reach r JOIN edges e ON r.node = e.src)
-      |SELECT id AS doc_id, min(node) AS cluster_id FROM reach
-      |GROUP BY id ORDER BY doc_id""".stripMargin
+      |  SELECT r.id, e.dst FROM reach r JOIN edges e ON r.node = e.src)""".stripMargin
+
+  private val clusterClosureOracle =
+    s"""WITH RECURSIVE
+       |$clusterClosureCtes
+       |SELECT id AS doc_id, min(node) AS cluster_id FROM reach
+       |GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** c14b oracle: closure labels ⋈ the c4 quality SQL, then the same
+    * argmax window (quality DESC, doc_id ASC over the whole cluster). */
+  private val keepBestOracle =
+    s"""WITH RECURSIVE
+       |$clusterClosureCtes,
+       |labels AS (SELECT id AS doc_id, min(node) AS cluster_id FROM reach GROUP BY id),
+       |q AS (SELECT doc_id,
+       |    round(least(len(t) * 1.0 / 100.0, 1.0) * 0.5
+       |      + (1.0 - len(list_filter(t, x -> x in ${Pipeline.stopList})) * 1.0 / len(t)) * 0.5,
+       |      4) AS quality FROM toks2),
+       |j AS (SELECT l.doc_id, l.cluster_id, q.quality FROM labels l JOIN q USING (doc_id)),
+       |k AS (SELECT doc_id, cluster_id, quality,
+       |    first_value(doc_id) OVER w AS kept_by,
+       |    first_value(quality) OVER w AS kept_q
+       |  FROM j WINDOW w AS (PARTITION BY cluster_id ORDER BY quality DESC, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+       |SELECT doc_id, cluster_id, quality, kept_by, kept_q,
+       |       doc_id = kept_by AS is_kept
+       |FROM k ORDER BY cluster_id, doc_id""".stripMargin
 
   // a def, not a val: the c15 entry embeds the session's EFFECTIVE
   // shard span (see effectiveShardSpan) at dump time
@@ -687,6 +761,7 @@ object Curation {
     // as the c8 oracle); UNION (distinct) in the recursive member
     // guarantees termination on cyclic dup graphs
     "c14_dedup_cluster" -> clusterClosureOracle,
+    "c14b_dedup_cluster_keep_best" -> keepBestOracle,
     // the store-fed clustering must produce the IDENTICAL closure —
     // its pair table is the same exact n-gram pair graph (c27 contract)
     "c28_dedup_cluster_incremental" -> clusterClosureOracle,

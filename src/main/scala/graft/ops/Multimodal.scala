@@ -270,7 +270,15 @@ object Multimodal {
         // SPINS on the 0-returns. Caught live by MultimodalFuzzSpec
         // (28 CPU-minutes in one decode); at 100 TB that is one corrupt
         // blob wedging an executor core.
-        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels <= 0 ||
+        // encoding is gated to PCM_SIGNED, not just "16-bit": the
+        // cap-at-container-length read below is only sound when decoded
+        // bytes can never exceed the container, which holds for raw PCM
+        // but NOT for a third-party compressed-audio SPI on the
+        // classpath (an MP3/Vorbis reader emitting 16-bit PCM would
+        // pass a bits-only gate and get silently truncated at the
+        // compressed size)
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16 || fmt.getChannels <= 0 ||
             fmt.getChannels > 1024 ||
             !java.lang.Float.isFinite(rate) || rate <= 0 || rate > 1e8f) None
         else {
@@ -301,7 +309,12 @@ object Multimodal {
           var b = 0
           while (b < 8) { feats(b) = math.sqrt(feats(b) / math.max(n / 8, 1)).toFloat; b += 1 }
           val frames = n / fmt.getChannels
-          Some(MediaFeatures(d.doc_id, d.kind, d.media.length,
+          // a nonempty container that decodes to ZERO frames (e.g. a
+          // claimed frameSize larger than the whole payload — the first
+          // read 0-returns immediately) is malformed, not silent audio:
+          // fall back like any other undecodable blob
+          if (frames == 0 && d.media.nonEmpty) None
+          else Some(MediaFeatures(d.doc_id, d.kind, d.media.length,
             frames, fmt.getSampleRate.toInt, feats))
         }
       } finally in.close()

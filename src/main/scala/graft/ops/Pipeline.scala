@@ -33,18 +33,28 @@ object Pipeline {
       .orderBy("doc_id")
 
   // C4c — quality scoring: length, stopword ratio, alpha ratio → composite
-  private val stopList = "('the','a','and','of','to','in','is','it')"
-  def qualityScore(spark: SparkSession, dir: String): DataFrame =
-    Relational.table(spark, dir, "documents")
-      .withColumn("toks", split(col("text"), " "))
+  private[ops] val stopList = "('the','a','and','of','to','in','is','it')"
+
+  /** The c4 composite quality over any (doc_id, text) frame, unsorted —
+    * shared by [[qualityScore]] and the cluster keep-best rule (c14b,
+    * `Curation.dedupClusterKeepBest`). Deterministic double arithmetic
+    * over integer token counts: identical IEEE ops in Spark and DuckDB,
+    * so even ORDERING by the score is engine-portable. */
+  private[ops] def qualityOn(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("stop_cnt", expr(s"size(filter(toks, t -> t in $stopList))"))
+      .withColumn("quality",
+        round(least(col("n_tokens") * lit(1.0) / 100.0, lit(1.0)) * 0.5
+          + (lit(1.0) - col("stop_cnt") * lit(1.0) / col("n_tokens")) * 0.5, 4))
+
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityOn(Relational.table(spark, dir, "documents"))
       .withColumn("alpha_cnt", length(regexp_replace(col("text"), "[^a-z]", "")))
       .select(col("doc_id"),
         round(col("stop_cnt") * lit(1.0) / col("n_tokens"), 4).as("stop_ratio"),
         round(col("alpha_cnt") * lit(1.0) / length(col("text")), 4).as("alpha_ratio"),
-        round(least(col("n_tokens") * lit(1.0) / 100.0, lit(1.0)) * 0.5
-          + (lit(1.0) - col("stop_cnt") * lit(1.0) / col("n_tokens")) * 0.5, 4).as("quality"))
+        col("quality"))
       .orderBy("doc_id")
 
   // C4d — token counting: whitespace + BPE-ish regex segmentation.
@@ -375,6 +385,47 @@ object Pipeline {
     "c4_lang_id" -> (langId _),
     "c5_multimodal" -> (multimodalStruct _))
 
+  /** The c31 curation oracle's CTE chain (quality floor, exact/near
+    * dedup, decontamination, per-source cap) ending at `r` — shared by
+    * the c31 entry and c33's chained pretrain-composition oracle
+    * (Training.oracleSql). */
+  private[ops] val curateCtes: String =
+    s"""base AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         |m AS (SELECT doc_id, text, len(toks) AS n_tokens,
+         |    len(list_filter(toks, t -> t in $stopList)) AS stop_cnt FROM base),
+         |q AS (SELECT doc_id,
+         |    round(least(n_tokens * 1.0 / 100.0, 1.0) * 0.5
+         |      + (1.0 - stop_cnt * 1.0 / n_tokens) * 0.5, 4) AS quality FROM m),
+         |keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |toks2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT doc_id,
+         |  list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         |    ELSE list_transform(generate_series(1, len(t) - 2),
+         |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END) AS shingles FROM toks2),
+         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+         |losers AS (SELECT db AS doc_id FROM pairs
+         |  JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+         |  WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.8),
+         |g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= ${Curation.ngramN} THEN
+         |    list_distinct(list_transform(generate_series(1, len(toks) - ${Curation.ngramN - 1}),
+         |      i -> array_to_string(toks[i:i+${Curation.ngramN - 1}], ' ')))
+         |  ELSE [] END) AS gram FROM base),
+         |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+         |contaminated AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)
+         |  WHERE g.doc_id % 20 != 0),
+         |pool AS (SELECT q.doc_id, d.source, q.quality,
+         |    md5(concat('cap:', cast(q.doc_id as varchar))) AS k
+         |  FROM q JOIN keepers USING (doc_id) JOIN documents d USING (doc_id)
+         |  WHERE q.quality >= 0.7
+         |    AND q.doc_id NOT IN (SELECT doc_id FROM losers)
+         |    AND q.doc_id % 20 != 0
+         |    AND q.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |r AS (SELECT doc_id, source, quality,
+         |    row_number() OVER (PARTITION BY source ORDER BY k, doc_id) AS rank FROM pool)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "c20_vocab_topk" ->
       """SELECT tok, count(*) AS cnt
@@ -411,41 +462,7 @@ object Pipeline {
     // deterministic md5-order cap over the surviving pool — the same
     // stage SQL the standalone oracles use, chained in pipeline order
     "c31_curate_e2e" ->
-      s"""WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
-         |m AS (SELECT doc_id, text, len(toks) AS n_tokens,
-         |    len(list_filter(toks, t -> t in $stopList)) AS stop_cnt FROM base),
-         |q AS (SELECT doc_id,
-         |    round(least(n_tokens * 1.0 / 100.0, 1.0) * 0.5
-         |      + (1.0 - stop_cnt * 1.0 / n_tokens) * 0.5, 4) AS quality FROM m),
-         |keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
-         |toks2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |sh AS (SELECT doc_id,
-         |  list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-         |    ELSE list_transform(generate_series(1, len(t) - 2),
-         |      i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END) AS shingles FROM toks2),
-         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
-         |losers AS (SELECT db AS doc_id FROM pairs
-         |  JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
-         |  WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.8),
-         |g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= ${Curation.ngramN} THEN
-         |    list_distinct(list_transform(generate_series(1, len(toks) - ${Curation.ngramN - 1}),
-         |      i -> array_to_string(toks[i:i+${Curation.ngramN - 1}], ' ')))
-         |  ELSE [] END) AS gram FROM base),
-         |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
-         |contaminated AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)
-         |  WHERE g.doc_id % 20 != 0),
-         |pool AS (SELECT q.doc_id, d.source, q.quality,
-         |    md5(concat('cap:', cast(q.doc_id as varchar))) AS k
-         |  FROM q JOIN keepers USING (doc_id) JOIN documents d USING (doc_id)
-         |  WHERE q.quality >= 0.7
-         |    AND q.doc_id NOT IN (SELECT doc_id FROM losers)
-         |    AND q.doc_id % 20 != 0
-         |    AND q.doc_id NOT IN (SELECT doc_id FROM contaminated)),
-         |r AS (SELECT doc_id, source, quality,
-         |    row_number() OVER (PARTITION BY source ORDER BY k, doc_id) AS rank FROM pool)
+      s"""WITH $curateCtes
          |SELECT doc_id, source, rank, quality FROM r WHERE rank <= ${Curation.sourceCap}
          |ORDER BY doc_id""".stripMargin,
     // first-occurrence-per-key streaming dedup ≡ the distinct key set

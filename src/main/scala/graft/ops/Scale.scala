@@ -48,8 +48,36 @@ object Scale {
     else if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
   }
 
-  private def hasExchange(df: DataFrame): Boolean =
-    df.queryExecution.executedPlan.toString.contains("Exchange")
+  /** True when the physical plan carries any exchange NODE — a
+    * node-type walk, not a string match (a stray "Exchange" anywhere in
+    * a rendered plan must not silently disable the sizing this helper
+    * exists for). A shuffle exchange means output parallelism is
+    * already the shuffle.partitions config; and under AQE, `.rdd` on
+    * ANY exchange-bearing plan executes its query stages eagerly — the
+    * zero-jobs-during-sizing contract (PlanSpec). Broadcast-only plans
+    * (a broadcast join whose probe side is a scan) are DELIBERATELY
+    * passed through as well: probing one would build the broadcast
+    * relation as a job, and every caller sizes the raw scan BEFORE any
+    * join, so a broadcast-bearing frame arriving here is a caller
+    * contract breach to surface in review — not a sizing opportunity
+    * worth an eager job. Two AQE leaf wrappers hide subtrees from a
+    * naive traversal and get descended explicitly:
+    * AdaptiveSparkPlanExec (children = Nil; its `inputPlan` is
+    * PRE-EnsureRequirements and carries no exchanges yet, so the walk
+    * reads its current plan, which does) and QueryStageExec (wraps an
+    * already-materialized exchange). */
+  private def hasExchange(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    def walk(p: SparkPlan): Boolean = p.exists {
+      case _: Exchange => true
+      case _: QueryStageExec => true // wraps a materialized exchange
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case _ => false
+    }
+    walk(df.queryExecution.executedPlan)
+  }
 
   /** Size a small-row (8-byte id column) WRITE: repartition up for
     * parallelism when under-partitioned; when the source arrives far

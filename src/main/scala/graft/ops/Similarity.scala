@@ -663,8 +663,17 @@ object Similarity {
         // ingest stream never needs an out-of-band maintenance job.
         // Safe here because foreachBatch batches are sequential — the
         // stream IS the store's single writer.
-        streamCompactMaxFiles(spark)
-          .foreach(mf => compactNearDupIndexIfFragmented(spark, idx, mf))
+        streamCompactMaxFiles(spark).foreach { mf =>
+          val compacted = compactNearDupIndexIfFragmented(spark, idx, mf)
+          // census telemetry (one extra listing, no file opens): the
+          // long-soak rehearsal reads these lines to prove the file
+          // count stays BOUNDED across the horizon, not just that
+          // compactions happen (SteadyStateStream asserts the bound)
+          val census = Seq("shingles", "bands", "pairs")
+            .map(t => IndexMeta.countUnder(spark, nearDupTablePath(spark, idx, t), ".parquet"))
+            .max
+          System.err.println(s"[stream-census] $name bid=$bid files=$census compacted=$compacted")
+        }
         // scale-rehearsal telemetry: per-micro-batch wall cost is THE
         // number a streaming-ingest capacity plan needs (BASELINE.md
         // streaming decade tables read these lines)
@@ -1212,8 +1221,12 @@ object Similarity {
         writeDropsBatch(drops, bid, out.toString)
         // in-stream maintenance: same cadence contract as the c22d
         // store stream (see streamCompactMaxFiles)
-        streamCompactMaxFiles(spark)
-          .foreach(mf => compactIvfIndexIfFragmented(spark, indexDir, mf))
+        streamCompactMaxFiles(spark).foreach { mf =>
+          val compacted = compactIvfIndexIfFragmented(spark, indexDir, mf)
+          val census = IndexMeta.countUnder(spark,
+            liveVectorsPath(spark, indexDir), ".parquet")
+          System.err.println(s"[stream-census] $sinkName bid=$bid files=$census compacted=$compacted")
+        }
         System.err.println(f"[stream-batch] $sinkName bid=$bid " +
           f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
         ()
@@ -1246,7 +1259,8 @@ object Similarity {
     * the index < 1%, so the per-batch `[stream-batch]` telemetry reads
     * out the flat steady-state ingest cost (BASELINE.md round-10
     * table). Consumed by [[graft.tools.SteadyStateStream]]. */
-  def semanticSteadyState(spark: SparkSession, dir: String, nBatches: Int): DataFrame = {
+  def semanticSteadyState(spark: SparkSession, dir: String,
+      nBatches: Int): (DataFrame, String) = {
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val idx = freshScratch(spark, s"graft_sem_steady_${key}_")
     val e = Relational.table(spark, dir, "embeddings")
@@ -1256,19 +1270,31 @@ object Similarity {
       .select(col("vec_id"), col("embedding"))
     val stage = Relational.stageSlices(spark, arrivals, col("vec_id"),
       s"graft_steady_sem_stage_$key", nBatches)
-    dedupSemanticStream(spark, idx, stage, arrivals.schema,
-      s"graft_steady_sem_sink_$key")
+    (dedupSemanticStream(spark, idx, stage, arrivals.schema,
+      s"graft_steady_sem_sink_$key"), idx)
   }
 
   /** Near-dup store twin of [[semanticSteadyState]]. */
-  def nearDupSteadyState(spark: SparkSession, dir: String, nBatches: Int): DataFrame = {
+  def nearDupSteadyState(spark: SparkSession, dir: String,
+      nBatches: Int): (DataFrame, String) = {
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val idx = freshScratch(spark, s"graft_nd_steady_${key}_")
     val docs = Relational.table(spark, dir, "documents")
     buildNearDupIndex(spark, docs.filter(col("doc_id") % 20 =!= 7), idx)
-    dedupStreamNearStoreOn(spark, idx, docs.filter(col("doc_id") % 20 === 7),
-      s"graft_steady_nd_$key", nBatches)
+    (dedupStreamNearStoreOn(spark, idx, docs.filter(col("doc_id") % 20 === 7),
+      s"graft_steady_nd_$key", nBatches), idx)
   }
+
+  /** Post-run file census of a steady-state index/store (max across the
+    * near-dup tables; the live layout for the IVF index) — what the
+    * long-soak rehearsal asserts against `graft.stream.compactMaxFiles`. */
+  def steadyStateCensus(spark: SparkSession, store: String, idx: String): Long =
+    store match {
+      case "seminc" => IndexMeta.countUnder(spark, liveVectorsPath(spark, idx), ".parquet")
+      case _ => Seq("shingles", "bands", "pairs")
+        .map(t => IndexMeta.countUnder(spark, nearDupTablePath(spark, idx, t), ".parquet"))
+        .max
+    }
 
   def dedupSemanticStreamQuery(spark: SparkSession, dir: String): DataFrame = {
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
@@ -2066,17 +2092,26 @@ object Similarity {
     import spark.implicits._
     twoLevel match {
       case Some((coFlat, subFlat, dim, k2)) =>
-        // Codebook crash-ordering: retire the OLD coarse codebook, write
-        // the flat sub-centroid table, write the new coarse codebook
-        // LAST. The two tables are separate non-atomic overwrites, so
-        // every crash window must leave a usable pair: before the
-        // centroids2 rewrite the index reads as a FLAT index over the
-        // new sub-centroids (correct cells, slower probe); a crash mid
-        // centroids2-write leaves it uncommitted and indexCellsCol's
-        // `_SUCCESS` check falls back to flat. A new-coarse/old-flat
-        // mismatch (the dangerous pairing — k2 mis-derives) can never
-        // exist on disk. indexCellsCol additionally validates
-        // divisibility as defense in depth.
+        // Codebook crash-ordering — scope: the COARSE/SUB pairing only.
+        // Retire the OLD coarse codebook, write the flat sub-centroid
+        // table, write the new coarse codebook LAST: between those two
+        // overwrites the index reads as a FLAT index over the new
+        // sub-centroids (correct cells, slower probe), and a
+        // new-coarse/old-flat k2 mis-derivation can never exist on disk
+        // (indexCellsCol validates divisibility as defense in depth).
+        // What this ordering does NOT cover: the LAYOUT generation
+        // committed above — a crash landing here leaves the new layout
+        // live with the PREVIOUS build's centroids, and probes would
+        // pick cells from a codebook that did not place the vectors
+        // (silent recall loss until the build is re-run; the window is
+        // the two coalesce(1) codebook writes, sub-second at any k).
+        // Closing it outright needs the pqmeta doctrine — layout +
+        // centroids + centroids2 bound in ONE committed meta generation
+        // — which also has to thread through append (same gen, frozen
+        // codebooks) and compaction (new gen, SAME codebooks); deferred
+        // until an operational story needs crash-safe REBUILDS rather
+        // than crash-safe reads (every reader path today survives a
+        // crashed build by re-running it, which is idempotent).
         IndexMeta.delete(spark, s"$indexDir/centroids2")
         val subCents = (0 until subFlat.length / dim).map(i =>
           (i, (0 until dim).map(j => subFlat(i * dim + j))))
@@ -2673,16 +2708,21 @@ object Similarity {
       // correct for ANY sub-centroid table, rather than mis-derive k2
       if (co.nonEmpty && (flat.length / dim) % co.length == 0) {
         val k2 = (flat.length / dim) / co.length
-        // `graft.semdedup.coarseProbes` (default 1): search the top-b
+        // `graft.semdedup.coarseProbes` (default 2): search the top-b
         // coarse branches, not just the nearest — the standard FAISS
         // coarse-nprobe knob that closes the hierarchical probe's
-        // coarse-boundary recall dip (DispatchProbe: 993–995/1000
-        // planted twins at b=1 vs the flat index's 999–1000) at b×
-        // probe cost. Placement is b-INVARIANT (TwoLevelCells element 1
-        // is always the nearest branch's best cell), so probe width
-        // can change over an index's lifetime without re-placing.
+        // coarse-boundary recall dip. b=2 is the default because the
+        // CoarseProbeSweep table shows it recovering 1000/1000 planted
+        // twins at sf10e AND sf100e — parity-or-better vs the FLAT
+        // reference (999/1000 at sf100e) — at 1.34–1.43× probe cost,
+        // still well under the flat probe's total cost (HierProbe:
+        // 32.8 s vs 43.0 s at 19k cells). b=1 stays available as the
+        // opt-in economy mode (993–995/1000 measured). Placement is
+        // b-INVARIANT (TwoLevelCells element 1 is always the nearest
+        // branch's best cell), so probe width can change over an
+        // index's lifetime without re-placing.
         val b = spark.conf.getOption("graft.semdedup.coarseProbes")
-          .map(_.toInt).getOrElse(1)
+          .map(_.toInt).getOrElse(2)
         twoLevelCellsColOf(col("embedding"), coFlat, flat, dim, k2, nprobe, b)
       } else nearestCellsCol(flat, dim, nprobe)
     } else nearestCellsCol(flat, dim, nprobe)

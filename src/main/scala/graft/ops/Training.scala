@@ -471,17 +471,24 @@ object Training {
     * the permutation is a pure function of doc_id, reproducible across
     * engines, partitionings, and reruns (`df.orderBy(rand())` is none
     * of those). */
-  def shardShuffle(spark: SparkSession, dir: String): DataFrame = {
+  def shardShuffle(spark: SparkSession, dir: String): DataFrame =
+    shardPlanOn(spark, Relational.table(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars")))
+      .select(col("doc_id"), col("shard"), col("pos"), col("cum_chars"))
+      .orderBy("shard", "pos")
+
+  /** The c25 shard plan over any (doc_id, n_chars) frame, unsorted —
+    * shared by [[shardShuffle]], [[writeShardsOn]], and the pretrain
+    * composition (c33). */
+  private[ops] def shardPlanOn(spark: SparkSession, docs: DataFrame): DataFrame = {
     val s = effectiveShardCount(spark)
     val byShard = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
-    Relational.table(spark, dir, "documents")
+    docs
       .withColumn("k", md5(concat(lit("shard:"), col("doc_id").cast("string"))))
       .withColumn("shard", expr(shardExpr(s)).cast("long"))
       .withColumn("pos", row_number().over(byShard).cast("long"))
       .withColumn("cum_chars", sum(col("n_chars"))
         .over(byShard.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col("doc_id"), col("shard"), col("pos"), col("cum_chars"))
-      .orderBy("shard", "pos")
   }
 
   // ------------------------------------------ C25b shard-file writer
@@ -513,15 +520,25 @@ object Training {
     * them, and the partitioned write emits one file per directory —
     * parallelism = shards × parts, each file written sequentially in
     * pos order (what a training loader streams). */
-  def writeShards(spark: SparkSession, dir: String, outDir: String): Unit = {
+  def writeShards(spark: SparkSession, dir: String, outDir: String): Unit =
+    writeShardsOn(spark, Relational.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars")), outDir)
+
+  /** The c25b writer over any frame carrying (doc_id, text, n_chars) —
+    * every OTHER column of `docs` rides into the shard files as a
+    * payload column (how c33 ships bpe_tokens/seq_id/straddles to the
+    * training loader). The shard plan runs over the narrow (doc_id,
+    * n_chars) projection — window sorts never carry text — and the
+    * payload joins back by id, exactly the [[writeShards]] shape. */
+  private[ops] def writeShardsOn(spark: SparkSession, docs: DataFrame,
+      outDir: String): Unit = {
     val budget = effectiveMaxShardChars(spark)
-    val docs = Relational.table(spark, dir, "documents")
-      .select(col("doc_id"), col("text"), col("n_chars"))
-    shardShuffle(spark, dir)
+    val payload = docs.columns.filterNot(Set("doc_id", "n_chars").contains).toSeq
+    shardPlanOn(spark, docs.select(col("doc_id"), col("n_chars")))
+      .select(col("doc_id"), col("shard"), col("pos"), col("cum_chars"))
       .join(docs, "doc_id")
       .withColumn("part", expr(s"(cum_chars - n_chars) div $budget"))
-      .select(col("shard"), col("part"), col("pos"), col("doc_id"),
-        col("n_chars"), col("text"))
+      .select((Seq("shard", "part", "pos", "doc_id", "n_chars") ++ payload).map(col): _*)
       .repartition(col("shard"), col("part"))
       .sortWithinPartitions("shard", "part", "pos")
       .write.mode("overwrite").partitionBy("shard", "part")
@@ -549,9 +566,80 @@ object Training {
       .orderBy("shard", "part")
   }
 
+  // ------------------------------------------ C33 pretrain composition
+
+  /** Stages 1–4 of [[pretrainE2E]]: curate → fit BPE → pack → shard
+    * write; returns the shard-file directory (spec entry point). */
+  private[ops] def writePretrainShards(spark: SparkSession, dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val out = Similarity.freshScratch(spark, s"graft_pretrain_${key}_")
+    val modelDir = Similarity.freshScratch(spark, s"graft_bpe_e2e_${key}_")
+    val poolDir = Similarity.freshScratch(spark, s"graft_pool_${key}_")
+    // 1. CURATION runs ONCE, materialized to scratch as an id list:
+    //    three downstream consumers (BPE fit, packing, shard plan +
+    //    payload join) would each re-execute the whole LSH /
+    //    decontamination lineage otherwise (Spark plans derived-frame
+    //    reuse as recomputation). Ids only — 8 bytes/doc — so the
+    //    barrier is tiny at any corpus scale, and disk-backed (unlike a
+    //    localCheckpoint) so it survives executor loss on a cluster.
+    Pipeline.curateE2E(spark, dir).select(col("doc_id"))
+      .write.mode("overwrite").parquet(poolDir)
+    val pool = spark.read.parquet(poolDir)
+    val docs = Relational.table(spark, dir, "documents").join(pool, "doc_id")
+    // 2. the TOKENIZER artifact: fit once on the curated pool (the
+    //    thing a training run ships), persisted under the generation
+    //    protocol — unlike c32's 95/5 registry split, the composition
+    //    tokenizes the same pool it fit on, the production shape
+    fitBpe(spark, docs, modelDir, bpeMerges(spark), bpeMaxWords(spark))
+    // 3. PACK by real tokenizer counts over the curated pool (the c15b
+    //    window; its span-stratum `shard` column is internal to packing
+    //    and dropped here — the FILE shard below is c25's md5 shard)
+    val packed = Curation.packBpeOn(spark,
+        docs.select(col("doc_id"), col("lang"), col("text")), modelDir)
+      .select(col("doc_id"), col("n_tokens").as("bpe_tokens"),
+        col("seq_id"), col("straddles"))
+    // 4. SHARD WRITE: the files a training loader streams — text plus
+    //    the packing columns as payload, physically in pos order
+    writeShardsOn(spark,
+      docs.select(col("doc_id"), col("text"), col("n_chars")).join(packed, "doc_id"),
+      out)
+    out
+  }
+
+  /** C33 — the FULL pretraining composition, one program: c31 curation
+    * → c32 BPE tokenization → c15b packing (real token counts) → c25b
+    * shard write, answered FROM the re-read shard files. Every stage is
+    * the shipped operator's own code path ([[Pipeline.curateE2E]],
+    * [[fitBpe]]/[[bpeTokensCol]], `Curation.packBpeOn`,
+    * [[writeShardsOn]]), so the composition inherits each stage's scale
+    * design; the only new machinery is the id-list materialization
+    * barrier between curation and its three consumers.
+    *
+    * Oracle: the c31 stage oracle's CTE chain extended with the c25/
+    * c25b shard SQL over the SURVIVORS — hash-matching it proves the
+    * written files carry exactly the curated pool in exactly the
+    * planned permutation and part cuts. The BPE-derived payload columns
+    * (bpe_tokens, seq_id, straddles) ride in the FILES but not in this
+    * oracle-checked answer — BPE is not SQL-expressible (the c32/c15b
+    * rows-only doctrine); the spec re-verifies them from the re-read
+    * files against a plain-Scala recomputation instead. */
+  def pretrainE2E(spark: SparkSession, dir: String): DataFrame = {
+    val out = writePretrainShards(spark, dir)
+    spark.read.parquet(out)
+      .groupBy(col("shard").cast("long").as("shard"),
+        col("part").cast("long").as("part"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars"),
+        md5(concat_ws(",", expr(
+          "transform(array_sort(collect_list(struct(pos, doc_id))), s -> cast(s.doc_id as string))")))
+          .as("doc_md5"))
+      .orderBy("shard", "part")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c33_pretrain_e2e" -> (pretrainE2E _),
     "c23_dedup_passage" -> (dedupPassage _),
     "c23b_dedup_span" -> (dedupSpan _),
     "c24_doc_logprob" -> (docLogprob _),
@@ -642,6 +730,24 @@ object Training {
     "c25b_shard_write" ->
       s"""WITH t AS (SELECT doc_id, n_chars,
          |    md5(concat('shard:', cast(doc_id as varchar))) AS k FROM documents),
+         |s AS (SELECT doc_id, n_chars, k, ${shardExpr(activeShardCount)} AS shard FROM t),
+         |p AS (SELECT doc_id, n_chars, shard,
+         |    row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos,
+         |    cast(sum(n_chars) OVER (PARTITION BY shard ORDER BY k, doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n_chars as bigint) AS start FROM s)
+         |SELECT shard, start // $activeMaxShardChars AS part,
+         |  count(*) AS n_docs, cast(sum(n_chars) as bigint) AS chars,
+         |  md5(string_agg(cast(doc_id as varchar), ',' ORDER BY pos)) AS doc_md5
+         |FROM p GROUP BY shard, part ORDER BY shard, part""".stripMargin,
+    // the c31 stage-oracle CTE chain (ending at `r`) extended with the
+    // c25/c25b shard SQL over the curation survivors — the chained
+    // whole-pipeline oracle (stage-oracle composition, the c31 doctrine)
+    "c33_pretrain_e2e" ->
+      s"""WITH ${Pipeline.curateCtes},
+         |survivors AS (SELECT doc_id FROM r WHERE rank <= ${Curation.sourceCap}),
+         |t AS (SELECT d.doc_id, d.n_chars,
+         |    md5(concat('shard:', cast(d.doc_id as varchar))) AS k
+         |  FROM documents d JOIN survivors USING (doc_id)),
          |s AS (SELECT doc_id, n_chars, k, ${shardExpr(activeShardCount)} AS shard FROM t),
          |p AS (SELECT doc_id, n_chars, shard,
          |    row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos,

@@ -33,14 +33,28 @@ object SteadyStateStream {
       .foreach { kv => val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v) })
 
     val t0 = System.nanoTime()
-    val out = store match {
+    val (out, idx) = store match {
       case "seminc"  => Similarity.semanticSteadyState(spark, dir, nBatches)
       case "neardup" => Similarity.nearDupSteadyState(spark, dir, nBatches)
       case other     => sys.error(s"unknown store: $other (seminc|neardup)")
     }
     val rows = out.agg(count(lit(1))).head().getLong(0)
+    // the long-soak contract (round-10 verdict item 7): when the
+    // in-stream compaction cadence is active, the post-run file census
+    // must sit at-or-under the bound — flat per-batch cost alone can
+    // hide a store quietly fragmenting toward a probe cliff. (The bound
+    // is exact here because the cadence check runs AFTER the final
+    // batch's append; a store whose compacted steady-state legitimately
+    // needs more target-size files than the bound would assert loudly —
+    // the signal to raise the conf, not a soak failure.)
+    val census = Similarity.steadyStateCensus(spark, store, idx)
+    spark.conf.getOption("graft.stream.compactMaxFiles").map(_.toLong).foreach { mf =>
+      assert(census <= mf,
+        s"file census $census exceeds the compactMaxFiles bound $mf after the soak")
+    }
     println(f"""{"store":"$store","dir":"$dir","n_batches":$nBatches,""" +
-      f""""result_rows":$rows,"total_sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
+      f""""result_rows":$rows,"files":$census,""" +
+      f""""total_sec":${(System.nanoTime() - t0) / 1e9}%.1f}""")
     spark.stop()
   }
 }

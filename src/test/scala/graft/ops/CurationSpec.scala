@@ -14,6 +14,37 @@ class CurationSpec extends AnyFunSuite with SparkTestSession {
 
   private val sf = "/root/testdata/sf0.01"
 
+  test("dedupClusterKeepBest: the HIGH-quality duplicate survives even at the higher id") {
+    import spark.implicits._
+    // Discriminator against every lowest-id keep rule in the family: doc
+    // 10 (the LOWER id) is the boilerplate-padded copy — two stopwords
+    // appended drop its c4 quality below doc 20's clean text (0.7408 vs
+    // 0.75) while keeping 3-gram Jaccard at 48/50 = 0.96 ≥ 0.8, so the
+    // two docs cluster. The keep rule must hand the cluster to doc 20;
+    // c14's own convention (and a naive min-id rule) would keep doc 10.
+    // docs 30/40 are cluster-free noise and must not appear at all.
+    val base = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (10L, s"$base the the"),
+      (20L, base),
+      (30L, (1 to 30).map(i => s"aaa$i").mkString(" ")),
+      (40L, (1 to 30).map(i => s"bbb$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_keepbest").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Curation.dedupClusterKeepBest(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(out.keySet === Set(10L, 20L), s"cluster membership wrong: ${out.keySet}")
+    val (c10, q10, kb10, kq10, k10) = out(10L)
+    val (c20, q20, kb20, _, k20) = out(20L)
+    assert(c10 === 10L && c20 === 10L, "cluster id should still be the component min")
+    assert(q20 > q10, s"fixture broken: clean copy not higher quality ($q20 vs $q10)")
+    assert(kb10 === 20L && kb20 === 20L, s"argmax witness wrong: kept_by=$kb10")
+    assert(kq10 === q20, "kept_q witness must carry the winner's score")
+    assert(!k10 && k20, s"keep verdicts wrong: doc10=$k10 doc20=$k20")
+  }
+
   test("decontaminate: shared 13-gram flags a doc; short docs never flagged") {
     import spark.implicits._
     // doc 0 is "eval" (id % 20 == 0); doc 1 repeats 13 of its tokens

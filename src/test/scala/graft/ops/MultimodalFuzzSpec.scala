@@ -120,6 +120,27 @@ class MultimodalFuzzSpec extends AnyFunSuite {
     assert(ok, "huge-frame WAV broke the decode invariants")
   }
 
+  test("a WAV whose frame size exceeds the container decodes ZERO frames and falls back") {
+    // the advice-flagged escape next to the spin fix: when frameSize is
+    // bigger than the whole payload, the first bounded read 0-returns
+    // immediately — zero frames from a nonempty container is a
+    // MALFORMED header, not silent audio, and must fall back to the
+    // byte fold (dims -1), never report Some(frames=0)
+    // channels must change too: the JDK WAV reader recomputes frameSize
+    // as channels × bits/8, ignoring a lone blockAlign rewrite. 1000
+    // channels passes the ≤1024 sanity gate but makes frameSize 2000 >
+    // the 844-byte container — exactly the advice's escape shape.
+    val b = Multimodal.synthWav(9L)
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putShort(22, 1000.toShort) // fmt channels
+    bb.putShort(32, 2000.toShort) // fmt block align (frame size) > container length
+    val Seq(f) = Multimodal.decodeBatch(Seq(
+      Multimodal.MediaDoc(9L, "audio", b, 0, 0, 0)))
+    assert(f.decoded_w == -1 && f.decoded_h == -1,
+      s"zero-frame decode escaped as dims ${f.decoded_w} x ${f.decoded_h}")
+    assert(f.features.length == 8 && f.n_bytes == b.length)
+  }
+
   test("an AVI whose avih dims are corrupt falls back even for codec'd frames") {
     // minimal MJPEG-shape AVI (one real JPEG 00dc frame) with garbage
     // avih width/height — ImageIO decodes the frame fine, so only the

@@ -393,6 +393,8 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     spark.conf.set("graft.semdedup.cellPop", "100")
     try {
       Similarity.buildIvfIndexFrom(spark, corpus, popIdx)
+      // b=1 is the opt-in economy mode since round 11 (default is 2)
+      spark.conf.set("graft.semdedup.coarseProbes", "1")
       val b1 = Similarity.dedupSemanticIncremental(spark, popIdx, arrivals)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       spark.conf.set("graft.semdedup.coarseProbes", "2")

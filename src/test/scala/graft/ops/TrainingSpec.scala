@@ -143,6 +143,48 @@ class TrainingSpec extends AnyFunSuite with SparkTestSession {
     assert(sec < 120, f"long-doc reconstruction took $sec%.1f s — quadratic regression?")
   }
 
+  test("pretrainE2E: shard files carry exactly the curated pool, with BPE pack columns the loader can trust") {
+    // The oracle hash-checks the curated permutation and part cuts;
+    // this spec covers the NON-SQL-expressible payload: the files'
+    // bpe_tokens/seq_id/straddles must equal a plain-Scala recomputation
+    // of the c15b window arithmetic from the files' own token counts
+    // (the c15b re-verification doctrine, applied to the composition).
+    val dir = "/root/testdata/sf0.001"
+    val out = Training.writePretrainShards(spark, dir)
+    val rows = spark.read.parquet(out)
+      .join(Relational.table(spark, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id")
+      .select(col("doc_id"), col("lang"), col("bpe_tokens"),
+        col("seq_id"), col("straddles"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3), r.getBoolean(4)))
+    // 1. file doc set == the c31 survivors, each exactly once
+    val pool = Pipeline.curateE2E(spark, dir).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(rows.map(_._1).sorted.toSeq === pool.toSeq,
+      "shard files do not carry exactly the curated pool")
+    // 2. recompute the packing in plain Scala: per (lang, doc_id div
+    //    span) stratum in doc_id order, running token sums cut at the
+    //    512 budget; seq_id = chunk of the doc's first token
+    val span = 128L
+    val budget = 512L
+    val expected = rows.groupBy(r => (r._2, r._1 / span)).iterator.flatMap { case (_, docs) =>
+      var off = 0L
+      docs.sortBy(_._1).iterator.map { case (id, _, n, _, _) =>
+        val seq = off / budget
+        val strad = (off + n - 1) / budget != seq
+        off += n
+        id -> ((seq, strad))
+      }
+    }.toMap
+    rows.foreach { case (id, _, n, seq, strad) =>
+      assert(n > 0, s"doc $id wrote a non-positive BPE count")
+      val (eSeq, eStrad) = expected(id)
+      assert(seq === eSeq && strad === eStrad,
+        s"doc $id pack columns ($seq, $strad) != recomputed ($eSeq, $eStrad)")
+    }
+  }
+
   test("dedupSpan: sub-window repeats survive; full-doc duplicate reports empty") {
     import spark.implicits._
     // a 7-token repeat (< spanTokens=8) must survive — the operator's
