@@ -594,6 +594,48 @@ object Curation {
       .orderBy("lang", "source")
   }
 
+  // -------------------------------------------- C34 mixture REALIZATION
+
+  /** C34 — realize the c18 mixture: deterministically SELECT the
+    * documents each stratum's sample rate admits. c18 answers "what
+    * fraction of each (lang, source) stratum should a temperature-0.5
+    * token budget keep"; this op materializes that plan — the step a
+    * pipeline actually ships to training. Selection is a portable
+    * Lehmer hash gate, `(doc_id · 48271) mod 1000003 < ⌊rate · 1000003⌋`:
+    *   - deterministic and engine-portable (pure int64 arithmetic both
+    *     engines evaluate identically — no RNG state, no xxhash64
+    *     asymmetry), so reruns, retries, and the DuckDB oracle all pick
+    *     the SAME documents;
+    *   - monotone in the rate: raising a stratum's budget only ADDS
+    *     documents (the admitted hash prefix grows), so an incremental
+    *     re-mix never churns previously-selected data — the property
+    *     that makes mixture updates cheap on an existing corpus.
+    * The threshold crosses engines exactly because the rate itself is
+    * the c18 value (exact-long √token scores; proven hash-identical)
+    * and ⌊rate·1000003⌋ can only straddle an ulp when rate·1000003 is
+    * integral, which the 4-dp rate and prime modulus confine to the
+    * exact rate-1.0 (keep-everything) endpoint — where floor is exact.
+    *
+    * Scale shape: the rate table is the c18 aggregate (thousands of
+    * rows at 100 TB) and BROADCASTS; the corpus pass is map-only —
+    * scan → broadcast-join → hash filter, no corpus exchange at all.
+    * Two corpus scans total (one inside the rate aggregate, one here):
+    * the correct trade at scale — rates are corpus statistics, and
+    * caching 100 TB to save a re-scan is the anti-pattern. */
+  def mixResample(spark: SparkSession, dir: String): DataFrame =
+    mixResampleOn(Relational.table(spark, dir, "documents"))
+
+  /** The c34 selection over any frame with doc_id/lang/source/text —
+    * spec entry point. */
+  private[graft] def mixResampleOn(docs: DataFrame): DataFrame = {
+    val rates = mixWeightsOn(docs).select("lang", "source", "sample_rate")
+    docs.join(broadcast(rates), Seq("lang", "source"))
+      .where((col("doc_id") * lit(48271L)) % lit(1000003L) <
+        expr("cast(floor(sample_rate * cast(1000003 as double)) as bigint)"))
+      .select(col("doc_id"), col("lang"), col("source"), col("sample_rate"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------ C26 per-source cap
 
   /** C26 — per-source document cap: keep at most `cap` docs per source,
@@ -675,6 +717,7 @@ object Curation {
     "c17_quality_repetition" -> (qualityRepetition _),
     "c18_mix_weights" -> (mixWeights _),
     "c18b_mix_drift" -> (mixDrift _),
+    "c34_mix_resample" -> (mixResample _),
     "c21_quality_stream" -> (qualityStream _),
     "c26_cap_per_source" -> (capPerSource _))
 
@@ -825,7 +868,26 @@ object Curation {
          |  round(sqs * 1.0 / z, 4) AS share,
          |  round(least(1.0, $mixBudget * (sqs * 1.0 / z) / n_tokens), 4) AS sample_rate,
          |  round($mixBudget * (sqs * 1.0 / z) / n_tokens, 4) AS epochs
-         |FROM z ORDER BY lang, source""".stripMargin)
+         |FROM z ORDER BY lang, source""".stripMargin,
+    // c34 re-derives the c18 rate (same exact-long discipline) and
+    // applies the Lehmer gate row-wise — `1.0` literals are safe here
+    // because DuckDB parses them as DOUBLE (the Spark-side decimal trap
+    // does not exist in the oracle engine; the Spark side uses the
+    // DataFrame API with double lits)
+    "c34_mix_resample" ->
+      s"""WITH s AS (SELECT lang, source,
+         |  cast(sum(len(string_split(text, ' '))) as bigint) AS n_tokens
+         |  FROM documents GROUP BY 1, 2),
+         |t AS (SELECT *, cast(round(sqrt(n_tokens) * 1000000, 0) as bigint) AS sqs FROM s),
+         |z AS (SELECT *, sum(sqs) OVER () AS z FROM t),
+         |r AS (SELECT lang, source,
+         |  round(least(1.0, $mixBudget * (sqs * 1.0 / z) / n_tokens), 4) AS sample_rate
+         |  FROM z)
+         |SELECT d.doc_id, d.lang, d.source, r.sample_rate
+         |FROM documents d JOIN r USING (lang, source)
+         |WHERE (d.doc_id * 48271) % 1000003 <
+         |      cast(floor(sample_rate * 1000003) as bigint)
+         |ORDER BY d.doc_id""".stripMargin)
 
   private lazy val repetitionOracle: String =
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

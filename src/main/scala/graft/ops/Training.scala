@@ -636,10 +636,56 @@ object Training {
       .orderBy("shard", "part")
   }
 
+  // --------------------------------------- C36 overlapping chunking
+
+  /** Chunk window (tokens) and stride for c36. Stride < window gives
+    * the 4-token overlap retrieval chunking wants (a fact straddling a
+    * cut appears whole in the next chunk); 12/8 yields 3–12 chunks on
+    * the 20–90-token synthetic docs — the same corpus-fit reasoning as
+    * [[chunkTokens]]. */
+  private[graft] val chunkWin = 12
+  private[graft] val chunkStride = 8
+
+  /** C36 — overlapping passage chunking: slice each document into
+    * fixed-width token windows at a fixed stride (window > stride ⇒
+    * adjacent chunks OVERLAP), emitting (doc_id, chunk_ix, start,
+    * n_tok, chunk_md5). This is the retrieval/embedding counterpart of
+    * c23's disjoint chunks — the unit a RAG index or an embedding
+    * model actually consumes, with provenance (doc_id, start) carried
+    * so a retrieved chunk maps back to its source span. The tail chunk
+    * is kept short rather than dropped (slice clamps): provenance
+    * cover must be TOTAL — every token of every document lands in at
+    * least one chunk.
+    *
+    * Scale shape: map-only — tokenize, enumerate starts
+    * (`sequence(0, n−1, stride)`), slice per start; the explode
+    * multiplies rows ~(n/stride)× but no shuffle exists anywhere
+    * except the output-order sort. Emitting md5 fingerprints rather
+    * than chunk text keeps the output row narrow (the c23 hash-key
+    * doctrine); a consumer that wants text re-slices by (doc_id,
+    * start) on its own partition-local copy. */
+  def chunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    chunkOverlapOn(Relational.table(spark, dir, "documents"))
+
+  /** The c36 chunking over any (doc_id, text) frame — spec entry. */
+  private[graft] def chunkOverlapOn(docs: DataFrame): DataFrame =
+    Scale.sizeForCompute(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(expr(s"sequence(0, size(toks) - 1, $chunkStride)")))
+      .withColumnRenamed("pos", "chunk_ix")
+      .withColumnRenamed("col", "start")
+      .withColumn("chunk", expr(s"slice(toks, start + 1, $chunkWin)"))
+      .select(col("doc_id"), col("chunk_ix"), col("start"),
+        size(col("chunk")).as("n_tok"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_ix")
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c33_pretrain_e2e" -> (pretrainE2E _),
+    "c36_chunk_overlap" -> (chunkOverlap _),
     "c23_dedup_passage" -> (dedupPassage _),
     "c23b_dedup_span" -> (dedupSpan _),
     "c24_doc_logprob" -> (docLogprob _),
@@ -651,6 +697,17 @@ object Training {
   // a def, not a val: the c25 entry embeds the session's EFFECTIVE
   // shard count at dump time (c15 contract)
   def oracleSql: Map[String, String] = Map(
+    // list slicing clamps at the list end in both engines, so the
+    // short tail chunk needs no explicit bound
+    "c36_chunk_overlap" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |e AS (SELECT doc_id, toks,
+         |    unnest(generate_series(0, len(toks) - 1, $chunkStride)) AS start FROM t),
+         |c AS (SELECT doc_id, start // $chunkStride AS chunk_ix, start,
+         |    toks[(start + 1):(start + $chunkWin)] AS chunk FROM e)
+         |SELECT doc_id, chunk_ix, start, len(chunk) AS n_tok,
+         |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_ix""".stripMargin,
     // the oracle groups/joins on chunk STRINGS; equality with the
     // hashed Spark path holds absent xxhash64 collisions
     "c23_dedup_passage" ->

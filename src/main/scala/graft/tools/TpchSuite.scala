@@ -1,0 +1,89 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Full classic-TPC-H-surface throughput: run all 22 shapes from the
+ * registry against one SF dir, min-of-2 warm runs each, per-query JSON
+ * lines on stderr and ONE summary line on stdout. This is the
+ * Athena-replacement number — not five headline queries but the whole
+ * classic surface, the suite a warehouse user would actually run
+ * (reference README.md:3 positions orca inside an Athena/Presto stack;
+ * the 22 shapes are that stack's canonical workload).
+ *
+ * Results are forced via `count(*)` over the query frame — full
+ * execution of every operator including output-heavy shapes (Q11 emits
+ * ~4M rows at sf100) without driver-side materialization.
+ *
+ * Usage: runMain graft.tools.TpchSuite <dir> [onlyCsv]
+ *   onlyCsv: optional comma-separated query-name subset (decade runs
+ *   at sf100 can restrict to the shapes under study).
+ */
+object TpchSuite {
+  /** the classic 22, in query-number order */
+  val shapes: Seq[(Int, String)] = Seq(
+    1  -> "b3_agg_group",   2  -> "b36_tpch_q2",  3  -> "b47_tpch_q3",
+    4  -> "b30_sql_exists", 5  -> "b32_tpch_q5",  6  -> "b51_tpch_q6",
+    7  -> "b46_tpch_q7",    8  -> "b48_tpch_q8",  9  -> "b49_tpch_q9",
+    10 -> "b33_tpch_q10",   11 -> "b43_tpch_q11", 12 -> "b50_tpch_q12",
+    13 -> "b41_tpch_q13",   14 -> "b44_tpch_q14", 15 -> "b37_tpch_q15",
+    16 -> "b42_tpch_q16",   17 -> "b38_tpch_q17", 18 -> "b35_tpch_q18",
+    19 -> "b45_tpch_q19",   20 -> "b39_tpch_q20", 21 -> "b34_tpch_q21",
+    22 -> "b40_tpch_q22")
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val only: Set[String] =
+      if (args.length > 1) args(1).split(",").map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle sizing is AQE's wide-start/coalesce-down: partitions
+    // START at initialPartitionNum and AQE merges them to the advisory
+    // size at runtime — so one config serves every scale. A fixed
+    // shuffle.partitions=cpus was measured to be the sf100 killer:
+    // 600M lineitem rows / 32 partitions ≈ 19M rows (~2 GB) per
+    // reducer, and the Q2-shape decorrelated-min join ground past 12
+    // minutes at 91 GB RSS in spill before being killed (vs 9.1 s at
+    // sf10). With the wide start the same query finishes in seconds;
+    // at sf0.1 AQE coalesces back to a handful of partitions so small
+    // scales pay only map-side bucket count. This is exactly what a
+    // 1000-executor cluster does with initialPartitionNum.
+    val initParts = sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS", "1024")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", initParts)
+      // a 96 GB heap means organic GC almost never runs, so the
+      // ContextCleaner (which reclaims shuffle files via weak refs)
+      // never fires — at sf100 the suite accumulated >60 GB of dead
+      // shuffle spill across queries and filled the disk. Fast
+      // periodic GC + an explicit gc between queries bound the spill
+      // footprint to the live query's.
+      .config("spark.cleaner.periodicGC.interval", "60s")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def once(name: String): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(name)(spark, dir)
+        .agg(count(lit(1))).head().getLong(0)
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    val picked = shapes.filter { case (_, n) => only.isEmpty || only(n) }
+    val perQ = picked.map { case (qn, name) =>
+      val (rows, t1) = once(name); val (_, t2) = once(name)
+      System.gc() // release dead shuffle refs so the cleaner reclaims their files
+      val best = math.min(t1, t2)
+      System.err.println(
+        f"""{"q":$qn,"query":"$name","rows":$rows,"run1_sec":$t1%.1f,"run2_sec":$t2%.1f,"min_sec":$best%.1f}""")
+      (qn, name, rows, best)
+    }
+    val total = perQ.map(_._4).sum
+    val detail = perQ.map { case (qn, _, _, s) => f""""q$qn":$s%.1f""" }.mkString(",")
+    println(f"""{"metric":"tpch_suite","dir":"$dir","n_queries":${perQ.size},""" +
+      f""""total_min_sec":$total%.1f,"queries":{$detail}}""")
+    spark.stop()
+  }
+}

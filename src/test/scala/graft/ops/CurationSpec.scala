@@ -377,6 +377,36 @@ class CurationSpec extends AnyFunSuite with SparkTestSession {
     assert(bySrc("srcB") === ((1L, 400L, 0.6667, 1.0, 166.6667)))
   }
 
+  test("mixResampleOn: rate-1.0 stratum keeps ALL; partial stratum thins near its rate") {
+    import spark.implicits._
+    // srcTiny: 10 docs × 5 tokens = 50 tokens — its √-share of the
+    // 100k-token budget (~1.5k tokens) dwarfs it → rate 1.0, every doc
+    // must survive. srcBig: 2000 docs × 100 tokens = 200k tokens →
+    // rate ≈ 0.49, the Lehmer gate thins it to roughly half.
+    val tiny = (1 to 10).map(i => (i * 1000L, "en", "srcTiny", (1 to 5).map(_ => "t").mkString(" ")))
+    val big = (1 to 2000).map(i => (i.toLong, "en", "srcBig", (1 to 100).map(_ => "t").mkString(" ")))
+    val docs = (tiny ++ big).toDF("doc_id", "lang", "source", "text")
+    val out = Curation.mixResampleOn(docs).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getDouble(3)))
+    val byShard = out.groupBy(_._2)
+    assert(byShard("srcTiny").length === 10, "rate-1.0 stratum must keep every doc")
+    assert(byShard("srcTiny").forall(_._3 === 1.0))
+    val nBig = byShard("srcBig").length
+    assert(nBig > 600 && nBig < 1400, s"partial stratum kept $nBig of 2000 at rate ~0.49")
+    // every row carries its stratum's rate, and the gate is exactly the
+    // published predicate — selected iff hash under the rate threshold
+    val rate = byShard("srcBig").head._3
+    val thresh = math.floor(rate * 1000003).toLong
+    val selected = byShard("srcBig").map(_._1).toSet
+    (1 to 2000).foreach { i =>
+      val in = (i.toLong * 48271L) % 1000003L < thresh
+      assert(selected.contains(i.toLong) === in, s"doc $i gate mismatch")
+    }
+    // deterministic: a rerun selects the identical documents
+    assert(Curation.mixResampleOn(docs).collect().map(_.getLong(0)).toSeq
+      === out.map(_._1).toSeq)
+  }
+
   test("c15b BPE packing: window math re-verified in plain Scala; counts are real BPE") {
     val rows = Curation.queries("c15b_pack_bpe")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3),

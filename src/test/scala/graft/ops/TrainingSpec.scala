@@ -356,4 +356,44 @@ class TrainingSpec extends AnyFunSuite with SparkTestSession {
       }
     }
   }
+
+  test("chunkOverlapOn: hand-computed 12/8 windows — overlap, tail clamp, total cover") {
+    import spark.implicits._
+    def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toks = (1 to 20).map(i => s"w$i")
+    val docs = Seq((1L, toks.mkString(" ")), (2L, "a b c")).toDF("doc_id", "text")
+    val out = Training.chunkOverlapOn(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    // doc 1: starts 0, 8, 16 → windows of 12, 12, and a clamped 4
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(t => (t._2, t._3, t._4)).toSeq === Seq((0, 0, 12), (1, 8, 12), (2, 16, 4)))
+    assert(d1(0)._5 === md5s(toks.slice(0, 12).mkString(" ")))
+    assert(d1(1)._5 === md5s(toks.slice(8, 20).mkString(" ")))
+    assert(d1(2)._5 === md5s(toks.slice(16, 20).mkString(" ")))
+    // overlap: tokens 9..12 (0-based 8..11) appear in BOTH chunk 0 and
+    // chunk 1 — the straddling-fact guarantee stride < window buys
+    assert(toks.slice(8, 12).forall(t => toks.slice(0, 12).contains(t)
+      && toks.slice(8, 20).contains(t)))
+    // a short doc (≤ window) is exactly one whole-doc chunk
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.map(t => (t._2, t._3, t._4)).toSeq === Seq((0, 0, 3)))
+    assert(d2.head._5 === md5s("a b c"))
+    // total cover on the real corpus: per doc, chunks tile every token
+    // index — last chunk reaches n, consecutive starts leave no gap
+    // (stride ≤ window), so coverage is total
+    val real = Training.chunkOverlap(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3)))
+    val nTok = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    real.groupBy(_._1).foreach { case (id, ch) =>
+      val last = ch.maxBy(_._2)
+      assert(last._2 + last._3 === nTok(id), s"doc $id: chunks do not reach the end")
+      val starts = ch.map(_._2).sorted
+      assert(starts.head === 0 && starts.sliding(2).forall {
+        case Array(a, b) => b - a === 8; case _ => true
+      }, s"doc $id: stride gap")
+    }
+  }
 }
