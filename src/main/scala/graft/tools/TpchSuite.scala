@@ -65,6 +65,28 @@ object TpchSuite {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Per-query IO accounting: byte volumes are PLAN properties
+    // (identical across warm runs), so one capture per query turns the
+    // decade's time ratios into evidence — a 20× query that shuffles
+    // 20× the bytes is the disk speaking, not the plan regressing.
+    import java.util.concurrent.atomic.AtomicLong
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    object io {
+      val input, shufW, spillDisk = new AtomicLong
+      def reset(): Unit = Seq(input, shufW, spillDisk).foreach(_.set(0))
+      def gb(a: AtomicLong): Double = a.get / 1e9
+    }
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          io.input.addAndGet(m.inputMetrics.bytesRead)
+          io.shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          io.spillDisk.addAndGet(m.diskBytesSpilled)
+        }
+      }
+    })
+
     def once(name: String): (Long, Double) = {
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, dir)
@@ -73,11 +95,16 @@ object TpchSuite {
     }
     val picked = shapes.filter { case (_, n) => only.isEmpty || only(n) }
     val perQ = picked.map { case (qn, name) =>
-      val (rows, t1) = once(name); val (_, t2) = once(name)
+      io.reset()
+      val (rows, t1) = once(name)
+      Thread.sleep(500) // listener bus drains async; settle before reading
+      val (inGb, swGb, spGb) = (io.gb(io.input), io.gb(io.shufW), io.gb(io.spillDisk))
+      val (_, t2) = once(name)
       System.gc() // release dead shuffle refs so the cleaner reclaims their files
       val best = math.min(t1, t2)
       System.err.println(
-        f"""{"q":$qn,"query":"$name","rows":$rows,"run1_sec":$t1%.1f,"run2_sec":$t2%.1f,"min_sec":$best%.1f}""")
+        f"""{"q":$qn,"query":"$name","rows":$rows,"run1_sec":$t1%.1f,"run2_sec":$t2%.1f,"min_sec":$best%.1f,""" +
+        f""""input_gb":$inGb%.2f,"shuffle_write_gb":$swGb%.2f,"spill_disk_gb":$spGb%.2f}""")
       (qn, name, rows, best)
     }
     val total = perQ.map(_._4).sum
