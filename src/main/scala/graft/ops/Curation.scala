@@ -247,6 +247,40 @@ object Curation {
       .orderBy("cluster_id", "doc_id")
   }
 
+  // ------------------------------------------ C37 leakage-free split
+
+  /** Eval-side admission threshold for [[splitLeakFree]]:
+    * ⌊0.10 · 1000003⌋ — a ~10% eval split under the c34 Lehmer gate. */
+  private[graft] val evalThresh = 100000L
+
+  /** C37 — leakage-free train/eval split: assign every document to
+    * `train` or `eval` such that near-duplicate documents NEVER
+    * straddle the boundary. A random per-document split leaks — an
+    * eval document's near-twin in train inflates every benchmark it
+    * touches — so the unit of assignment is the c14 near-dup CLUSTER:
+    * clustered docs key on their cluster label, singletons on their own
+    * id, and the c34 Lehmer gate (`(key·48271) mod 1000003 <
+    * [[evalThresh]]`) sends the whole unit to one side. Deterministic,
+    * engine-portable, and stable under corpus growth: a new crawl batch
+    * only moves a document if dedup merges its cluster into one with a
+    * different label — the unavoidable cost of keeping the guarantee.
+    *
+    * Scale shape: [[clusterLabels]] reuses the contracted-graph
+    * machinery (its output is duplication-bounded, far smaller than the
+    * corpus); the assignment itself is one doc_id equi-join plus
+    * arithmetic — no new corpus exchange beyond the join. Oracle: the
+    * c14 recursive-closure labels left-joined under the same gate. */
+  def splitLeakFree(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.table(spark, dir, "documents").select(col("doc_id"))
+    docs.join(clusterLabels(spark, dir), Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when((col("split_key") * lit(48271L)) % lit(1000003L) < lit(evalThresh),
+          lit("eval")).otherwise(lit("train")))
+      .select(col("doc_id"), col("split_key"), col("split"))
+      .orderBy("doc_id")
+  }
+
   /** Min-label propagation with pointer-jumping over DataFrames: labels
     * start as own id; each round takes the min of (a) own label, (b)
     * neighbors' labels, and (c) the label of one's label — the
@@ -710,6 +744,7 @@ object Curation {
     "c13_sample_stratified" -> (sampleStratified _),
     "c14_dedup_cluster" -> (dedupCluster _),
     "c14b_dedup_cluster_keep_best" -> (dedupClusterKeepBest _),
+    "c37_split_leakfree" -> (splitLeakFree _),
     "c28_dedup_cluster_incremental" -> (dedupClusterIncremental _),
     "c15_pack_sequences" -> (packSequences _),
     "c15b_pack_bpe" -> (packSequencesBpe _),
@@ -805,6 +840,18 @@ object Curation {
     // guarantees termination on cyclic dup graphs
     "c14_dedup_cluster" -> clusterClosureOracle,
     "c14b_dedup_cluster_keep_best" -> keepBestOracle,
+    // c37: closure labels left-joined to the corpus; singletons key on
+    // their own id; the same Lehmer gate as c34 picks the eval side
+    "c37_split_leakfree" ->
+      s"""WITH RECURSIVE
+         |$clusterClosureCtes,
+         |labels AS (SELECT id AS doc_id, min(node) AS cluster_id FROM reach GROUP BY id)
+         |SELECT d.doc_id,
+         |  coalesce(l.cluster_id, d.doc_id) AS split_key,
+         |  CASE WHEN (coalesce(l.cluster_id, d.doc_id) * 48271) % 1000003 < $evalThresh
+         |       THEN 'eval' ELSE 'train' END AS split
+         |FROM documents d LEFT JOIN labels l USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     // the store-fed clustering must produce the IDENTICAL closure —
     // its pair table is the same exact n-gram pair graph (c27 contract)
     "c28_dedup_cluster_incremental" -> clusterClosureOracle,

@@ -60,6 +60,17 @@ object TpchSuite {
       // periodic GC + an explicit gc between queries bound the spill
       // footprint to the live query's.
       .config("spark.cleaner.periodicGC.interval", "60s")
+      // Warehouse broadcast posture: the default 10 MB threshold is a
+      // small-cluster safety net, and at sf100 it was the measured
+      // super-linear source — Catalyst can't estimate a LIKE filter's
+      // selectivity, so the 2.5M-key filtered part list (a few tens of
+      // MB) fell back to SortMergeJoin and lineitem shuffled 3× on
+      // partkey (q20: 17.1 GB shuffle, 21× sf10 time; q19: 28×). At
+      // 256 MB both revert to broadcast semi-joins: q20 50.4→18.2 s,
+      // q19 19.4→3.2 s — linear decade ratios. Any 32+ GB-executor
+      // cluster (the 100 TB shape) runs with exactly this posture.
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BCAST", "268435456"))
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()

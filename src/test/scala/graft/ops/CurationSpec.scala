@@ -407,6 +407,44 @@ class CurationSpec extends AnyFunSuite with SparkTestSession {
       === out.map(_._1).toSeq)
   }
 
+  test("splitLeakFree: clusters never straddle the boundary; gate exact; singletons self-keyed") {
+    val out = Curation.queries("c37_split_leakfree")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.length.toLong === docs, "every document must be assigned a side")
+    // gate exactness: the split is exactly the published Lehmer predicate
+    out.foreach { case (id, key, split) =>
+      val expected = if ((key * 48271L) % 1000003L < Curation.evalThresh) "eval" else "train"
+      assert(split === expected, s"doc $id gate mismatch")
+    }
+    // LEAK-FREE: every c14 near-dup cluster lands on exactly one side —
+    // the property the op exists for (a per-doc random split violates
+    // it on this corpus's planted dup cliques)
+    val splitByDoc = out.map(t => t._1 -> t._3).toMap
+    val clusters = Curation.queries("c14_dedup_cluster")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.nonEmpty, "fixture must contain dup clusters")
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      val sides = members.map(m => splitByDoc(m._1)).distinct
+      assert(sides.length === 1, s"cluster $cid straddles the split: $sides")
+    }
+    // a per-doc gate WOULD have straddled at least one cluster here —
+    // the discriminator that proves cluster-keying is load-bearing
+    val straddled = clusters.groupBy(_._2).exists { case (_, members) =>
+      members.map { m =>
+        (m._1 * 48271L) % 1000003L < Curation.evalThresh }.distinct.length > 1
+    }
+    assert(straddled, "fixture too weak: no cluster whose members' own-id gates disagree")
+    // singletons key on their own id
+    val clustered = clusters.map(_._1).toSet
+    out.filterNot(t => clustered(t._1)).foreach { case (id, key, _) =>
+      assert(key === id, s"singleton $id keyed on $key")
+    }
+    // the eval fraction sits near the 10% design point
+    val evalFrac = out.count(_._3 == "eval").toDouble / out.length
+    assert(evalFrac > 0.05 && evalFrac < 0.16, s"eval fraction $evalFrac off the 10% design point")
+  }
+
   test("c15b BPE packing: window math re-verified in plain Scala; counts are real BPE") {
     val rows = Curation.queries("c15b_pack_bpe")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3),
