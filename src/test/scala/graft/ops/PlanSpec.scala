@@ -551,6 +551,36 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"expected the two-phase cap's two exchanges:\n$p")
   }
 
+  test("C34: the rate table broadcasts — the corpus selection never shuffles for the join") {
+    val p = plan(Curation.queries("c34_mix_resample")(spark, dir))
+    // the (lang, source) rate table is an aggregate of thousands of
+    // rows at any scale — it must come back as a broadcast build; a
+    // sort-merge join here would shuffle the 100 TB corpus on (lang,
+    // source), with every hot language landing on one reducer
+    assert(p.contains("BroadcastHashJoin"), s"rate join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the rate join:\n$p")
+  }
+
+  test("C36: chunking is map-only — no hash exchange anywhere") {
+    val p = plan(Training.chunkOverlap(spark, dir))
+    // tokenize → enumerate starts → slice is per-row work; the only
+    // exchanges allowed are compute sizing (round-robin) and the
+    // presentation range sort — a hash exchange would mean chunk
+    // assembly shuffles corpus text
+    assert(!p.contains("Exchange hashpartitioning"), s"chunking hash-shuffles:\n$p")
+    assert(p.contains("Generate"), s"start enumeration not an explode:\n$p")
+  }
+
+  test("C37: the split composes labels with one equi-join — no nested loop, gate stays a projection") {
+    val p = plan(Curation.queries("c37_split_leakfree")(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in the split:\n$p")
+    // the Lehmer gate must be arithmetic in the projection, never a
+    // join condition (a theta-join on the hash would nested-loop)
+    assert(p.contains("CASE WHEN") || p.contains("eval"),
+      s"split gate missing from the projection:\n$p")
+  }
+
   test("C25: shard shuffle reads two columns and exchanges once before presentation") {
     val p = plan(Training.shardShuffle(spark, dir))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
