@@ -60,17 +60,20 @@ object TpchSuite {
       // periodic GC + an explicit gc between queries bound the spill
       // footprint to the live query's.
       .config("spark.cleaner.periodicGC.interval", "60s")
-      // Warehouse broadcast posture: the default 10 MB threshold is a
-      // small-cluster safety net, and at sf100 it was the measured
-      // super-linear source — Catalyst can't estimate a LIKE filter's
-      // selectivity, so the 2.5M-key filtered part list (a few tens of
-      // MB) fell back to SortMergeJoin and lineitem shuffled 3× on
-      // partkey (q20: 17.1 GB shuffle, 21× sf10 time; q19: 28×). At
-      // 256 MB both revert to broadcast semi-joins: q20 50.4→18.2 s,
-      // q19 19.4→3.2 s — linear decade ratios. Any 32+ GB-executor
-      // cluster (the 100 TB shape) runs with exactly this posture.
+      // Warehouse broadcast posture: static threshold 64 MB (default
+      // 10 MB). At sf100 the default was the measured super-linear
+      // source: the 2.5M-key LIKE-filtered part list (estimate
+      // 31.9 MB) fell back to SortMergeJoin and lineitem shuffled 3×
+      // on partkey (q20: 17.1 GB shuffle, 21× sf10 time; q19: 28×).
+      // The bound is deliberately NOT higher: a 256 MB bump was
+      // measured to backfire at sf10 (q2/q9/q17/q21 regressed 4–8× —
+      // ~150–260 MB fact-side aggregates became single-threaded
+      // driver broadcast builds), and the ADAPTIVE threshold alone is
+      // measured useless here — AQE's SMJ→BHJ conversion fires after
+      // the big side's shuffle map stage already wrote its 17 GB, so
+      // only a plan-time (static) flip avoids the shuffle.
       .config("spark.sql.autoBroadcastJoinThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_BCAST", "268435456"))
+        sys.env.getOrElse("SPARK_GRAFT_BCAST", "67108864"))
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
