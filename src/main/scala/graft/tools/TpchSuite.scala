@@ -62,16 +62,22 @@ object TpchSuite {
       .config("spark.cleaner.periodicGC.interval", "60s")
       // Warehouse broadcast posture: static threshold 64 MB (default
       // 10 MB). At sf100 the default was the measured super-linear
-      // source: the 2.5M-key LIKE-filtered part list (estimate
-      // 31.9 MB) fell back to SortMergeJoin and lineitem shuffled 3×
-      // on partkey (q20: 17.1 GB shuffle, 21× sf10 time; q19: 28×).
-      // The bound is deliberately NOT higher: a 256 MB bump was
-      // measured to backfire at sf10 (q2/q9/q17/q21 regressed 4–8× —
+      // source: column-pruned dim lists estimate 32–72 MB there
+      // (filters never shrink a non-CBO estimate, pruning does), so
+      // the part lists of the Q8/Q9/Q20 shapes fell back to
+      // SortMergeJoin and lineitem shuffled on partkey multiple times
+      // (q20: 17.1 GB shuffle for a query that shuffles 0.23 GB at
+      // sf10). At 64 MB those flips revert to broadcast semi-joins —
+      // measured shuffle cuts of 14.4→3.6 GB (q8), 19.5→10.2 GB (q9),
+      // 17.1→2.1 GB (q20). The bound is deliberately NOT higher: a
+      // 256 MB bump backfired at sf10 (q2/q9/q17/q21 regressed 4–8× —
       // ~150–260 MB fact-side aggregates became single-threaded
       // driver broadcast builds), and the ADAPTIVE threshold alone is
-      // measured useless here — AQE's SMJ→BHJ conversion fires after
-      // the big side's shuffle map stage already wrote its 17 GB, so
-      // only a plan-time (static) flip avoids the shuffle.
+      // measured useless for this class — AQE's SMJ→BHJ conversion
+      // fires after the big side's shuffle map stage already wrote
+      // its 17 GB, so only a plan-time flip avoids the shuffle. The
+      // 64 MB residue: q12's sf10 form pays ~5 s to a runtime BHJ
+      // conversion that buys nothing at that scale (sf100 unchanged).
       .config("spark.sql.autoBroadcastJoinThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BCAST", "67108864"))
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
