@@ -650,6 +650,7 @@ object Similarity {
       Files.walk(base).sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(Files.delete)
     }
+    val ndCadence = new CensusCadence(() => nearDupCensus(spark, idx))
     val q = spark.readStream.schema(arrivals.schema)
       .option("maxFilesPerTrigger", "1").parquet(stage)
       .writeStream.queryName(name)
@@ -658,21 +659,27 @@ object Similarity {
         appendToNearDupIndex(spark, idx, batch, Some(s"stream_$bid"))
         // in-stream maintenance (round-7 cadence theme applied to the
         // streaming leg): when conf'd, every batch commit is followed
-        // by the file-count trigger — one listStatus when under the
-        // bound, a store compaction when over, so a long-running
+        // by the AMORTIZED file-count trigger (CensusCadence — a real
+        // listing only when the row-count bound could have crossed),
+        // a store compaction when truly over, so a long-running
         // ingest stream never needs an out-of-band maintenance job.
         // Safe here because foreachBatch batches are sequential — the
         // stream IS the store's single writer.
         streamCompactMaxFiles(spark).foreach { mf =>
-          val compacted = compactNearDupIndexIfFragmented(spark, idx, mf)
-          // census telemetry (one extra listing, no file opens): the
-          // long-soak rehearsal reads these lines to prove the file
-          // count stays BOUNDED across the horizon, not just that
-          // compactions happen (SteadyStateStream asserts the bound)
-          val census = Seq("shingles", "bands", "pairs")
-            .map(t => IndexMeta.countUnder(spark, nearDupTablePath(spark, idx, t), ".parquet"))
-            .max
-          System.err.println(s"[stream-census] $name bid=$bid files=$census compacted=$compacted")
+          val (n, exact) = ndCadence.check(batch.count(), mf)
+          val compacted = exact && n > mf
+          // census telemetry: the long-soak rehearsal reads these
+          // lines to prove the file count stays BOUNDED across the
+          // horizon, not just that compactions happen
+          // (SteadyStateStream asserts the bound with a true listing)
+          val (shown, mark) =
+            if (compacted) {
+              compactNearDupIndex(spark, idx)
+              val c = nearDupCensus(spark, idx)
+              ndCadence.reset(c)
+              (c, "=")
+            } else (n, if (exact) "=" else "<=")
+          System.err.println(s"[stream-census] $name bid=$bid files$mark$shown compacted=$compacted")
         }
         // scale-rehearsal telemetry: per-micro-batch wall cost is THE
         // number a streaming-ingest capacity plan needs (BASELINE.md
@@ -693,6 +700,40 @@ object Similarity {
     * maintenance — the caller owns the cadence). */
   private def streamCompactMaxFiles(spark: SparkSession): Option[Long] =
     spark.conf.getOption("graft.stream.compactMaxFiles").map(_.toLong)
+
+  /** True file census of the near-dup store: max across its three
+    * tables (each append adds files to all three). */
+  private def nearDupCensus(spark: SparkSession, idx: String): Long =
+    Seq("shingles", "bands", "pairs")
+      .map(t => IndexMeta.countUnder(spark, nearDupTablePath(spark, idx, t), ".parquet"))
+      .max
+
+  /** Amortized census for the in-stream compaction trigger. A true
+    * recursive listing of a cell-partitioned layout costs SECONDS per
+    * call at scale — the round-11 32-batch soak measured ~19 s/batch of
+    * pure listing on a 19k-cell sf100e index (two walks per batch),
+    * 2.5× the batch's own ~8 s of work — so the cadence must not list
+    * per batch. This tracks an UPPER BOUND instead: last true census +
+    * rows appended since (every parquet file holds ≥ 1 row, so files
+    * added ≤ rows appended), and pays for a real listing only when the
+    * bound could have crossed `maxFiles`. A crossing is never missed
+    * (the bound is conservative); between listings the census
+    * telemetry reports the bound, marked `<=`. Single-writer only —
+    * exactly the foreachBatch sequential-batches contract. */
+  private[ops] final class CensusCadence(list: () => Long) {
+    private var bound: Long = -1L
+    private var boundExact = false
+    /** Fold in one batch's appended rows; re-list only if the bound
+      * could have crossed `maxFiles`. Returns (census-or-bound, exact). */
+    def check(rowsAppended: Long, maxFiles: Long): (Long, Boolean) = {
+      if (bound < 0) { bound = list(); boundExact = true }
+      else { bound += rowsAppended; boundExact = false }
+      if (bound > maxFiles && !boundExact) { bound = list(); boundExact = true }
+      (bound, boundExact)
+    }
+    /** Record a fresh post-compaction census. */
+    def reset(census: Long): Unit = { bound = census; boundExact = true }
+  }
 
   def dedupIncrementalQuery(spark: SparkSession, dir: String): DataFrame = {
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
@@ -1111,14 +1152,80 @@ object Similarity {
       arrivals: DataFrame, batchId: Option[String] = None): DataFrame = {
     // drops materialize BEFORE the append (the c27 pre-append-probe
     // doctrine), and survivors checkpoint so the append's writes never
-    // re-evaluate a plan that reads the index being mutated
-    val drops = dedupSemanticIncremental(spark, indexDir, arrivals).localCheckpoint()
+    // re-evaluate a plan that reads the index being mutated.
+    //
+    // TWO screens, unioned: against the INDEX (the incremental probe)
+    // and WITHIN the batch (the self-screen). Without the latter, a
+    // twin pair arriving in the SAME micro-batch appends both copies —
+    // dedup quality would depend on batch boundaries (measured: the
+    // same 5% slice yields 750 drops in 32 batches, 0 in 8 — a big
+    // crawl day would silently under-dedup), and a crash REPLAY of a
+    // twin-carrying batch would diverge (the re-probe sees the twin's
+    // surviving sibling in the index and drops what it kept). With the
+    // self-screen, survivors are exactly the arrivals matching neither
+    // the index nor any lower-id batch member — a pure function of
+    // (index-before, batch), so the replay-identity contract holds for
+    // every batch, twins or not.
+    val indexDrops = dedupSemanticIncremental(spark, indexDir, arrivals)
+    val selfDrops = dedupSemanticSelfScreen(spark, indexDir, arrivals)
+    val drops = indexDrops.unionByName(selfDrops)
+      .groupBy(col("arrival_id"))
+      .agg(min(col("kept_by")).as("kept_by"),
+        min_by(col("cos"), col("kept_by")).as("cos"))
+      .localCheckpoint()
     val survivors = arrivals
       .join(drops.select(col("arrival_id").as("vec_id")), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("embedding"))
       .localCheckpoint()
     appendToIvfIndex(spark, indexDir, survivors, batchId)
     drops
+  }
+
+  /** The within-batch screen of [[dedupSemanticWithAppend]]: arrival
+    * pairs in a shared probe cell, SRP-hamming-screened, cosine-verified
+    * at the same 0.99 bar as the index probe; the HIGHER id drops
+    * against the lowest matching lower id (the family keep rule). Pure
+    * function of the batch — no index read beyond the quantizer — so it
+    * is replay-stable by construction. Cost: batch×batch within cells,
+    * negligible against the corpus-scale index probe. */
+  private def dedupSemanticSelfScreen(spark: SparkSession, indexDir: String,
+      arrivals: DataFrame): DataFrame = {
+    GraftFunctions.register(spark)
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .select(col("cell"), col("centroid"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    val dim = cents.head._2.length
+    val flat = new Array[Float](cents.length * dim)
+    cents.foreach { case (c, arr) =>
+      var j = 0
+      while (j < dim) { flat(c * dim + j) = arr(j); j += 1 }
+    }
+    val np = spark.conf.getOption("graft.semdedup.probeCells")
+      .map(_.toInt).getOrElse(2)
+    val arr = arrivals
+      .withColumn("cell", explode(indexCellsCol(spark, indexDir, flat, dim, np)))
+      .withColumn("sigs", expr(s"graft_srp_sign(embedding, 42L, $sigWords)"))
+      .select(col("vec_id"), col("sigs"), col("cell"))
+    val hamming = (0 until sigWords).map(i =>
+      expr(s"bit_count(a.sigs[$i] ^ b.sigs[$i])")).reduce(_ + _)
+    // strict < (not =!=): the pair is screened once, lowest id is the
+    // keeper — and a multi-cell co-occurrence dedups via distinct
+    val cands = arr.as("a").join(arr.as("b"),
+        col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id") &&
+          (hamming <= hammingBar))
+      .select(col("a.vec_id").as("arrival_id"), col("b.vec_id").as("corpus_id"))
+      .distinct()
+    cands
+      .join(arrivals.select(col("vec_id").as("arrival_id"), col("embedding").as("ea")),
+        Seq("arrival_id"))
+      .join(arrivals.select(col("vec_id").as("corpus_id"), col("embedding").as("ec")),
+        Seq("corpus_id"))
+      .select(col("arrival_id"), col("corpus_id"),
+        round(cosineExpr("ea", "ec"), 4).as("cos"))
+      .filter(col("cos") >= 0.99)
+      .groupBy(col("arrival_id"))
+      .agg(min(col("corpus_id")).as("kept_by"),
+        min_by(col("cos"), col("corpus_id")).as("cos"))
   }
 
   /** Registry wrapper: index the 95% slice; batch 1 = the held-out 5%
@@ -1201,6 +1308,8 @@ object Similarity {
     }
     val out = base.resolve("out")
     Files.createDirectories(out)
+    val semCadence = new CensusCadence(() =>
+      IndexMeta.countUnder(spark, liveVectorsPath(spark, indexDir), ".parquet"))
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(stagedDir)
       .writeStream.queryName(sinkName)
@@ -1219,13 +1328,21 @@ object Similarity {
         val drops = dedupSemanticWithAppend(spark, indexDir,
           batch.select(col("vec_id"), col("embedding")), Some(s"stream_$bid"))
         writeDropsBatch(drops, bid, out.toString)
-        // in-stream maintenance: same cadence contract as the c22d
-        // store stream (see streamCompactMaxFiles)
+        // in-stream maintenance: same amortized cadence contract as
+        // the c22d store stream (see CensusCadence — a 19k-cell layout
+        // listing costs seconds, so it must not run per batch)
         streamCompactMaxFiles(spark).foreach { mf =>
-          val compacted = compactIvfIndexIfFragmented(spark, indexDir, mf)
-          val census = IndexMeta.countUnder(spark,
-            liveVectorsPath(spark, indexDir), ".parquet")
-          System.err.println(s"[stream-census] $sinkName bid=$bid files=$census compacted=$compacted")
+          val (n, exact) = semCadence.check(batch.count(), mf)
+          val compacted = exact && n > mf
+          val (shown, mark) =
+            if (compacted) {
+              compactIvfIndex(spark, indexDir)
+              val c = IndexMeta.countUnder(spark,
+                liveVectorsPath(spark, indexDir), ".parquet")
+              semCadence.reset(c)
+              (c, "=")
+            } else (n, if (exact) "=" else "<=")
+          System.err.println(s"[stream-census] $sinkName bid=$bid files$mark$shown compacted=$compacted")
         }
         System.err.println(f"[stream-batch] $sinkName bid=$bid " +
           f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")

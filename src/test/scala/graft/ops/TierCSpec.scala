@@ -525,6 +525,38 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     assert(!replayed.exists { case (a, k) => a == k }, "survivors self-dropped on replay")
   }
 
+  test("C2 semantic-dedup cycle: WITHIN-batch twins drop — batching must not change dedup") {
+    // the round-11 soak discriminator: the same 5% slice produced 750
+    // drops in 32 micro-batches and 0 in 8, because twin pairs landing
+    // in one batch were only screened against the index. The cycle must
+    // drop the higher-id member of a same-batch twin pair, keep the
+    // lower, and REPLAY identically (the survivor is then in the index,
+    // so a missing self-screen would flip verdicts between runs).
+    val idx = java.nio.file.Files.createTempDirectory("graft_sem_selfscreen").toString
+    val e = Relational.table(spark, dir, "embeddings")
+    val corpus = e.filter(col("vec_id") % 20 =!= 7)
+    Similarity.buildIvfIndexFrom(spark,
+      corpus.select(col("vec_id"), col("embedding")), idx)
+    val off = Similarity.plantedOffset(e)
+    // one batch: three distinct held-outs + an EXACT twin of the first
+    // under a higher id — all four genuinely new to the index
+    val held = e.filter(col("vec_id") % 20 === 7)
+      .select(col("vec_id"), col("embedding")).limit(3).localCheckpoint()
+    val ids = held.collect().map(_.getLong(0)).sorted
+    val twin = held.filter(col("vec_id") === ids.head)
+      .select((col("vec_id") + lit(10 * off)).as("vec_id"), col("embedding"))
+    val batch = held.unionByName(twin).localCheckpoint()
+    val drops = Similarity.dedupSemanticWithAppend(spark, idx, batch, Some("selfscreen_spec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(drops === Set((ids.head + 10 * off, ids.head)),
+      s"within-batch twin not dropped against its lower-id sibling: $drops")
+    // replay: the append is a marker no-op, the kept sibling is now IN
+    // the index — verdicts must not change
+    val replayed = Similarity.dedupSemanticWithAppend(spark, idx, batch, Some("selfscreen_spec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(replayed === drops, s"self-screen replay diverged: $replayed vs $drops")
+  }
+
   test("C2 semantic-dedup append cycle: batch-2 twins drop against batch-1 survivors") {
     val drops2 = Similarity.queries("c2_dedup_semantic_cycle")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
@@ -1429,5 +1461,31 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     assert(vids == Seq(0, 5, 10, 15))
     val nonVids = planned.filter(col("kind") =!= "video" && size(col("frame_indices")) =!= 0).count()
     assert(nonVids == 0)
+  }
+
+  test("CensusCadence: lists only on crossings, never misses one, bound is conservative") {
+    var listings = 0
+    var trueCensus = 100L
+    val cad = new Similarity.CensusCadence(() => { listings += 1; trueCensus })
+    // first check always pays one listing (no prior state)
+    assert(cad.check(10L, 1000L) === ((100L, true)) && listings === 1)
+    // under-bound checks are free: bound drifts up by rows, no listing
+    assert(cad.check(200L, 1000L) === ((300L, false)) && listings === 1)
+    assert(cad.check(200L, 1000L) === ((500L, false)) && listings === 1)
+    // a potential crossing (bound 500+600=1100 > 1000) forces a real
+    // listing — which here reveals the true census is still under (the
+    // conservative bound can cry wolf, never the reverse)
+    trueCensus = 400L
+    assert(cad.check(600L, 1000L) === ((400L, true)) && listings === 2)
+    // back under the bound: free again
+    assert(cad.check(500L, 1000L) === ((900L, false)) && listings === 2)
+    // a REAL crossing is caught the moment the bound admits it could
+    // have happened — the listing then confirms it
+    trueCensus = 1500L
+    val (n2, exact2) = cad.check(200L, 1000L)
+    assert(exact2 && n2 === 1500L && listings === 3, "crossing must force a listing")
+    // reset after compaction re-seeds the exact census without a listing
+    cad.reset(42L)
+    assert(cad.check(5L, 1000L) === ((47L, false)) && listings === 3)
   }
 }
