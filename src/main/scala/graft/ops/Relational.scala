@@ -97,16 +97,34 @@ object Relational {
 
   // B5 — 5-way join chain; nation/region are fixed-size (25/5 rows at ANY
   // scale factor) → always broadcast; the fact joins shuffle on their keys
-  def joinMulti(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "lineitem")
+  def joinMulti(spark: SparkSession, dir: String): DataFrame = {
+    // Eager aggregation (round 11): revenue folds to (o_custkey) BEFORE
+    // the customer join. The naive chain shuffles the full
+    // lineitem⋈orders stream a SECOND time on o_custkey to meet
+    // customer — at sf100 that is 600M wide rows through the exchange
+    // twice (measured 143.7 s with 1 GB page-allocation retries, the
+    // one headline decade cell that thrashed). Folding first shrinks
+    // the second exchange to one narrow row per customer (~40× fewer
+    // rows), and nation/region stay broadcast. Catalyst does not push
+    // partial aggregates through joins, so the rewrite is declared
+    // here. Cents ride as a LONG through both levels — integer
+    // addition is associative, so the two-level sum is bit-identical
+    // to the one-shot moneySum and the oracle is unchanged.
+    val perCust = table(spark, dir, "lineitem")
       .join(table(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(round((col("l_extendedprice") * (lit(1) - col("l_discount"))) * 10000, 0)
+          .cast("long")).as("cents"),
+        count(lit(1)).as("n"))
+    perCust
       .join(table(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(table(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(table(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
-        count(lit(1)).as("n_items"))
+      .agg(round(sum(col("cents")) / 10000.0, 4).as("revenue"),
+        sum(col("n")).as("n_items"))
       .orderBy("r_name", "n_name")
+  }
 
   // B6 — semi/anti join: customers with vs without orders
   def joinSemiAnti(spark: SparkSession, dir: String): DataFrame = {
