@@ -407,6 +407,27 @@ class CurationSpec extends AnyFunSuite with SparkTestSession {
       === out.map(_._1).toSeq)
   }
 
+  test("mixResampleOn: monotone in the rate — a smaller budget share selects a SUBSET") {
+    import spark.implicits._
+    // the same srcBig stratum under two corpora that differ only in the
+    // OTHER stratum's mass: a heavier srcTiny grows z, shrinking
+    // srcBig's √-share and thus its rate — the selected set must only
+    // SHRINK (the property that makes incremental re-mixes churn-free)
+    val big = (1 to 2000).map(i => (i.toLong, "en", "srcBig", (1 to 100).map(_ => "t").mkString(" ")))
+    def run(tinyTok: Int): (Double, Set[Long]) = {
+      val tiny = (1 to 10).map(i =>
+        (i * 1000L, "en", "srcTiny", (1 to tinyTok).map(_ => "t").mkString(" ")))
+      val rows = Curation.mixResampleOn((tiny ++ big).toDF("doc_id", "lang", "source", "text"))
+        .collect().filter(_.getString(2) == "srcBig")
+      (rows.head.getDouble(3), rows.map(_.getLong(0)).toSet)
+    }
+    val (rHigh, sHigh) = run(5)
+    val (rLow, sLow) = run(5000)
+    assert(rLow < rHigh, s"heavier sibling stratum must lower the rate ($rLow vs $rHigh)")
+    assert(sLow.nonEmpty && sLow.subsetOf(sHigh),
+      s"lowering the rate must only REMOVE documents (${(sLow -- sHigh).size} churned)")
+  }
+
   test("splitLeakFree: clusters never straddle the boundary; gate exact; singletons self-keyed") {
     val out = Curation.queries("c37_split_leakfree")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
