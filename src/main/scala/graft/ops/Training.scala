@@ -636,6 +636,61 @@ object Training {
       .orderBy("shard", "part")
   }
 
+  // ------------------------------ C35 span-level decontamination
+
+  /** C35 — span-level decontamination: locate every maximal region of
+    * ≥ `graft.span.tokens` tokens in a TRAINING document that appears
+    * VERBATIM anywhere in the eval set (doc_id % 20 == 0, the c12
+    * split convention). c12 counts shared 13-grams per doc — the flag;
+    * this op answers the follow-up a pipeline acts on: WHERE the
+    * contamination sits, as merged (span_lo, span_hi) token intervals,
+    * so the c23b gap-slicer can excise the span instead of dropping
+    * the whole document (the GPT-3-appendix / Lee-et-al practice).
+    * Window hashing at every offset is exactly [[dedupSpan]]'s kernel,
+    * aimed cross-table; the interval fold is the same sorted-starts
+    * island merge (extend iff the next start is within w).
+    *
+    * Scale shape: an eval suite is thousands of documents against a
+    * 100 TB corpus — the distinct eval window-hash set BROADCASTS (the
+    * c12 gram-broadcast doctrine) and the training pass is map-only:
+    * scan → hash windows → broadcast-probe; only matched (doc_id,
+    * wpos) longs reach the per-doc interval aggregate. Training text
+    * never shuffles. */
+  def decontaminateSpan(spark: SparkSession, dir: String): DataFrame =
+    decontamSpanOn(Relational.table(spark, dir, "documents"))
+
+  /** The c35 localization over any (doc_id, text) frame — spec entry. */
+  private[graft] def decontamSpanOn(df: DataFrame): DataFrame = {
+    val w = effectiveSpanTokens(df.sparkSession)
+    def windows(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(array(split(text, ' ')), t ->
+           |  CASE WHEN size(t) >= $w THEN
+           |    transform(sequence(0, size(t) - $w),
+           |      i -> xxhash64(concat_ws(' ', slice(t, i + 1, $w))))
+           |  ELSE array() END)[0]""".stripMargin)))
+      .withColumnRenamed("pos", "wpos").withColumnRenamed("col", "h")
+    val evalH = windows(df.filter(col("doc_id") % 20 === 0))
+      .select(col("h")).distinct()
+    windows(df.filter(col("doc_id") % 20 =!= 0))
+      .join(broadcast(evalH), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_set(col("wpos"))).as("ss"))
+      // same island fold as c23b: a start extends the previous run iff
+      // within w (overlap or abutment); see spanOn for the 1-based
+      // element_at offsets
+      .withColumn("ivlo", expr(
+        s"filter(ss, (s, i) -> i = 0 OR s > element_at(ss, i) + $w)"))
+      .withColumn("ivhi", expr(
+        s"""transform(
+           |  filter(ss, (s, i) -> i = size(ss) - 1 OR element_at(ss, i + 2) > s + $w),
+           |  s -> s + $w - 1)""".stripMargin))
+      .select(col("doc_id"), explode(arrays_zip(col("ivlo"), col("ivhi"))).as("iv"))
+      .select(col("doc_id"), col("iv.ivlo").cast("int").as("span_lo"),
+        col("iv.ivhi").cast("int").as("span_hi"))
+      .orderBy("doc_id", "span_lo")
+  }
+
   // --------------------------------------- C36 overlapping chunking
 
   /** Chunk window (tokens) and stride for c36. Stride < window gives
@@ -688,6 +743,7 @@ object Training {
     "c36_chunk_overlap" -> (chunkOverlap _),
     "c23_dedup_passage" -> (dedupPassage _),
     "c23b_dedup_span" -> (dedupSpan _),
+    "c35_decontaminate_span" -> (decontaminateSpan _),
     "c24_doc_logprob" -> (docLogprob _),
     "c24b_doc_logprob_lm" -> (docLogprobLm _),
     "c25_shard_shuffle" -> (shardShuffle _),
@@ -725,6 +781,28 @@ object Training {
          |SELECT na.doc_id, n_chunks, coalesce(n_kept, 0) AS n_kept,
          |  md5(coalesce(kept_text, '')) AS kept_md5
          |FROM na LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // c35: the oracle joins on window STRINGS (the c23 convention);
+    // islands via the standard lag/sum fold — break when the next
+    // start exceeds predecessor + w (same merge rule as the Spark fold)
+    "c35_decontaminate_span" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |w AS (SELECT doc_id, i,
+         |    array_to_string(toks[i+1:i+$activeSpanTokens], ' ') AS win
+         |  FROM t, UNNEST(range(len(toks) - ${activeSpanTokens - 1})) AS u(i)
+         |  WHERE len(toks) >= $activeSpanTokens),
+         |ev AS (SELECT DISTINCT win FROM w WHERE doc_id % 20 = 0),
+         |hit AS (SELECT DISTINCT w.doc_id, w.i FROM w JOIN ev USING (win)
+         |  WHERE w.doc_id % 20 != 0),
+         |brk AS (SELECT doc_id, i,
+         |    CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+         |           OR i > lag(i) OVER (PARTITION BY doc_id ORDER BY i) + $activeSpanTokens
+         |         THEN 1 ELSE 0 END AS b
+         |  FROM hit),
+         |grp AS (SELECT doc_id, i,
+         |    sum(b) OVER (PARTITION BY doc_id ORDER BY i) AS g FROM brk)
+         |SELECT doc_id, cast(min(i) as int) AS span_lo,
+         |  cast(max(i) + ${activeSpanTokens - 1} as int) AS span_hi
+         |FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_lo""".stripMargin,
     "c23b_dedup_span" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |w AS (SELECT doc_id, i,

@@ -561,6 +561,15 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("SortMergeJoin"), s"corpus shuffled for the rate join:\n$p")
   }
 
+  test("C35: eval window hashes broadcast — the training side is never shuffled for the probe") {
+    val p = plan(Training.decontaminateSpan(spark, dir))
+    // the eval set is suite-sized at any corpus scale: its distinct
+    // hash set must come back as the broadcast build; a sort-merge
+    // here would shuffle every training window hash
+    assert(p.contains("BroadcastHashJoin"), s"eval probe not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"training side shuffled for the probe:\n$p")
+  }
+
   test("C36: chunking is map-only — no hash exchange anywhere") {
     val p = plan(Training.chunkOverlap(spark, dir))
     // tokenize → enumerate starts → slice is per-row work; the only

@@ -357,6 +357,44 @@ class TrainingSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("decontamSpanOn: planted eval span localized at exact offsets; nearby hits merge; clean doc silent") {
+    import spark.implicits._
+    // w = 8 (spanTokensDefault). Eval doc 20 carries the 10-token
+    // phrase E0..E9; train doc 21 embeds it at token offset 5 with
+    // unique flanks; train doc 41 embeds TWO copies 3 tokens apart
+    // (their covered regions abut within w → ONE merged interval);
+    // train doc 61 shares nothing.
+    val evalSpan = (0 until 10).map(i => s"E$i")
+    val d21 = (0 until 5).map(i => s"a$i") ++ evalSpan ++ (0 until 5).map(i => s"b$i")
+    val d41 = (0 until 4).map(i => s"c$i") ++ evalSpan ++ Seq("z0", "z1", "z2") ++
+      evalSpan ++ (0 until 4).map(i => s"d$i")
+    val d61 = (0 until 30).map(i => s"q$i")
+    val docs = Seq(
+      (20L, evalSpan.mkString(" ")),
+      (21L, d21.mkString(" ")),
+      (41L, d41.mkString(" ")),
+      (61L, d61.mkString(" "))).toDF("doc_id", "text")
+    val out = Training.decontamSpanOn(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // doc 21: the 10-token phrase yields window starts 5, 6, 7 (w=8),
+    // covering tokens [5, 14] — exactly the planted placement
+    assert(out.filter(_._1 == 21L).toSeq === Seq((21L, 5, 14)),
+      s"doc 21 localization wrong: ${out.toSeq}")
+    // doc 41: copies at offsets 4 and 17; starts {4,5,6} ∪ {17,18,19}
+    // — gap 17-6 = 11 > w=8 → TWO intervals [4,13] and [17,26]
+    assert(out.filter(_._1 == 41L).toSeq === Seq((41L, 4, 13), (41L, 17, 26)),
+      s"doc 41 intervals wrong: ${out.toSeq}")
+    // the eval doc itself and the clean doc never appear
+    assert(!out.exists(t => t._1 == 20L || t._1 == 61L))
+    // abutment merge: back-to-back copies (starts 4..6 and 14..16;
+    // 14 = 6 + w, coverage abuts) → ONE interval spanning both
+    val d81 = (0 until 4).map(i => s"e$i") ++ evalSpan ++ evalSpan
+    val out2 = Training.decontamSpanOn(Seq(
+      (20L, evalSpan.mkString(" ")), (81L, d81.mkString(" "))).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out2.toSeq === Seq((81L, 4, 23)), s"abutting copies did not merge: ${out2.toSeq}")
+  }
+
   test("chunkOverlapOn: hand-computed 12/8 windows — overlap, tail clamp, total cover") {
     import spark.implicits._
     def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
