@@ -143,47 +143,60 @@ object Training {
     * identical absent 64-bit collisions — the c12/c23 doctrine). */
   private[graft] def spanOn(df: DataFrame): DataFrame = {
     val spanTokens = effectiveSpanTokens(df.sparkSession)
-    val occ = df
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(array(split(text, ' ')), t ->
-           |  CASE WHEN size(t) >= $spanTokens THEN
-           |    transform(sequence(0, size(t) - $spanTokens),
-           |      i -> xxhash64(concat_ws(' ', slice(t, i + 1, $spanTokens))))
-           |  ELSE array() END)[0]""".stripMargin)))
-      .withColumnRenamed("pos", "wpos").withColumnRenamed("col", "h")
+    val occ = spanWindows(df, spanTokens)
     val dup = occ.groupBy(col("h"))
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1)
       .select(col("h"))
-    // Covered regions as MERGED INTERVALS, never a per-position set: a
-    // duplicated window covers [start, start+w-1], and on the SORTED
-    // start list a fixed-width window extends the previous run iff its
-    // start is within w of the predecessor (overlap or abutment — the
-    // covered-position union is the same either way). So each maximal
-    // repeated region is ONE (lo, hi) pair: the interval list is
-    // |maximal spans| long where the old collect_set was |covered
-    // positions| long, and the exchange ships one long per duplicated
-    // WINDOW (w× fewer rows than the old per-position explode).
-    val covered = occ.join(dup, Seq("h"))
+    gapSliceKept(df, coveredIntervals(occ.join(dup, Seq("h")), spanTokens))
+  }
+
+  /** Every-offset w-token window hashes of a (doc_id, text) frame:
+    * one (doc_id, wpos, h) row per window start — the shared kernel of
+    * c23b (within-corpus repeats) and c35/c35b (eval-set matches). */
+  private def spanWindows(d: DataFrame, w: Int): DataFrame = d
+    .select(col("doc_id"), posexplode(expr(
+      s"""transform(array(split(text, ' ')), t ->
+         |  CASE WHEN size(t) >= $w THEN
+         |    transform(sequence(0, size(t) - $w),
+         |      i -> xxhash64(concat_ws(' ', slice(t, i + 1, $w))))
+         |  ELSE array() END)[0]""".stripMargin)))
+    .withColumnRenamed("pos", "wpos").withColumnRenamed("col", "h")
+
+  /** Covered regions of matched window starts as MERGED INTERVALS,
+    * never a per-position set: a matched window covers
+    * [start, start+w-1], and on the SORTED start list a fixed-width
+    * window extends the previous run iff its start is within w of the
+    * predecessor (overlap or abutment — the covered-position union is
+    * the same either way). So each maximal matched region is ONE
+    * (lo, hi) pair: the interval list is |maximal spans| long where a
+    * per-position set would be |covered positions| long, and the
+    * exchange ships one long per matched WINDOW. Shared by the c23b
+    * within-corpus fold and the c35/c35b eval-driven fold. */
+  private def coveredIntervals(matched: DataFrame, w: Int): DataFrame =
+    matched
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_set(col("wpos"))).as("ss"))
       // lambda index i is 0-based while element_at is 1-based, so
       // element_at(ss, i) is the PREDECESSOR and element_at(ss, i+2)
       // the SUCCESSOR of element i
       .withColumn("ivlo", expr(
-        s"filter(ss, (s, i) -> i = 0 OR s > element_at(ss, i) + $spanTokens)"))
+        s"filter(ss, (s, i) -> i = 0 OR s > element_at(ss, i) + $w)"))
       .withColumn("ivhi", expr(
         s"""transform(
-           |  filter(ss, (s, i) -> i = size(ss) - 1 OR element_at(ss, i + 2) > s + $spanTokens),
-           |  s -> s + $spanTokens - 1)""".stripMargin))
+           |  filter(ss, (s, i) -> i = size(ss) - 1 OR element_at(ss, i + 2) > s + $w),
+           |  s -> s + $w - 1)""".stripMargin))
       .select(col("doc_id"), col("ivlo"), col("ivhi"))
-    // Reconstruction is GAP SLICING — O(L) per doc, independent of how
-    // much of it is covered: the kept text is the concatenation of the
-    // slices between consecutive covered intervals (plus the flanks),
-    // never a per-token membership probe (the old filter+array_contains
-    // form was O(L·|covered|) — quadratic on a long mostly-boilerplate
-    // doc). Empty gaps at the flanks fall out of the hi >= lo guard.
-    df.select(col("doc_id"), split(col("text"), " ").as("toks"))
+
+  /** Reconstruction by GAP SLICING — O(L) per doc, independent of how
+    * much of it is covered: the kept text is the concatenation of the
+    * slices between consecutive covered intervals (plus the flanks),
+    * never a per-token membership probe (a filter+array_contains form
+    * is O(L·|covered|) — quadratic on a long mostly-boilerplate doc).
+    * Empty gaps at the flanks fall out of the hi >= lo guard; docs
+    * with no covered interval pass through whole. */
+  private def gapSliceKept(docs: DataFrame, covered: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .join(covered, Seq("doc_id"), "left")
       .withColumn("kept", expr(
         """CASE WHEN ivlo IS NULL THEN toks ELSE
@@ -198,7 +211,6 @@ object Training {
         size(col("kept")).cast("long").as("n_kept"),
         md5(concat_ws(" ", col("kept"))).as("kept_md5"))
       .orderBy("doc_id")
-  }
 
   def dedupSpan(spark: SparkSession, dir: String): DataFrame =
     spanOn(Relational.table(spark, dir, "documents"))
@@ -662,33 +674,36 @@ object Training {
   /** The c35 localization over any (doc_id, text) frame — spec entry. */
   private[graft] def decontamSpanOn(df: DataFrame): DataFrame = {
     val w = effectiveSpanTokens(df.sparkSession)
-    def windows(d: DataFrame): DataFrame = d
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(array(split(text, ' ')), t ->
-           |  CASE WHEN size(t) >= $w THEN
-           |    transform(sequence(0, size(t) - $w),
-           |      i -> xxhash64(concat_ws(' ', slice(t, i + 1, $w))))
-           |  ELSE array() END)[0]""".stripMargin)))
-      .withColumnRenamed("pos", "wpos").withColumnRenamed("col", "h")
-    val evalH = windows(df.filter(col("doc_id") % 20 === 0))
+    val evalH = spanWindows(df.filter(col("doc_id") % 20 === 0), w)
       .select(col("h")).distinct()
-    windows(df.filter(col("doc_id") % 20 =!= 0))
-      .join(broadcast(evalH), Seq("h"))
-      .groupBy(col("doc_id"))
-      .agg(array_sort(collect_set(col("wpos"))).as("ss"))
-      // same island fold as c23b: a start extends the previous run iff
-      // within w (overlap or abutment); see spanOn for the 1-based
-      // element_at offsets
-      .withColumn("ivlo", expr(
-        s"filter(ss, (s, i) -> i = 0 OR s > element_at(ss, i) + $w)"))
-      .withColumn("ivhi", expr(
-        s"""transform(
-           |  filter(ss, (s, i) -> i = size(ss) - 1 OR element_at(ss, i + 2) > s + $w),
-           |  s -> s + $w - 1)""".stripMargin))
+    coveredIntervals(
+        spanWindows(df.filter(col("doc_id") % 20 =!= 0), w)
+          .join(broadcast(evalH), Seq("h")), w)
       .select(col("doc_id"), explode(arrays_zip(col("ivlo"), col("ivhi"))).as("iv"))
       .select(col("doc_id"), col("iv.ivlo").cast("int").as("span_lo"),
         col("iv.ivhi").cast("int").as("span_hi"))
       .orderBy("doc_id", "span_lo")
+  }
+
+  /** C35b — span EXCISION: the actionable tail of c35. Every training
+    * document is emitted with its contaminated spans cut out by the
+    * c23b gap-slicer (clean docs pass through whole) — the surgical
+    * alternative to dropping a 100k-token book because one eval
+    * paragraph appears in it. Output shape mirrors c23b:
+    * (doc_id, n_tokens, n_kept, kept_md5). Same scale shape as c35
+    * (broadcast eval hashes, map-only training pass) plus the O(L)
+    * reconstruction join. */
+  def decontaminateExcise(spark: SparkSession, dir: String): DataFrame =
+    decontamExciseOn(Relational.table(spark, dir, "documents"))
+
+  /** The c35b excision over any (doc_id, text) frame — spec entry. */
+  private[graft] def decontamExciseOn(df: DataFrame): DataFrame = {
+    val w = effectiveSpanTokens(df.sparkSession)
+    val evalH = spanWindows(df.filter(col("doc_id") % 20 === 0), w)
+      .select(col("h")).distinct()
+    val train = df.filter(col("doc_id") % 20 =!= 0)
+    gapSliceKept(train,
+      coveredIntervals(spanWindows(train, w).join(broadcast(evalH), Seq("h")), w))
   }
 
   // --------------------------------------- C36 overlapping chunking
@@ -744,6 +759,7 @@ object Training {
     "c23_dedup_passage" -> (dedupPassage _),
     "c23b_dedup_span" -> (dedupSpan _),
     "c35_decontaminate_span" -> (decontaminateSpan _),
+    "c35b_decontaminate_excise" -> (decontaminateExcise _),
     "c24_doc_logprob" -> (docLogprob _),
     "c24b_doc_logprob_lm" -> (docLogprobLm _),
     "c25_shard_shuffle" -> (shardShuffle _),
@@ -803,6 +819,33 @@ object Training {
          |SELECT doc_id, cast(min(i) as int) AS span_lo,
          |  cast(max(i) + ${activeSpanTokens - 1} as int) AS span_hi
          |FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_lo""".stripMargin,
+    // c35b: the c23b reconstruction oracle with the dup set replaced by
+    // eval-matched windows; eval docs are excluded from the output
+    "c35b_decontaminate_excise" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |  WHERE doc_id % 20 != 0),
+         |te AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |w AS (SELECT doc_id, i,
+         |    array_to_string(toks[i+1:i+$activeSpanTokens], ' ') AS win
+         |  FROM te, UNNEST(range(len(toks) - ${activeSpanTokens - 1})) AS u(i)
+         |  WHERE len(toks) >= $activeSpanTokens),
+         |ev AS (SELECT DISTINCT win FROM w WHERE doc_id % 20 = 0),
+         |cov AS (SELECT doc_id, list(DISTINCT p) AS cov
+         |  FROM (SELECT w.doc_id, c.p FROM w JOIN ev USING (win),
+         |        UNNEST(range(w.i, w.i + $activeSpanTokens)) AS c(p)
+         |        WHERE w.doc_id % 20 != 0)
+         |  GROUP BY doc_id),
+         |k AS (SELECT t.doc_id, toks,
+         |    CASE WHEN cov IS NULL THEN toks
+         |         ELSE list_transform(
+         |                list_filter(list_transform(range(len(toks)),
+         |                              i -> {'i': i, 'tk': toks[i+1]}),
+         |                            s -> NOT list_contains(cov, s.i)),
+         |                s -> s.tk) END AS kept
+         |  FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id)
+         |SELECT doc_id, len(toks) AS n_tokens, len(kept) AS n_kept,
+         |  md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
+         |FROM k ORDER BY doc_id""".stripMargin,
     "c23b_dedup_span" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |w AS (SELECT doc_id, i,

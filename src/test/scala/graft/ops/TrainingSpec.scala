@@ -395,6 +395,30 @@ class TrainingSpec extends AnyFunSuite with SparkTestSession {
     assert(out2.toSeq === Seq((81L, 4, 23)), s"abutting copies did not merge: ${out2.toSeq}")
   }
 
+  test("decontamExciseOn: the located span is cut out exactly; clean docs pass whole; eval docs absent") {
+    import spark.implicits._
+    def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val evalSpan = (0 until 10).map(i => s"E$i")
+    val flanksA = (0 until 5).map(i => s"a$i")
+    val flanksB = (0 until 5).map(i => s"b$i")
+    val d21 = flanksA ++ evalSpan ++ flanksB
+    val d61 = (0 until 30).map(i => s"q$i")
+    val out = Training.decontamExciseOn(Seq(
+        (20L, evalSpan.mkString(" ")),
+        (21L, d21.mkString(" ")),
+        (61L, d61.mkString(" "))).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 21: tokens [5, 14] excised — kept = the two flanks, verbatim
+    val kept21 = (flanksA ++ flanksB).mkString(" ")
+    assert(out.filter(_._1 == 21L).toSeq === Seq((21L, 20L, 10L, md5s(kept21))),
+      s"excision wrong: ${out.toSeq}")
+    // the clean doc passes through WHOLE (n_kept = n_tokens, same text)
+    assert(out.filter(_._1 == 61L).toSeq === Seq((61L, 30L, 30L, md5s(d61.mkString(" ")))))
+    // the eval doc itself is not part of the training output
+    assert(!out.exists(_._1 == 20L))
+  }
+
   test("chunkOverlapOn: hand-computed 12/8 windows — overlap, tail clamp, total cover") {
     import spark.implicits._
     def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
