@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -253,13 +253,32 @@ object Curation {
     * ⌊0.10 · 1000003⌋ — a ~10% eval split under the c34 Lehmer gate. */
   private[graft] val evalThresh = 100000L
 
+  /** The Lehmer gate hash, overflow-safe: `((key mod m)·48271) mod m`
+    * with m = 1000003. The naive `(key·48271) mod m` silently wraps for
+    * keys ≥ ~1.9e14 in Spark (negative product → negative %, so the row
+    * always lands on the selected/eval side) while DuckDB RAISES on
+    * bigint overflow — a latent engine divergence and split bias once
+    * doc_ids are real-world 64-bit hashes rather than small synthetic
+    * ids. Reducing first keeps the product < 4.83e10 for every int64
+    * key, and `pmod` (not `%`) makes negative keys land in [0, m) —
+    * mirrored in the oracle SQL as `((key % m + m) % m * 48271) % m`,
+    * which DuckDB evaluates identically for the full key range.
+    * Mathematically the same residue as the published predicate, so
+    * every previously-selected document is unchanged. */
+  private[graft] def lehmerHash(key: Column): Column =
+    pmod(pmod(key, lit(1000003L)) * lit(48271L), lit(1000003L))
+
+  /** The oracle-SQL text of [[lehmerHash]] over a key expression. */
+  private[graft] def lehmerSql(key: String): String =
+    s"(($key % 1000003 + 1000003) % 1000003 * 48271) % 1000003"
+
   /** C37 — leakage-free train/eval split: assign every document to
     * `train` or `eval` such that near-duplicate documents NEVER
     * straddle the boundary. A random per-document split leaks — an
     * eval document's near-twin in train inflates every benchmark it
     * touches — so the unit of assignment is the c14 near-dup CLUSTER:
     * clustered docs key on their cluster label, singletons on their own
-    * id, and the c34 Lehmer gate (`(key·48271) mod 1000003 <
+    * id, and the c34 Lehmer gate (`[[lehmerHash]](key) <
     * [[evalThresh]]`) sends the whole unit to one side. Deterministic,
     * engine-portable, and stable under corpus growth: a new crawl batch
     * only moves a document if dedup merges its cluster into one with a
@@ -275,7 +294,7 @@ object Curation {
     docs.join(clusterLabels(spark, dir), Seq("doc_id"), "left")
       .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
       .withColumn("split",
-        when((col("split_key") * lit(48271L)) % lit(1000003L) < lit(evalThresh),
+        when(lehmerHash(col("split_key")) < lit(evalThresh),
           lit("eval")).otherwise(lit("train")))
       .select(col("doc_id"), col("split_key"), col("split"))
       .orderBy("doc_id")
@@ -635,7 +654,8 @@ object Curation {
     * fraction of each (lang, source) stratum should a temperature-0.5
     * token budget keep"; this op materializes that plan — the step a
     * pipeline actually ships to training. Selection is a portable
-    * Lehmer hash gate, `(doc_id · 48271) mod 1000003 < ⌊rate · 1000003⌋`:
+    * Lehmer hash gate, `[[lehmerHash]](doc_id) < ⌊rate · 1000003⌋`
+    * (overflow-safe reduced form — see [[lehmerHash]]):
     *   - deterministic and engine-portable (pure int64 arithmetic both
     *     engines evaluate identically — no RNG state, no xxhash64
     *     asymmetry), so reruns, retries, and the DuckDB oracle all pick
@@ -664,7 +684,7 @@ object Curation {
   private[graft] def mixResampleOn(docs: DataFrame): DataFrame = {
     val rates = mixWeightsOn(docs).select("lang", "source", "sample_rate")
     docs.join(broadcast(rates), Seq("lang", "source"))
-      .where((col("doc_id") * lit(48271L)) % lit(1000003L) <
+      .where(lehmerHash(col("doc_id")) <
         expr("cast(floor(sample_rate * cast(1000003 as double)) as bigint)"))
       .select(col("doc_id"), col("lang"), col("source"), col("sample_rate"))
       .orderBy("doc_id")
@@ -848,7 +868,7 @@ object Curation {
          |labels AS (SELECT id AS doc_id, min(node) AS cluster_id FROM reach GROUP BY id)
          |SELECT d.doc_id,
          |  coalesce(l.cluster_id, d.doc_id) AS split_key,
-         |  CASE WHEN (coalesce(l.cluster_id, d.doc_id) * 48271) % 1000003 < $evalThresh
+         |  CASE WHEN ${lehmerSql("coalesce(l.cluster_id, d.doc_id)")} < $evalThresh
          |       THEN 'eval' ELSE 'train' END AS split
          |FROM documents d LEFT JOIN labels l USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
@@ -932,7 +952,7 @@ object Curation {
          |  FROM z)
          |SELECT d.doc_id, d.lang, d.source, r.sample_rate
          |FROM documents d JOIN r USING (lang, source)
-         |WHERE (d.doc_id * 48271) % 1000003 <
+         |WHERE ${lehmerSql("d.doc_id")} <
          |      cast(floor(sample_rate * 1000003) as bigint)
          |ORDER BY d.doc_id""".stripMargin)
 

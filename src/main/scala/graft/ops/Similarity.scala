@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
@@ -491,11 +491,20 @@ object Similarity {
   }
 
   /** Dedup an arrival batch against the store WITHOUT re-signing the
-    * corpus, then append it. Returns nothing — the updated pairs/ is
-    * the result surface ([[nearDupIndexPairs]]); new-pair extraction is
-    * an anti-join away if a caller wants just the delta. Arrival ids
-    * must be new (guarded loudly, the appendToIvfIndex doctrine: a
-    * re-appended id would duplicate its band rows and self-pair).
+    * corpus, then append it. Returns an UPPER BOUND on the parquet
+    * files this append added to any single store table (0 for a marker
+    * no-op) — the [[CensusCadence]] increment. The bound must be
+    * per-table, not "arrival rows": one arrival matching many corpus
+    * dups emits many PAIR rows spread across shuffle partitions, each
+    * non-empty partition writing a file, so the pairs table can gain
+    * more files than the batch has rows. Each table's files added is
+    * capped by both its row count (every file holds ≥ 1 row) and its
+    * write's partition count; the returned bound is the max across the
+    * three tables. The updated pairs/ is the result surface
+    * ([[nearDupIndexPairs]]); new-pair extraction is an anti-join away
+    * if a caller wants just the delta. Arrival ids must be new
+    * (guarded loudly, the appendToIvfIndex doctrine: a re-appended id
+    * would duplicate its band rows and self-pair).
     *
     * Crash contract: the three appends are not atomic. Pairs are
     * computed BEFORE any table is touched, and shingles/ lands FIRST —
@@ -509,10 +518,10 @@ object Similarity {
     * rebuilding the store — which is why production batches carry an
     * id. */
   def appendToNearDupIndex(spark: SparkSession, indexDir: String, newDocs: DataFrame,
-                           batchId: Option[String] = None): Unit = {
+                           batchId: Option[String] = None): Long = {
     val marker = batchId.map(b =>
       s"$indexDir/_appended_${b.replaceAll("[^A-Za-z0-9._-]", "_")}")
-    if (marker.exists(IndexMeta.exists(spark, _))) return
+    if (marker.exists(IndexMeta.exists(spark, _))) return 0L
     // localCheckpoint: the arrival projection feeds four consumers
     // (guard, candidates, verify, two appends) — without it each
     // re-shingles the batch (same harness-local choice as knnJoinIvf2)
@@ -531,10 +540,19 @@ object Similarity {
     // materialize the pair delta before any table mutates: the probe
     // must see the PRE-append store, not a half-appended one
     val newPairs = probeNearDupIndex(spark, indexDir, arr).localCheckpoint()
+    // files-added bound per table (both counts are cheap: arr and
+    // newPairs are localCheckpoint'd, so count() reads cached blocks).
+    // bands is a narrow explode of arr — same write partitioning.
+    val arrRows = arr.count()
+    val arrParts = arr.rdd.getNumPartitions.toLong
+    val pairRows = newPairs.count()
+    val pairParts = newPairs.rdd.getNumPartitions.toLong
     arr.write.mode("append").parquet(nearDupTablePath(spark, indexDir, "shingles"))
     bandKeysOf(arr).write.mode("append").parquet(nearDupTablePath(spark, indexDir, "bands"))
     newPairs.write.mode("append").parquet(nearDupTablePath(spark, indexDir, "pairs"))
     marker.foreach(IndexMeta.createMarker(spark, _))
+    math.max(math.min(arrRows, arrParts), // shingles; bands shares arr's partitioning
+      math.min(pairRows, pairParts))
   }
 
   /** Store COMPACTION — the same LSM move as [[compactIvfIndex]]:
@@ -656,7 +674,7 @@ object Similarity {
       .writeStream.queryName(name)
       .foreachBatch { (batch: Dataset[Row], bid: Long) =>
         val t0 = System.nanoTime()
-        appendToNearDupIndex(spark, idx, batch, Some(s"stream_$bid"))
+        val filesAdded = appendToNearDupIndex(spark, idx, batch, Some(s"stream_$bid"))
         // in-stream maintenance (round-7 cadence theme applied to the
         // streaming leg): when conf'd, every batch commit is followed
         // by the AMORTIZED file-count trigger (CensusCadence — a real
@@ -666,7 +684,10 @@ object Similarity {
         // Safe here because foreachBatch batches are sequential — the
         // stream IS the store's single writer.
         streamCompactMaxFiles(spark).foreach { mf =>
-          val (n, exact) = ndCadence.check(batch.count(), mf)
+          // the increment is the append's own per-table files bound,
+          // NOT batch.count(): a dup-heavy arrival can write more pair
+          // files than it has rows (see appendToNearDupIndex's contract)
+          val (n, exact) = ndCadence.check(filesAdded, mf)
           val compacted = exact && n > mf
           // census telemetry: the long-soak rehearsal reads these
           // lines to prove the file count stays BOUNDED across the
@@ -714,20 +735,25 @@ object Similarity {
     * pure listing on a 19k-cell sf100e index (two walks per batch),
     * 2.5× the batch's own ~8 s of work — so the cadence must not list
     * per batch. This tracks an UPPER BOUND instead: last true census +
-    * rows appended since (every parquet file holds ≥ 1 row, so files
-    * added ≤ rows appended), and pays for a real listing only when the
-    * bound could have crossed `maxFiles`. A crossing is never missed
-    * (the bound is conservative); between listings the census
-    * telemetry reports the bound, marked `<=`. Single-writer only —
-    * exactly the foreachBatch sequential-batches contract. */
+    * each batch's files-added bound since (the CALLER supplies a bound
+    * that holds for every table the census walks — for a single
+    * rows-appended table that is the row count, since every parquet
+    * file holds ≥ 1 row; for a multi-table store it must be the max of
+    * the per-table bounds — see appendToNearDupIndex, whose pairs
+    * table can gain more files than the batch has rows). It pays for a
+    * real listing only when the bound could have crossed `maxFiles`. A
+    * crossing is never missed (the bound is conservative); between
+    * listings the census telemetry reports the bound, marked `<=`.
+    * Single-writer only — exactly the foreachBatch
+    * sequential-batches contract. */
   private[ops] final class CensusCadence(list: () => Long) {
     private var bound: Long = -1L
     private var boundExact = false
-    /** Fold in one batch's appended rows; re-list only if the bound
+    /** Fold in one batch's files-added bound; re-list only if the bound
       * could have crossed `maxFiles`. Returns (census-or-bound, exact). */
-    def check(rowsAppended: Long, maxFiles: Long): (Long, Boolean) = {
+    def check(filesAddedBound: Long, maxFiles: Long): (Long, Boolean) = {
       if (bound < 0) { bound = list(); boundExact = true }
-      else { bound += rowsAppended; boundExact = false }
+      else { bound += filesAddedBound; boundExact = false }
       if (bound > maxFiles && !boundExact) { bound = list(); boundExact = true }
       (bound, boundExact)
     }
@@ -1034,42 +1060,9 @@ object Similarity {
   // no-false-drop pinned in the spec.
   def dedupSemanticIncremental(spark: SparkSession, indexDir: String,
       arrivals: DataFrame): DataFrame = {
-    GraftFunctions.register(spark)
-    val cents = spark.read.parquet(s"$indexDir/centroids")
-      .select(col("cell"), col("centroid"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
-    val dim = cents.head._2.length
-    val flat = new Array[Float](cents.length * dim)
-    cents.foreach { case (c, arr) =>
-      var j = 0
-      while (j < dim) { flat(c * dim + j) = arr(j); j += 1 }
-    }
-    // each arrival probes its nearest `graft.semdedup.probeCells`
-    // (default 2) cells, not 1: a twin pair straddling a centroid
-    // boundary lands in ADJACENT cells (the batch op's documented miss
-    // class — measured 1-in-475 planted at nprobe=1), and the second-
-    // nearest cell catches exactly that at 2× probe cost. Map-side
-    // explode; the corpus side is untouched.
-    val np = spark.conf.getOption("graft.semdedup.probeCells")
-      .map(_.toInt).getOrElse(2)
-    // A constant-population index (built under graft.semdedup.cellPop)
-    // carries its coarse codebook as `centroids2`: probe hierarchically
-    // — (k1+k2)·d per arrival instead of the flat k·d, which at fixed
-    // population grows linearly with the corpus. The np sub-cells come
-    // from within the nearest coarse branch (coarse-boundary misses are
-    // the accepted class, as in the batch op). Flat indexes (no coarse
-    // codebook) keep the flat probe unchanged.
-    val cellsCol = indexCellsCol(spark, indexDir, flat, dim, np)
-    // sigWords-driven width, never a literal: the corpus side's sigs are
-    // INDEX-persisted (written with sigWords at build/append time), and
-    // a drifted arrival width would null the join condition and silently
-    // pass every duplicate (round-7 advice)
-    val arr = arrivals
-      .withColumn("cell", explode(cellsCol))
-      .withColumn("sigs", expr(s"graft_srp_sign(embedding, 42L, $sigWords)"))
+    val arr = semProbeProjection(spark, indexDir, arrivals)
     val corpus = liveIndexVectors(spark, indexDir)
-    val hamming = (0 until sigWords).map(i =>
-      expr(s"bit_count(a.sigs[$i] ^ c.sigs[$i])")).reduce(_ + _)
+    val hamming = semHamming("a", "c")
     // the arrival side BROADCASTS below the dispatch threshold (c27
     // probe doctrine): the corpus sigs scan stays map-only — zero
     // corpus-side exchange, which at 100 TB is the difference between
@@ -1085,27 +1078,11 @@ object Similarity {
     // would self-drop on replay, breaking the foreachBatch
     // exactly-once claim. Spec-pinned by the replay-identity test.
     val cands = corpus.select(col("vec_id"), col("sigs"), col("cell")).as("c")
-      .join(dispatchProbeSide(spark,
-          arr.select(col("vec_id"), col("sigs"), col("cell")), arrivals.count()).as("a"),
+      .join(dispatchProbeSide(spark, arr, arrivals.count()).as("a"),
         col("a.cell") === col("c.cell") && col("a.vec_id") =!= col("c.vec_id") &&
           (hamming <= hammingBar))
       .select(col("a.vec_id").as("arrival_id"), col("c.vec_id").as("corpus_id"))
-    cands
-      // embeddings fetched from the UN-exploded arrivals frame — the
-      // probe-cell explode above would otherwise double every verify row
-      .join(arrivals.select(col("vec_id").as("arrival_id"), col("embedding").as("ea")),
-        Seq("arrival_id"))
-      .join(corpus.select(col("vec_id").as("corpus_id"), col("embedding").as("ec")),
-        Seq("corpus_id"))
-      .select(col("arrival_id"), col("corpus_id"),
-        round(cosineExpr("ea", "ec"), 4).as("cos"))
-      .filter(col("cos") >= 0.99)
-      // min_by: cos is the similarity to the EMITTED witness (see the
-      // batch op's keep-rule aggregate)
-      .groupBy(col("arrival_id"))
-      .agg(min(col("corpus_id")).as("kept_by"),
-        min_by(col("cos"), col("corpus_id")).as("cos"))
-      .orderBy("arrival_id")
+    semVerifyKeep(cands, arrivals, corpus).orderBy("arrival_id")
   }
 
   /** Registry wrapper: index the 95% slice (the c24b split), probe an
@@ -1190,6 +1167,34 @@ object Similarity {
     * negligible against the corpus-scale index probe. */
   private def dedupSemanticSelfScreen(spark: SparkSession, indexDir: String,
       arrivals: DataFrame): DataFrame = {
+    val arr = semProbeProjection(spark, indexDir, arrivals)
+    // strict < (not =!=): the pair is screened once, lowest id is the
+    // keeper — and a multi-cell co-occurrence dedups via distinct
+    val cands = arr.as("a").join(arr.as("b"),
+        col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id") &&
+          (semHamming("a", "b") <= hammingBar))
+      .select(col("a.vec_id").as("arrival_id"), col("b.vec_id").as("corpus_id"))
+      .distinct()
+    semVerifyKeep(cands, arrivals, arrivals)
+  }
+
+  /** The shared probe plumbing of [[dedupSemanticIncremental]] and
+    * [[dedupSemanticSelfScreen]] (round-11 advice: one copy to keep in
+    * sync): the (vec_id, sigs, cell) arrival projection — cells from
+    * the index's persisted quantizer via the shared [[indexCellsCol]]
+    * kernel, SRP sigs at the INDEX's [[sigWords]] width (never a
+    * literal: a drifted arrival width would null the hamming join and
+    * silently pass every duplicate, round-7 advice). Each arrival
+    * probes its nearest `graft.semdedup.probeCells` (default 2) cells,
+    * not 1: a twin pair straddling a centroid boundary lands in
+    * ADJACENT cells (measured 1-in-475 planted misses at nprobe=1), and
+    * the second-nearest cell catches exactly that at 2× probe cost —
+    * map-side explode, the probed side untouched. A constant-population
+    * index (built under graft.semdedup.cellPop) carries its coarse
+    * codebook as `centroids2` and assigns hierarchically through the
+    * same kernel. */
+  private def semProbeProjection(spark: SparkSession, indexDir: String,
+      arrivals: DataFrame): DataFrame = {
     GraftFunctions.register(spark)
     val cents = spark.read.parquet(s"$indexDir/centroids")
       .select(col("cell"), col("centroid"))
@@ -1202,23 +1207,33 @@ object Similarity {
     }
     val np = spark.conf.getOption("graft.semdedup.probeCells")
       .map(_.toInt).getOrElse(2)
-    val arr = arrivals
+    arrivals
       .withColumn("cell", explode(indexCellsCol(spark, indexDir, flat, dim, np)))
       .withColumn("sigs", expr(s"graft_srp_sign(embedding, 42L, $sigWords)"))
       .select(col("vec_id"), col("sigs"), col("cell"))
-    val hamming = (0 until sigWords).map(i =>
-      expr(s"bit_count(a.sigs[$i] ^ b.sigs[$i])")).reduce(_ + _)
-    // strict < (not =!=): the pair is screened once, lowest id is the
-    // keeper — and a multi-cell co-occurrence dedups via distinct
-    val cands = arr.as("a").join(arr.as("b"),
-        col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id") &&
-          (hamming <= hammingBar))
-      .select(col("a.vec_id").as("arrival_id"), col("b.vec_id").as("corpus_id"))
-      .distinct()
+  }
+
+  /** The unrolled-popcount SRP hamming distance between two join
+    * aliases' `sigs` — four GetArrayItem + bit_count word ops that stay
+    * inside codegen (a HOF here would allocate arrays per ENUMERATED
+    * pair, the round-6 allocation-storm trap). */
+  private def semHamming(a: String, b: String): Column =
+    (0 until sigWords).map(i =>
+      expr(s"bit_count($a.sigs[$i] ^ $b.sigs[$i])")).reduce(_ + _)
+
+  /** The cosine-verify + keep-rule tail shared by the semantic probes:
+    * candidates fetch embeddings from the UN-exploded frames (the
+    * probe-cell explode would otherwise double every verify row),
+    * exact-verify at the 0.99 bar, and the min-id keep rule emits
+    * (arrival_id, kept_by, cos) with min_by pairing cos to the EMITTED
+    * witness (a bare max(cos) could report a different witness'
+    * similarity when several ≥0.99 witnesses exist, round-7 advice). */
+  private def semVerifyKeep(cands: DataFrame, arrSide: DataFrame,
+      keptSide: DataFrame): DataFrame =
     cands
-      .join(arrivals.select(col("vec_id").as("arrival_id"), col("embedding").as("ea")),
+      .join(arrSide.select(col("vec_id").as("arrival_id"), col("embedding").as("ea")),
         Seq("arrival_id"))
-      .join(arrivals.select(col("vec_id").as("corpus_id"), col("embedding").as("ec")),
+      .join(keptSide.select(col("vec_id").as("corpus_id"), col("embedding").as("ec")),
         Seq("corpus_id"))
       .select(col("arrival_id"), col("corpus_id"),
         round(cosineExpr("ea", "ec"), 4).as("cos"))
@@ -1226,7 +1241,6 @@ object Similarity {
       .groupBy(col("arrival_id"))
       .agg(min(col("corpus_id")).as("kept_by"),
         min_by(col("cos"), col("corpus_id")).as("cos"))
-  }
 
   /** Registry wrapper: index the 95% slice; batch 1 = the held-out 5%
     * plus twins of indexed vectors (twins drop, held-outs survive and
@@ -1332,6 +1346,9 @@ object Similarity {
         // the c22d store stream (see CensusCadence — a 19k-cell layout
         // listing costs seconds, so it must not run per batch)
         streamCompactMaxFiles(spark).foreach { mf =>
+          // batch.count() is a sound files bound HERE because the
+          // census walks one table (live vectors) and the append adds
+          // ≤ survivors ≤ batch-rows rows to it, each file ≥ 1 row
           val (n, exact) = semCadence.check(batch.count(), mf)
           val compacted = exact && n > mf
           val (shown, mark) =

@@ -399,7 +399,7 @@ class CurationSpec extends AnyFunSuite with SparkTestSession {
     val thresh = math.floor(rate * 1000003).toLong
     val selected = byShard("srcBig").map(_._1).toSet
     (1 to 2000).foreach { i =>
-      val in = (i.toLong * 48271L) % 1000003L < thresh
+      val in = (i.toLong % 1000003L) * 48271L % 1000003L < thresh
       assert(selected.contains(i.toLong) === in, s"doc $i gate mismatch")
     }
     // deterministic: a rerun selects the identical documents
@@ -428,6 +428,33 @@ class CurationSpec extends AnyFunSuite with SparkTestSession {
       s"lowering the rate must only REMOVE documents (${(sLow -- sHigh).size} churned)")
   }
 
+  test("lehmerHash: overflow-safe for 64-bit hash keys — naive form wraps, reduced form never") {
+    import spark.implicits._
+    // real-world doc_ids are 64-bit hashes; the naive (key*48271)%m
+    // wraps negative above ~1.9e14 (always-selected bias) while DuckDB
+    // raises on the overflow. These keys all wrap under the naive form.
+    val keys = Seq(Long.MaxValue, Long.MaxValue - 1, 2_000_000_000_000_000L,
+      191_000_000_000_000L, -1L, Long.MinValue, Long.MinValue + 1, 0L, 1L)
+    // reduced Scala model with the same pmod semantics
+    def pm(a: Long, m: Long): Long = { val r = a % m; if (r < 0) r + m else r }
+    // the naive residue is WRONG (wrapped) for the huge keys — the bias
+    // the fix removes; DuckDB would instead raise on the overflow
+    assert(keys.exists(k => (k * 48271L) % 1000003L != pm(pm(k, 1000003L) * 48271L, 1000003L)),
+      "fixture too weak: no key where the naive form wraps to a different residue")
+    assert(keys.exists(k => (k * 48271L) % 1000003L < 0L),
+      "fixture too weak: no key where the naive form goes negative (always-selected bias)")
+    val got = keys.toDF("k").select(Curation.lehmerHash(col("k")).as("h"))
+      .collect().map(_.getLong(0))
+    val want = keys.map(k => pm(pm(k, 1000003L) * 48271L, 1000003L))
+    assert(got.toSeq === want, "Spark gate must match the reduced int64 model")
+    assert(got.forall(h => h >= 0 && h < 1000003L), "hash must land in [0, m)")
+    // and for small positive ids the residue equals the published
+    // (key·48271) mod m predicate — previously-selected docs unchanged
+    (1L to 5000L).foreach { k =>
+      assert(pm(pm(k, 1000003L) * 48271L, 1000003L) === (k * 48271L) % 1000003L)
+    }
+  }
+
   test("splitLeakFree: clusters never straddle the boundary; gate exact; singletons self-keyed") {
     val out = Curation.queries("c37_split_leakfree")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
@@ -435,7 +462,7 @@ class CurationSpec extends AnyFunSuite with SparkTestSession {
     assert(out.length.toLong === docs, "every document must be assigned a side")
     // gate exactness: the split is exactly the published Lehmer predicate
     out.foreach { case (id, key, split) =>
-      val expected = if ((key * 48271L) % 1000003L < Curation.evalThresh) "eval" else "train"
+      val expected = if ((key % 1000003L) * 48271L % 1000003L < Curation.evalThresh) "eval" else "train"
       assert(split === expected, s"doc $id gate mismatch")
     }
     // LEAK-FREE: every c14 near-dup cluster lands on exactly one side —
@@ -453,7 +480,7 @@ class CurationSpec extends AnyFunSuite with SparkTestSession {
     // the discriminator that proves cluster-keying is load-bearing
     val straddled = clusters.groupBy(_._2).exists { case (_, members) =>
       members.map { m =>
-        (m._1 * 48271L) % 1000003L < Curation.evalThresh }.distinct.length > 1
+        (m._1 % 1000003L) * 48271L % 1000003L < Curation.evalThresh }.distinct.length > 1
     }
     assert(straddled, "fixture too weak: no cluster whose members' own-id gates disagree")
     // singletons key on their own id

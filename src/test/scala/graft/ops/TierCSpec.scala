@@ -119,14 +119,25 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     val idx = java.nio.file.Files.createTempDirectory("graft_c27_batch_").toString
     val docs = Relational.table(spark, dir, "documents")
     Similarity.buildNearDupIndex(spark, docs.filter(col("doc_id") < 200), idx)
+    def filesOf(t: String) = IndexMeta.countUnder(spark,
+      Similarity.nearDupTablePath(spark, idx, t), ".parquet")
+    val tables = Seq("shingles", "bands", "pairs")
+    val before = tables.map(filesOf)
     val batch = docs.filter(col("doc_id") >= 200 && col("doc_id") < 250)
-    Similarity.appendToNearDupIndex(spark, idx, batch, batchId = Some("day-1"))
+    val bound = Similarity.appendToNearDupIndex(spark, idx, batch, batchId = Some("day-1"))
+    // the returned CensusCadence increment must dominate the files the
+    // append actually added to EVERY table (the pairs table is the one
+    // a rows-appended bound can undercount on dup-heavy streams)
+    tables.zip(before).foreach { case (t, b) =>
+      assert(filesOf(t) - b <= bound, s"$t gained ${filesOf(t) - b} files > bound $bound")
+    }
     val pairsAfter = Similarity.nearDupIndexPairs(spark, idx).count()
     val shAfter = spark.read.parquet(Similarity.nearDupTablePath(spark, idx, "shingles")).count()
     // replaying the committed batch must touch nothing — and without
     // the marker the id guard would have thrown, so this also proves
-    // the marker short-circuits BEFORE the guard
-    Similarity.appendToNearDupIndex(spark, idx, batch, batchId = Some("day-1"))
+    // the marker short-circuits BEFORE the guard; the no-op reports
+    // zero files added, so the census bound does not drift on replays
+    assert(Similarity.appendToNearDupIndex(spark, idx, batch, batchId = Some("day-1")) === 0L)
     assert(Similarity.nearDupIndexPairs(spark, idx).count() === pairsAfter)
     assert(spark.read.parquet(Similarity.nearDupTablePath(spark, idx, "shingles")).count() === shAfter)
   }
