@@ -15,8 +15,17 @@ import org.apache.spark.sql.functions._
  */
 object Relational {
 
+  /** Read a testdata table. When `graft.catalog.statsDir` names this
+    * dir (set by [[graft.tools.TableStats.register]], which ANALYZEd
+    * the same parquet files as catalog tables), resolve through the
+    * catalog instead — the relation then carries row-count/column
+    * stats and CBO prices filters per-relation, which is what lets a
+    * filtered dim list broadcast at sf100 without a static threshold
+    * posture. Otherwise a plain parquet read (identical files). */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
+    else if (spark.conf.getOption("graft.catalog.statsDir").contains(dir) &&
+             spark.catalog.tableExists(name)) spark.table(name)
     else spark.read.parquet(s"$dir/$name.parquet")
 
   /** The events table has stored `ts` as parquet TIMESTAMP(NANOS) (read
@@ -483,6 +492,11 @@ object Relational {
   // per-row subquery, no nested loop (PlanSpec-pinned). The 1.8×avg
   // bar keeps the result discriminating (62/100 suppliers at sf0.01).
   // Identical SQL runs in DuckDB.
+  // BROADCAST(part): same contains-filtered-dim case as tpchQ9 (CBO
+  // blind on LIKE '%…%', un-stats'd estimate above the default
+  // threshold at sf100 → 17.1 GB shuffle for a query that shuffles
+  // 0.23 GB at sf10). The hint rides the IN-subquery into the
+  // decorrelated semi-join's build side. Scale boundary as tpchQ19.
   def tpchQ20(spark: SparkSession, dir: String): DataFrame = {
     table(spark, dir, "supplier").createOrReplaceTempView("supplier")
     table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -492,7 +506,7 @@ object Relational {
         |FROM supplier
         |WHERE s_suppkey IN (
         |  SELECT l_suppkey FROM lineitem l
-        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%gizmo%')
+        |  WHERE l_partkey IN (SELECT /*+ BROADCAST(part) */ p_partkey FROM part WHERE p_name LIKE '%gizmo%')
         |    AND l_quantity > (SELECT 1.8 * avg(l2.l_quantity) FROM lineitem l2
         |                      WHERE l2.l_partkey = l.l_partkey
         |                        AND l2.l_suppkey = l.l_suppkey))
@@ -620,12 +634,25 @@ object Relational {
   // quantity ∈ [1,50] to the lineitem scan) while the full bracket
   // rides the join as a residual — at 100 TB the extracted ranges
   // prune row groups even though the predicate is an OR. Identical
-  // SQL in DuckDB.
+  // SQL in DuckDB (the broadcast hint is a comment there).
+  //
+  // BROADCAST(part): author knowledge the estimator lacks. The bracket
+  // filter keeps ~9% of part and the join reads 3 columns — ~45 MB at
+  // sf100 — but a non-CBO estimate never shrinks on a filter, so the
+  // 2–3-column list estimated 71.7 MB and the join fell to
+  // SortMergeJoin, shuffling 4.69 GB of lineitem that sf10 never
+  // shuffles (round-11's one weak perf cell). CBO stats also fix this
+  // one (brand/size are estimable — see tools/TableStats), but the
+  // hint makes the REGISTRY plan right without a stats setup step.
+  // Scale boundary, stated honestly: part grows with SF, so the hint
+  // is right while ~9% of part × 24 B fits an executor (up to roughly
+  // sf1000); beyond that remove it and let per-relation stats decide.
   def tpchQ19(spark: SparkSession, dir: String): DataFrame = {
     table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
     table(spark, dir, "part").createOrReplaceTempView("part")
     spark.sql(
-      """SELECT round(sum(cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) as bigint))
+      """SELECT /*+ BROADCAST(part) */
+        |       round(sum(cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) as bigint))
         |             / cast(10000.0 as double), 4) AS revenue,
         |       count(*) AS n_lines
         |FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -715,6 +742,10 @@ object Relational {
   // never two scans stitched together (PlanSpec-pinned). Share math is
   // exact: both sums are cents BIGINTs, the division is one double op
   // on identical longs. Identical SQL in DuckDB.
+  // BROADCAST(part): the p_type-filtered part list (1/ndv of 20M rows
+  // at sf100) estimated 32–72 MB un-stats'd and fell to SMJ at sf100,
+  // shuffling 14.4 GB (round-11 decade finding) — the b45 hint
+  // doctrine; same scale boundary (~sf1000), see tpchQ19.
   def tpchQ8(spark: SparkSession, dir: String): DataFrame = {
     table(spark, dir, "part").createOrReplaceTempView("part")
     table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -728,7 +759,7 @@ object Relational {
         |       round(sum(CASE WHEN nation = 'NATION_3' THEN cents ELSE 0 END)
         |             / cast(sum(cents) as double), 4) AS mkt_share,
         |       count(*) AS n_lines
-        |FROM (SELECT year(o_orderdate) AS yr, n2.n_name AS nation,
+        |FROM (SELECT /*+ BROADCAST(part) */ year(o_orderdate) AS yr, n2.n_name AS nation,
         |             cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) as bigint) AS cents
         |      FROM part
         |      JOIN lineitem ON p_partkey = l_partkey
@@ -756,6 +787,13 @@ object Relational {
   // (PlanSpec-pinned: a hash join keyed on both columns, no cartesian).
   // Profit = revenue cents − cost cents, each an exact BIGINT; min of
   // identical doubles is engine-exact. Identical SQL in DuckDB.
+  // BROADCAST(part): for a contains-filtered dim the hint is the ONLY
+  // correct mechanism — CBO cannot estimate LIKE '%…%' (selectivity
+  // stays 1.0) and prices the list at raw width (~1.4 GB at sf100,
+  // measured via tools/TableStats), so stats make this WORSE, while
+  // the un-stats'd estimate (32–72 MB) sat above the default
+  // threshold and shuffled 19.5 GB at sf100. Author knowledge: the
+  // '%gizmo%' list is ~5% of part. Scale boundary as tpchQ19.
   def tpchQ9(spark: SparkSession, dir: String): DataFrame = {
     table(spark, dir, "part").createOrReplaceTempView("part")
     table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -770,7 +808,7 @@ object Relational {
         |SELECT nation, yr,
         |       round(sum(amount) / cast(10000.0 as double), 4) AS sum_profit,
         |       count(*) AS n_lines
-        |FROM (SELECT n_name AS nation, year(o_orderdate) AS yr,
+        |FROM (SELECT /*+ BROADCAST(part) */ n_name AS nation, year(o_orderdate) AS yr,
         |             cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) as bigint)
         |             - cast(round(ps_supplycost * cast(0.5 as double) * l_quantity * 10000, 0) as bigint)
         |               AS amount

@@ -192,6 +192,11 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     val pScan = p.linesIterator.find(l => l.contains("FileScan") && l.contains("p_brand"))
       .getOrElse("")
     assert(pScan.contains("Brand#"), s"q19 brand factor not at the part scan:\n$p")
+    // the bracket-filtered part list BROADCASTS (the author hint): the
+    // round-11 sf100 weak cell was this join falling to SortMergeJoin
+    // because a non-CBO estimate never shrinks on a filter — 4.69 GB of
+    // lineitem shuffle that sf10 never pays
+    assert(p.contains("BroadcastHashJoin"), s"q19 part list not broadcast:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"q19 nested loop:\n$p")
   }
