@@ -818,7 +818,7 @@ object Similarity {
     * `aggregate(zip_with(...))` folds it replaced (bit-identical, oracle-
     * stable) but inside whole-stage codegen. Callers must have called
     * [[graft.functions.GraftFunctions.register]] on the session. */
-  private def cosineExpr(a: String, b: String): org.apache.spark.sql.Column =
+  private[graft] def cosineExpr(a: String, b: String): org.apache.spark.sql.Column =
     expr(s"graft_cosine($a, $b)")
 
   /** C19 — per-label embedding centroid, dimension-wise: the cluster-
@@ -1196,6 +1196,20 @@ object Similarity {
   private def semProbeProjection(spark: SparkSession, indexDir: String,
       arrivals: DataFrame): DataFrame = {
     GraftFunctions.register(spark)
+    val (flat, dim) = indexCentroidsFlat(spark, indexDir)
+    val np = spark.conf.getOption("graft.semdedup.probeCells")
+      .map(_.toInt).getOrElse(2)
+    arrivals
+      .withColumn("cell", explode(indexCellsCol(spark, indexDir, flat, dim, np)))
+      .withColumn("sigs", expr(s"graft_srp_sign(embedding, 42L, $sigWords)"))
+      .select(col("vec_id"), col("sigs"), col("cell"))
+  }
+
+  /** The index's persisted centroid table, driver-flattened to the
+    * (k·dim floats, dim) matrix every NearestCells-kernel consumer
+    * plan-ships — a BOUNDED collect (k rows, the documented exception
+    * to the no-collect rule). */
+  private def indexCentroidsFlat(spark: SparkSession, indexDir: String): (Array[Float], Int) = {
     val cents = spark.read.parquet(s"$indexDir/centroids")
       .select(col("cell"), col("centroid"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
@@ -1205,12 +1219,7 @@ object Similarity {
       var j = 0
       while (j < dim) { flat(c * dim + j) = arr(j); j += 1 }
     }
-    val np = spark.conf.getOption("graft.semdedup.probeCells")
-      .map(_.toInt).getOrElse(2)
-    arrivals
-      .withColumn("cell", explode(indexCellsCol(spark, indexDir, flat, dim, np)))
-      .withColumn("sigs", expr(s"graft_srp_sign(embedding, 42L, $sigWords)"))
-      .select(col("vec_id"), col("sigs"), col("cell"))
+    (flat, dim)
   }
 
   /** The unrolled-popcount SRP hamming distance between two join
@@ -2344,6 +2353,89 @@ object Similarity {
   def annIvfIndexedQuery(spark: SparkSession, dir: String): DataFrame =
     annIvfIndexed(spark, dir, ensureIndex(spark, dir))
 
+  // C3i — BATCH ANN: top-k retrieval for a SET of query vectors through
+  // the persisted IVF index in ONE distributed plan. The single-query
+  // probes above serve point lookups; the form a 100 TB retrieval or
+  // embedding-join pass actually takes carries thousands-to-millions of
+  // queries, and a per-query job loop would pay plan+schedule overhead
+  // per query and re-scan the layout each time (round-11 verdict item
+  // 4: "the single-query shape never exercises the probe as a join").
+  /** Top-`k` neighbors for every row of `queries` ((vec_id, embedding))
+    * against the index at `indexDir`, as (query_id, vec_id, sim, rnk).
+    *
+    * Plan shape — one job, no driver loop:
+    *   1. each query assigns itself to its `graft.ann.nprobe` nearest
+    *      cells map-side (codegen'd NearestCells over the plan-shipped
+    *      centroid matrix — the same kernel every incremental probe
+    *      uses), exploded to (query, cell) rows;
+    *   2. the DISTINCT probed cells — a bounded driver collect, ≤ the
+    *      cell count (ints) — become a `cell IN` PARTITION filter on
+    *      the cell-partitioned layout, so a clustered query set
+    *      touches only its cells' files while a spread-out set
+    *      degrades gracefully to one full pass amortized across the
+    *      whole batch (never a pass per query);
+    *   3. ONE equi-join on cell scores candidates with the exact
+    *      codegen'd cosine — the query side broadcasts below the c27
+    *      dispatch threshold and becomes a shuffle_hash build above it
+    *      (no silent driver-OOM cliff on a huge query set);
+    *   4. per-query top-k: a (cell, query) pre-rank bounds each probed
+    *      cell's contribution to k before the global per-query window
+    *      (the knnJoinIvf two-stage doctrine — the global top-k is a
+    *      subset of the per-cell top-ks, and the pre-rank's clustering
+    *      is satisfied by the join exchange, so it adds no shuffle),
+    *      then row_number ≤ k per query.
+    * Tombstoned ids are excluded by [[liveIndexVectors]]; a query never
+    * matches itself (query sets drawn from the indexed corpus are the
+    * dedup/self-join reality). Approximate exactly like the
+    * single-query flat probe (cell-boundary misses) → rows-only;
+    * per-query recall vs the exact brute-force top-k is spec-asserted. */
+  def annIvfBatch(spark: SparkSession, indexDir: String, queries: DataFrame,
+                  k: Int = 10): DataFrame = {
+    GraftFunctions.register(spark)
+    val (flat, dim) = indexCentroidsFlat(spark, indexDir)
+    // localCheckpoint: the assignment feeds BOTH the bounded cells
+    // collect and the join probe — without it the NearestCells explode
+    // re-evaluates per consumer
+    val q = queries
+      .select(col("vec_id").as("query_id"), col("embedding"))
+      .withColumn("cell", explode(indexCellsCol(spark, indexDir, flat, dim, nprobe(spark))))
+      .select(col("query_id"), col("embedding").as("qv"), col("cell"))
+      .localCheckpoint()
+    val cells = q.select(col("cell")).distinct().collect().map(_.getInt(0))
+    val nQ = q.count() // cheap: checkpointed
+    val vectors = liveIndexVectors(spark, indexDir)
+      .filter(col("cell").isin(cells.toSeq: _*))
+      .select(col("cell"), col("vec_id"), col("embedding"))
+    val scored = vectors
+      .join(dispatchProbeSide(spark, q, nQ), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("cell"), col("query_id"), col("vec_id"),
+        round(cosineExpr("embedding", "qv"), 4).as("sim"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell"), col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    scored
+      .withColumn("crk", row_number().over(wc)).filter(col("crk") <= k)
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("sim"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Registry wrapper: the query set is every `graft.ann.batchQueryMod`-th
+    * (default 17 → ~6% of the corpus — a realistic retrieval batch)
+    * embedding, probed against the shared persisted index
+    * ([[ensureIndex]]) at k=10. */
+  def annIvfBatchQuery(spark: SparkSession, dir: String): DataFrame = {
+    val qmod = spark.conf.getOption("graft.ann.batchQueryMod")
+      .map(_.toLong).getOrElse(17L)
+    annIvfBatch(spark, ensureIndex(spark, dir),
+      Relational.table(spark, dir, "embeddings")
+        .filter(col("vec_id") % qmod === 0)
+        .select(col("vec_id"), col("embedding")))
+  }
+
   /** C3b3 — INCREMENTAL index append: assign a new vector batch to the
     * EXISTING coarse quantizer (no refit — Θ(batch·d) map work, zero
     * shuffles beyond the partitioned write), sign it, and land it in
@@ -3198,6 +3290,7 @@ object Similarity {
     "c3_ann_ivfpq" -> (annIvfPq _),
     "c3_ann_ivfpq_indexed" -> (annIvfPqIndexedQuery _),
     "c3_ann_indexed" -> (annIvfIndexedQuery _),
+    "c3_ann_batch" -> (annIvfBatchQuery _),
     "c3_ann_index_append" -> (annIndexAppendQuery _),
     "c3_ann_index_compact" -> (annIndexCompactQuery _),
     "c3_ann_index_delete" -> (annIndexDeleteQuery _),

@@ -611,6 +611,57 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     } finally spark.conf.unset("graft.semdedup.cellPop")
   }
 
+  test("C3i batch ANN: per-query recall vs exact; one pruned scan; no self-match; ranks dense") {
+    import org.apache.spark.sql.expressions.Window
+    val probe = Similarity.queries("c3_ann_batch")(spark, dir)
+    val got = probe.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val queries = got.map(_._1).distinct.sorted
+    assert(queries.length >= 20, s"query set too thin to test: ${queries.length}")
+    // rank contract: per query, rnk is 1..k with sim non-increasing
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1 to sorted.length), s"query $qid ranks not dense")
+      assert(sorted.map(_._3).toSeq.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+        s"query $qid sims not non-increasing")
+      assert(rows.forall(_._2 != qid), s"query $qid matched itself")
+    }
+    // per-query recall vs the EXACT brute-force top-10 over the same
+    // corpus (self excluded) — the single-query flat probe's bar (0.5,
+    // nprobe=8 of √n cells) must hold for EVERY query in the batch on
+    // average, not just vec_id 0
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") % 17 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exact = e.crossJoin(q).filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(Similarity.cosineExpr("embedding", "qv"), 4).as("sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)))
+      .filter(col("rnk") <= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exactByQ = exact.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val gotByQ = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(gotByQ.keySet === exactByQ.keySet, "batch dropped or invented a query")
+    val recalls = exactByQ.map { case (qid, ex) =>
+      ex.count(gotByQ(qid).contains).toDouble / ex.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean per-query recall $mean below 0.5 across ${recalls.size} queries")
+    // plan pins: the probed-cell union is a PARTITION filter on ONE
+    // layout scan (never a scan per query — the whole point), and the
+    // query side broadcasts at this batch size (the dispatch contract)
+    // under AQE the rendered executed plan carries BOTH a final and an
+    // initial section — count scans in the final section only
+    val plan = probe.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("PartitionFilters: \\[[^\\]]*cell[^\\]]*\\]".r.findFirstIn(plan).isDefined,
+      s"probed-cell union did not become a partition filter:\n$plan")
+    val layoutScans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("graft_ivf_index"))
+    assert(layoutScans == 1, s"expected ONE pruned layout scan, got $layoutScans:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query side not broadcast at spec batch size:\n$plan")
+  }
+
   test("C3 IVF ANN: high recall vs exact top-k") {
     val exact = Similarity.simTopK(spark, dir).select("vec_id").collect().map(_.getLong(0)).toSet
     val approx = Similarity.annIvf(spark, dir).select("vec_id").collect().map(_.getLong(0)).toSet
