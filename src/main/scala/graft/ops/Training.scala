@@ -409,6 +409,22 @@ object Training {
       .toDF("rank", "left", "right")
       .coalesce(1).write.mode("overwrite").parquet(gen)
     oldGens.foreach(IndexMeta.delete(spark, _))
+    // VOCAB export (round-11 verdict item 5): the id↔token table a
+    // training loader consumes, derived deterministically from the SAME
+    // fit — slot 0 is the reserved word separator (" ", the BpeVocab
+    // convention), then the fit dictionary's alphabet sorted, then each
+    // merge's composed token in rank order (first occurrence wins when
+    // two merge paths compose the same string). Persisted under the
+    // same IndexMeta generation protocol as merges/, so loaders,
+    // encode-to-ids, and decode all resolve one committed generation.
+    val alphabet = dict.iterator.flatMap(_._1.iterator).map(String.valueOf(_))
+      .toArray.distinct.sorted
+    val vocabTokens = (Seq(" ") ++ alphabet ++ merges.map { case (a, b) => a + b }).distinct
+    val (vGen, vOld) = IndexMeta.nextGen(spark, modelDir, "vocab")
+    vocabTokens.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("id", "token")
+      .coalesce(1).write.mode("overwrite").parquet(vGen)
+    vOld.foreach(IndexMeta.delete(spark, _))
   }
 
   /** Tokenize a batch with a persisted merge table: ONE driver read of
@@ -434,6 +450,60 @@ object Training {
     docs.withColumn("toks", bpeTokensCol(spark, modelDir))
       .select(col("doc_id"), size(col("toks")).as("n_tokens"),
         md5(concat_ws(" ", col("toks"))).as("fp"))
+  }
+
+  /** The persisted model as the plan-shippable (merges, vocab) pair:
+    * one bounded driver read of each table (≤numMerges and ≤vocab-size
+    * rows — the PQ-books doctrine). */
+  private def bpeModelTables(spark: SparkSession,
+      modelDir: String): (Array[String], Array[String]) = {
+    val m = spark.read.parquet(IndexMeta.requireLive(spark, modelDir, "merges"))
+      .orderBy("rank").collect()
+    val flat = m.flatMap(r => Seq(r.getString(1), r.getString(2)))
+    val v = spark.read.parquet(IndexMeta.requireLive(spark, modelDir, "vocab"))
+      .orderBy("id").collect().map(_.getString(1))
+    (flat, v)
+  }
+
+  /** text → array<int> token ids against the persisted model — the
+    * loader-facing encode (codegen'd [[graft.functions.BpeEncodeIds]];
+    * vocab plan-shipped, map-only). Unknown characters yield the loud
+    * OOV sentinel, never a silent drop. */
+  def bpeIdsCol(spark: SparkSession, modelDir: String): org.apache.spark.sql.Column = {
+    val (flat, vocab) = bpeModelTables(spark, modelDir)
+    import org.apache.spark.sql.graft.{GraftColumns => EU}
+    EU.column(graft.functions.BpeEncodeIds(EU.expression(col("text")), flat, vocab))
+  }
+
+  /** array<int> token ids → text — the encode doctrine in reverse: the
+    * id→token table rides the plan, decode is a map-only projection. */
+  def bpeDecodeCol(spark: SparkSession, modelDir: String,
+      ids: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val (_, vocab) = bpeModelTables(spark, modelDir)
+    import org.apache.spark.sql.graft.{GraftColumns => EU}
+    EU.column(graft.functions.BpeDecode(EU.expression(ids), vocab))
+  }
+
+  /** C32b — the id→text ROUNDTRIP over real data: fit on the 95%
+    * slice, encode the held-out 5% to ids through the exported vocab,
+    * decode the ids back, and emit md5(decoded). The DuckDB oracle is
+    * simply md5(text) over the same slice — so the hash gate IS the
+    * lossless-roundtrip proof (an OOV character, a dropped space run,
+    * or a vocab/merge drift all diverge the hash loudly). n_oov is
+    * pinned to 0 by the oracle's literal for the same reason. */
+  def bpeRoundtripQuery(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val modelDir = Similarity.freshScratch(spark, s"graft_bpe_rt_${key}_")
+    val docs = Relational.table(spark, dir, "documents")
+    fitBpe(spark, docs.filter(col("doc_id") % 20 =!= 7), modelDir,
+      bpeMerges(spark), bpeMaxWords(spark))
+    docs.filter(col("doc_id") % 20 === 7)
+      .withColumn("ids", bpeIdsCol(spark, modelDir))
+      .select(col("doc_id"),
+        md5(bpeDecodeCol(spark, modelDir, col("ids"))).as("rt_md5"),
+        size(filter(col("ids"), _ === lit(graft.functions.BpeVocab.OovId)))
+          .as("n_oov"))
+      .orderBy("doc_id")
   }
 
   /** Registry wrapper: fit on the 95% slice, persist, tokenize the
@@ -764,11 +834,18 @@ object Training {
     "c24b_doc_logprob_lm" -> (docLogprobLm _),
     "c25_shard_shuffle" -> (shardShuffle _),
     "c25b_shard_write" -> (shardWriteQuery _),
-    "c32_tokenize_bpe" -> (tokenizeBpeQuery _))
+    "c32_tokenize_bpe" -> (tokenizeBpeQuery _),
+    "c32b_bpe_roundtrip" -> (bpeRoundtripQuery _))
 
   // a def, not a val: the c25 entry embeds the session's EFFECTIVE
   // shard count at dump time (c15 contract)
   def oracleSql: Map[String, String] = Map(
+    // the roundtrip identity IS the oracle: decode(encodeIds(text))
+    // must hash-equal the raw text — BPE itself is not SQL-expressible
+    // but its LOSSLESSNESS is, which is the property a loader needs
+    "c32b_bpe_roundtrip" ->
+      """SELECT doc_id, md5(text) AS rt_md5, CAST(0 AS INTEGER) AS n_oov
+        |FROM documents WHERE doc_id % 20 = 7 ORDER BY doc_id""".stripMargin,
     // list slicing clamps at the list end in both engines, so the
     // short tail chunk needs no explicit bound
     "c36_chunk_overlap" ->

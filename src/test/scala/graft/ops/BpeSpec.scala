@@ -110,4 +110,52 @@ class BpeSpec extends AnyFunSuite with SparkTestSession {
     val expected = texts.map(_.split(" ", -1).toList.flatMap(codec.encodeWord(_).toList))
     assert(colToks.toList == expected, "codegen column diverges from the codec")
   }
+
+  test("c32b vocab export: generation protocol, slot-0 space, alphabet+merges, dedup") {
+    val modelDir = java.nio.file.Files.createTempDirectory("graft_bpe_vocab").toString
+    Training.fitBpe(spark, craftedDocs(spark), modelDir, numMerges = 4, maxWords = 100)
+    val live = IndexMeta.requireLive(spark, modelDir, "vocab")
+    assert(live.contains("vocab.g"), s"vocab not under the generation protocol: $live")
+    val vocab = spark.read.parquet(live).orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(vocab.head == ((0, " ")), "vocab slot 0 must be the reserved space")
+    assert(vocab.map(_._1).toSeq == vocab.indices, "vocab ids must be dense 0..n")
+    assert(vocab.map(_._2).distinct.length == vocab.length, "vocab tokens must be unique")
+    // crafted corpus alphabet {d,e,i,l,n,o,r,s,t,w} sorted, then the
+    // hand-computed merge outputs es, est, lo, low in rank order
+    val toks = vocab.map(_._2).toSeq
+    assert(toks == Seq(" ", "d", "e", "i", "l", "n", "o", "r", "s", "t", "w",
+      "es", "est", "lo", "low"), s"unexpected vocab: $toks")
+  }
+
+  test("c32b ids roundtrip: decode(encodeIds(text)) == text incl. space runs; OOV is loud") {
+    import spark.implicits._
+    val modelDir = java.nio.file.Files.createTempDirectory("graft_bpe_rt").toString
+    Training.fitBpe(spark, craftedDocs(spark), modelDir, numMerges = 4, maxWords = 100)
+    // space handling is the decode trap: empty words from split must
+    // round-trip runs of spaces, leading and trailing included
+    val texts = Seq("the lowest of the newest", "low  lower", " low", "low ", "", "  ")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = df.withColumn("ids", Training.bpeIdsCol(spark, modelDir))
+      .withColumn("rt", Training.bpeDecodeCol(spark, modelDir, col("ids")))
+      .withColumn("n_oov", size(filter(col("ids"),
+        _ === lit(graft.functions.BpeVocab.OovId))))
+      .orderBy("doc_id").collect()
+    texts.zip(out).foreach { case (t, r) =>
+      // rows are (doc_id, text, ids, rt, n_oov); 'h','f' etc. are OOV
+      // under the crafted alphabet — those texts must FLAG, the rest
+      // must round-trip exactly
+      val oov = r.getInt(4)
+      if (t.exists(c => c != ' ' && !"deilnorstw".contains(c)))
+        assert(oov > 0, s"'$t' should flag OOV")
+      else {
+        assert(oov === 0, s"'$t' flagged $oov OOV")
+        assert(r.getString(3) === t, s"roundtrip broke: '${r.getString(3)}' != '$t'")
+      }
+    }
+    // ids are real vocab ids: ' low' encodes as the space separator id
+    // (leading empty word) then low's single merged token (vocab id 14)
+    val lowIds = out(2).getSeq[Int](2)
+    assert(lowIds.toList == List(0, 14), s"' low' ids: $lowIds")
+  }
 }
