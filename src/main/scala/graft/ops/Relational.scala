@@ -909,12 +909,17 @@ object Relational {
 
   // B22 — the SQL surface directly: scalar subquery against temp views
   // (threshold computed with the scaled-long average so both engines
-  // compare against the identical double)
+  // compare against the identical double). The divisor is cast-to-double
+  // (msumSpark convention): the bare `/ 10000.0` spelling made the
+  // threshold DECIMAL(26,4) where DuckDB computes DOUBLE — a latent
+  // boundary-flip this data never exercised, surfaced by the round-12
+  // DecimalLintSpec walk (the b12c trap class's last live instance).
   def sqlSubquery(spark: SparkSession, dir: String): DataFrame = {
     table(spark, dir, "customer").createOrReplaceTempView("customer")
     spark.sql(
       """SELECT c_custkey, round(c_acctbal, 4) AS bal FROM customer
-        |WHERE c_acctbal > (SELECT sum(cast(round(c_acctbal * 10000, 0) as bigint)) / 10000.0 / count(*)
+        |WHERE c_acctbal > (SELECT sum(cast(round(c_acctbal * 10000, 0) as bigint))
+        |                          / cast(10000.0 as double) / count(*)
         |                   FROM customer)
         |ORDER BY c_custkey""".stripMargin)
   }
