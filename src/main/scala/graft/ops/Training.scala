@@ -657,6 +657,14 @@ object Training {
     val out = Similarity.freshScratch(spark, s"graft_pretrain_${key}_")
     val modelDir = Similarity.freshScratch(spark, s"graft_bpe_e2e_${key}_")
     val poolDir = Similarity.freshScratch(spark, s"graft_pool_${key}_")
+    // per-stage wall telemetry: the c33 decade tables in BASELINE.md
+    // attribute the composition's cost to its stages from these lines
+    def staged[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(f"[c33-stage] $name sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      r
+    }
     // 1. CURATION runs ONCE, materialized to scratch as an id list:
     //    three downstream consumers (BPE fit, packing, shard plan +
     //    payload join) would each re-execute the whole LSH /
@@ -664,15 +672,19 @@ object Training {
     //    reuse as recomputation). Ids only — 8 bytes/doc — so the
     //    barrier is tiny at any corpus scale, and disk-backed (unlike a
     //    localCheckpoint) so it survives executor loss on a cluster.
-    Pipeline.curateE2E(spark, dir).select(col("doc_id"))
-      .write.mode("overwrite").parquet(poolDir)
+    staged("curation") {
+      Pipeline.curateE2E(spark, dir).select(col("doc_id"))
+        .write.mode("overwrite").parquet(poolDir)
+    }
     val pool = spark.read.parquet(poolDir)
     val docs = Relational.table(spark, dir, "documents").join(pool, "doc_id")
     // 2. the TOKENIZER artifact: fit once on the curated pool (the
     //    thing a training run ships), persisted under the generation
     //    protocol — unlike c32's 95/5 registry split, the composition
     //    tokenizes the same pool it fit on, the production shape
-    fitBpe(spark, docs, modelDir, bpeMerges(spark), bpeMaxWords(spark))
+    staged("bpe_fit") {
+      fitBpe(spark, docs, modelDir, bpeMerges(spark), bpeMaxWords(spark))
+    }
     // 3. PACK by real tokenizer counts over the curated pool (the c15b
     //    window; its span-stratum `shard` column is internal to packing
     //    and dropped here — the FILE shard below is c25's md5 shard)
@@ -681,10 +693,14 @@ object Training {
       .select(col("doc_id"), col("n_tokens").as("bpe_tokens"),
         col("seq_id"), col("straddles"))
     // 4. SHARD WRITE: the files a training loader streams — text plus
-    //    the packing columns as payload, physically in pos order
-    writeShardsOn(spark,
-      docs.select(col("doc_id"), col("text"), col("n_chars")).join(packed, "doc_id"),
-      out)
+    //    the packing columns as payload, physically in pos order (the
+    //    pack stage executes inside this write — stages 3+4 are one
+    //    job by design, so their line reports the fused cost)
+    staged("pack_and_shard_write") {
+      writeShardsOn(spark,
+        docs.select(col("doc_id"), col("text"), col("n_chars")).join(packed, "doc_id"),
+        out)
+    }
     out
   }
 
