@@ -746,6 +746,12 @@ object Relational {
   // at sf100) estimated 32–72 MB un-stats'd and fell to SMJ at sf100,
   // shuffling 14.4 GB (round-11 decade finding) — the b45 hint
   // doctrine; same scale boundary (~sf1000), see tpchQ19.
+  // BROADCAST(customer): the pruned 2-column customer list (15M rows ×
+  // 16 B ≈ 240 MB raw at sf100) is the one mid-size dim whose broadcast
+  // the retired 64 MB posture used to win — measured sf100 A/B with the
+  // part hint in place: 22.8 s / 4.54 GB broadcast vs 32.1 s / 6.93 GB
+  // sort-merged. Tighter scale boundary than the part hints (~sf300 on
+  // a 96 GB driver); remove it first when scaling out.
   def tpchQ8(spark: SparkSession, dir: String): DataFrame = {
     table(spark, dir, "part").createOrReplaceTempView("part")
     table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -759,7 +765,7 @@ object Relational {
         |       round(sum(CASE WHEN nation = 'NATION_3' THEN cents ELSE 0 END)
         |             / cast(sum(cents) as double), 4) AS mkt_share,
         |       count(*) AS n_lines
-        |FROM (SELECT /*+ BROADCAST(part) */ year(o_orderdate) AS yr, n2.n_name AS nation,
+        |FROM (SELECT /*+ BROADCAST(part, customer) */ year(o_orderdate) AS yr, n2.n_name AS nation,
         |             cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) as bigint) AS cents
         |      FROM part
         |      JOIN lineitem ON p_partkey = l_partkey
