@@ -155,6 +155,14 @@ object GraftFunctions {
       s"graft_hamming_topk takes 5 arguments, got ${other.size}")
   }
 
+  val nfcInfo = new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc")
+
+  val nfcBuilder: Seq[Expression] => Expression = {
+    case Seq(child) => NfcNormalize(child)
+    case other => throw new IllegalArgumentException(
+      s"graft_nfc takes 1 argument, got ${other.size}")
+  }
+
   /** The single source of truth for graft's native-function surface.
     * Both registration paths (per-session `register`, cluster-wide
     * `GraftExtensions`) iterate THIS list, so a function added here is
@@ -164,7 +172,8 @@ object GraftFunctions {
     ("graft_cosine", cosineInfo, cosineBuilder),
     ("graft_srp_sign", srpSignInfo, srpSignBuilder),
     ("graft_hamming_topk", hammingTopKInfo, hammingTopKBuilder),
-    ("graft_simhash", simHashInfo, simHashBuilder))
+    ("graft_simhash", simHashInfo, simHashBuilder),
+    ("graft_nfc", nfcInfo, nfcBuilder))
 
   /** Idempotent per-session registration of graft's native functions. */
   def register(spark: SparkSession): Unit =

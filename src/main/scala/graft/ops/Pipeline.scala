@@ -113,6 +113,110 @@ object Pipeline {
           .otherwise("unknown"))
   }
 
+  // C38 — corpus normalization: Unicode NFC composition (the graft_nfc
+  // native expression), control-char → space translation, space-run
+  // collapse, trim. The first stage of every real corpus pipeline —
+  // byte-level dedup, shingle hashing, and BPE alphabets all assume one
+  // spelling per grapheme. The testdata text is ASCII, so the query
+  // first DIRTIES it deterministically in-plan (the a8_lenient
+  // doctrine): combining acute after every 'e', a leading tab, stray
+  // double spaces — then normalizes, and the oracle (DuckDB
+  // nfc_normalize) must agree byte-for-byte on the result. Map-only:
+  // no shuffle, no join — at 100 TB this is a pure scan-projection
+  // pass inside WholeStageCodegen.
+  def normalizeCorpus(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // the combining acute rides as a string LITERAL: Spark's chr() is
+    // mod-256 ASCII (chr(769) = \x01), unlike DuckDB's codepoint chr —
+    // only sub-256 chr() calls are engine-portable
+    Relational.table(spark, dir, "documents")
+      .withColumn("raw", expr(
+        s"concat(chr(9), ' ', regexp_replace(text, 'e', 'e\u0301'), '  ')"))
+      .withColumn("norm", expr(
+        "trim(regexp_replace(translate(graft_nfc(raw), concat(chr(9), chr(10), chr(13)), '   '), ' +', ' '))"))
+      .select(col("doc_id"), col("norm"),
+        // composed = accents folded: NFC shortens raw by one codepoint
+        // per 'e'+combining pair
+        (length(col("raw")) - length(expr("graft_nfc(raw)"))).as("n_composed"))
+      .orderBy("doc_id")
+  }
+
+  // C40 — corpus TF-IDF: per-document top-3 terms. The ln is quantized
+  // to micro-nat BIGINTs the moment it is computed (the c24/c18b
+  // doctrine) so every downstream comparison — including the rank
+  // ORDER BY — is integer-exact and engine-portable. Shape: explode →
+  // partial-agg tf (one shuffle on (doc_id, tok)) → vocab-sized df/idf
+  // table joined back (broadcast-able: vocab ≪ corpus) → per-doc
+  // window. At 100 TB only (doc_id, tok, count) rows shuffle — short
+  // terms, 8-byte counts — never document text.
+  def tfidfTop(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.table(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfq"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf_micro", expr(
+        """cast(round(ln(cast(n_docs + 1 as double) / cast(dfq + 1 as double))
+          |  * cast(1000000 as double), 0) as bigint) + 1000000""".stripMargin))
+      .select(col("tok"), col("idf_micro"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("tok"))
+    tf.join(broadcast(idf), "tok")
+      .withColumn("score_micro", col("tf") * col("idf_micro"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("tok"), col("score_micro"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  // C41 — BM25 retrieval (k1 = 1.2, b = 0.75): score the corpus against
+  // a fixed query-term set, return the top-10 documents. Determinism
+  // doctrine: avgdl never materializes as a double — the score is
+  // rewritten over the integer-exact rationals num = 22·S·tf and
+  // denom = 10·S·tf + 3·S + 9·dl·N (S = Σ doc lengths, N = #docs; the
+  // k1/b constants fold into the 22/10/3/9 coefficients), so the only
+  // float ops are one ln (quantized to micro-nats immediately) and one
+  // IEEE multiply+divide of exact integers — correctly-rounded ops,
+  // identical in any engine. Scale: tokens are FILTERED to the query
+  // terms before the tf aggregation, so only query-term postings ever
+  // shuffle; dl rides the groupBy key (functionally dependent on
+  // doc_id) to avoid a second corpus join; df/scalars broadcast back.
+  private[ops] val bm25Query = Seq("stream", "merge", "window", "vector")
+
+  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Relational.table(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val scalars = docs.agg(
+      sum(col("dl").cast("long")).as("s_total"),
+      count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(bm25Query: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfq"))
+      .crossJoin(broadcast(scalars))
+      .withColumn("idf_micro", expr(
+        """cast(round(ln((cast(n_docs - dfq as double) + cast(0.5 as double))
+          |    / (cast(dfq as double) + cast(0.5 as double)) + cast(1 as double))
+          |  * cast(1000000 as double), 0) as bigint)""".stripMargin))
+      .select(col("tok"), col("idf_micro"), col("s_total"), col("n_docs"))
+    tf.join(broadcast(idf), "tok")
+      .withColumn("score_micro", expr(
+        """cast(round(cast(idf_micro as double)
+          |  * (cast(22 * s_total * tf as double)
+          |     / cast(10 * s_total * tf + 3 * s_total + 9 * cast(dl as bigint) * n_docs as double)), 0)
+          |as bigint)""".stripMargin))
+      .groupBy(col("doc_id")).agg(sum(col("score_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), col("score_micro"))
+  }
+
   // C5 — multimodal nested struct: doc ⋈ embedding ⋈ stats nested into
   // struct columns, ORC roundtrip, scalar projection (oracle-checked on
   // the scalars)
@@ -383,6 +487,9 @@ object Pipeline {
     "c4_token_count" -> (tokenCount _),
     "c4_fingerprint" -> (fingerprint _),
     "c4_lang_id" -> (langId _),
+    "c38_normalize" -> (normalizeCorpus _),
+    "c40_tfidf" -> (tfidfTop _),
+    "c41_bm25" -> (bm25Search _),
     "c5_multimodal" -> (multimodalStruct _))
 
   /** The c31 curation oracle's CTE chain (quality floor, exact/near
@@ -508,6 +615,61 @@ object Pipeline {
          |       WHEN best.score > 0 THEN best.lang
          |       ELSE 'unknown' END AS predicted_lang
          |FROM scored ORDER BY doc_id""".stripMargin
+    },
+    // same deterministic in-plan dirtying, DuckDB's nfc_normalize as
+    // the independent NFC implementation — byte-level agreement on the
+    // composed text is the gate
+    "c38_normalize" ->
+      """WITH raw AS (SELECT doc_id,
+        |    chr(9) || ' ' || regexp_replace(text, 'e', 'e' || chr(769), 'g') || '  ' AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(translate(nfc_normalize(raw),
+        |    chr(9) || chr(10) || chr(13), '   '), ' +', ' ', 'g')) AS norm,
+        |  len(raw) - len(nfc_normalize(raw)) AS n_composed
+        |FROM raw ORDER BY doc_id""".stripMargin,
+    // micro-nat-quantized idf (the c24 ln doctrine): every comparison
+    // downstream of the ln — including the rank — is integer-exact
+    "c40_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT tok, count(*) AS dfq FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |idf AS (SELECT tok,
+        |    cast(round(ln(cast(n_docs + 1 AS DOUBLE) / cast(dfq + 1 AS DOUBLE))
+        |      * cast(1000000 AS DOUBLE), 0) AS BIGINT) + 1000000 AS idf_micro
+        |  FROM dfq, n),
+        |s AS (SELECT doc_id, tok, tf * idf_micro AS score_micro,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tf * idf_micro DESC, tok) AS rnk
+        |  FROM tf JOIN idf USING (tok))
+        |SELECT doc_id, rnk, tok, score_micro FROM s WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
+    // the integer-rational BM25 rewrite (see bm25Search): the only
+    // float ops are the quantized ln and one IEEE mul+div of exact ints
+    "c41_bm25" -> {
+      val qList = bm25Query.map(t => s"'$t'").mkString("(", ",", ")")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+         |sc AS (SELECT sum(dl) AS s_total, count(*) AS n_docs FROM dl),
+         |tf AS (SELECT t.doc_id, dl.dl, t.tok, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM d) t
+         |  JOIN dl ON t.doc_id = dl.doc_id
+         |  WHERE t.tok IN $qList GROUP BY 1, 2, 3),
+         |idf AS (SELECT tok,
+         |    cast(round(ln((cast(n_docs - dfq AS DOUBLE) + cast(0.5 AS DOUBLE))
+         |        / (cast(dfq AS DOUBLE) + cast(0.5 AS DOUBLE)) + cast(1 AS DOUBLE))
+         |      * cast(1000000 AS DOUBLE), 0) AS BIGINT) AS idf_micro,
+         |    s_total, n_docs
+         |  FROM (SELECT tok, count(*) AS dfq FROM tf GROUP BY 1), sc),
+         |s AS (SELECT doc_id,
+         |    sum(cast(round(cast(idf_micro AS DOUBLE)
+         |      * (cast(22 * s_total * tf AS DOUBLE)
+         |         / cast(10 * s_total * tf + 3 * s_total + 9 * cast(dl AS BIGINT) * n_docs AS DOUBLE)), 0)
+         |    AS BIGINT)) AS score_micro
+         |  FROM tf JOIN idf USING (tok) GROUP BY 1)
+         |SELECT doc_id, cast(score_micro AS BIGINT) AS score_micro FROM s
+         |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin
     },
     "c4_fingerprint" ->
       """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)

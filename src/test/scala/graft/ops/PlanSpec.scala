@@ -697,4 +697,45 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       assert(jobs == 0, s"sizing executed $jobs job(s) — the AQE .rdd trap")
     } finally spark.sparkContext.removeSparkListener(l)
   }
+
+  test("C38 normalize: map-only — the only exchange is the output sort") {
+    val df = Pipeline.queries("c38_normalize")(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"normalization must not hash-shuffle (it is a pure projection):\n$p")
+    // graft_nfc runs inside whole-stage codegen, not as a fallback —
+    // execute first so AQE finalizes the plan; a codegen'd stage renders
+    // as `*(n) Project` in the tree string
+    df.collect()
+    val pFinal = plan(df)
+    assert("""\*\(\d+\) Project""".r.findFirstIn(pFinal).isDefined,
+      s"the normalization projection is outside whole-stage codegen:\n$pFinal")
+  }
+
+  test("C40 tf-idf: vocab-sized idf table broadcasts, no sort-merge join") {
+    val p = plan(Pipeline.queries("c40_tfidf")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"idf join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"tf⋈idf must not shuffle the postings to a vocab-sized table:\n$p")
+  }
+
+  test("C41 BM25: query-term filter precedes the tf aggregate; top-10 never fully sorts") {
+    val df = Pipeline.queries("c41_bm25")(spark, dir)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must be TakeOrderedAndProject, not a global sort:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"df/scalar joins must broadcast:\n$p")
+    // the isin(query terms) filter sits below the first aggregate, so
+    // only query-term postings ever reach a shuffle — on the OPTIMIZED
+    // logical plan the Filter must appear under the lowest Aggregate
+    val opt = df.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
+    val aggs = opt.collect { case a: Aggregate => a }
+    assert(aggs.nonEmpty, "no aggregate in BM25 plan")
+    val hasTermFilterBelowAgg = aggs.exists(_.child.collect {
+      case f: Filter if f.condition.toString.contains(Pipeline.bm25Query.head) => f
+    }.nonEmpty)
+    assert(hasTermFilterBelowAgg,
+      s"query-term filter not below the tf aggregate:\n${opt.treeString}")
+  }
 }

@@ -1550,4 +1550,84 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     cad.reset(42L)
     assert(cad.check(5L, 1000L) === ((47L, false)) && listings === 3)
   }
+
+  test("C38 graft_nfc: composes combining sequences, already-NFC text passes through") {
+    graft.functions.GraftFunctions.register(spark)
+    // Spark's chr() is mod-256 ASCII, so the combining acute must ride
+    // as a literal (see normalizeCorpus)
+    val rows = spark.sql(
+      "SELECT graft_nfc('e\u0301') AS composed, graft_nfc('plain ascii') AS ascii, " +
+        "length(graft_nfc('e\u0301')) AS n, graft_nfc(cast(null as string)) AS nul").head()
+    assert(rows.getString(0) == "\u00e9", "e + combining acute must compose to precomposed U+00E9")
+    assert(rows.getString(1) == "plain ascii")
+    assert(rows.getInt(2) == 1, "composed form is one codepoint")
+    assert(rows.isNullAt(3), "null propagates")
+  }
+
+  test("C38 normalize: dirty → NFC + control strip + space collapse + trim, verified by hand") {
+    val out = Pipeline.queries("c38_normalize")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2).toLong)).toSeq
+    val docs = Relational.table(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out.nonEmpty && out.size == docs.size)
+    out.foreach { case (id, norm, nComposed) =>
+      val text = docs(id)
+      // the dirtying is deterministic, so the expected normal form is
+      // the original text with every 'e' composed to 'é' — controls,
+      // leading/trailing and doubled spaces all washed out
+      val expected = text.replace("e", "\u00e9")
+      assert(norm == expected, s"doc $id: '$norm' != '$expected'")
+      assert(nComposed == text.count(_ == 'e').toLong,
+        s"doc $id: composed-count $nComposed != e-count ${text.count(_ == 'e')}")
+    }
+  }
+
+  test("C40 tf-idf: exact integer recomputation at sf0.001 (micro-nat ln doctrine)") {
+    val docs = Relational.table(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val n = docs.size
+    val tf = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).groupBy(identity).map { case (tok, g) => ((id, tok), g.length.toLong) }
+    }.toMap
+    val dfq = tf.keys.groupBy(_._2).view.mapValues(_.size).toMap
+    val idf = dfq.map { case (tok, d) =>
+      tok -> (math.round(math.log((n + 1).toDouble / (d + 1).toDouble) * 1e6) + 1000000L)
+    }
+    val expected = docs.flatMap { case (id, _) =>
+      tf.collect { case ((d, tok), f) if d == id => (tok, f * idf(tok)) }
+        .toSeq.sortBy { case (tok, s) => (-s, tok) }.take(3).zipWithIndex
+        .map { case ((tok, s), i) => (id, i + 1, tok, s) }
+    }.sortBy(r => (r._1, r._2))
+    val got = Pipeline.queries("c40_tfidf")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expected, s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+  }
+
+  test("C41 BM25: exact integer-rational recomputation at sf0.001") {
+    val docs = Relational.table(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq)).toSeq
+    val n = docs.size.toLong
+    val sTotal = docs.map(_._2.size.toLong).sum
+    val q = Pipeline.bm25Query.toSet
+    val tf = docs.map { case (id, toks) =>
+      (id, toks.size.toLong, toks.filter(q).groupBy(identity).view.mapValues(_.size.toLong).toMap)
+    }
+    val dfq = q.map(t => t -> tf.count(_._3.contains(t)).toLong).toMap
+    val idf = dfq.collect { case (t, d) if d > 0 =>
+      t -> math.round(math.log(((n - d).toDouble + 0.5) / (d.toDouble + 0.5) + 1.0) * 1e6)
+    }
+    val expected = tf.flatMap { case (id, dl, m) =>
+      if (m.isEmpty) None else Some((id, m.map { case (t, f) =>
+        val num = 22L * sTotal * f
+        val den = 10L * sTotal * f + 3L * sTotal + 9L * dl * n
+        math.round(idf(t).toDouble * (num.toDouble / den.toDouble))
+      }.sum))
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    val got = Pipeline.queries("c41_bm25")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
 }
