@@ -2436,6 +2436,109 @@ object Similarity {
         .select(col("vec_id"), col("embedding")))
   }
 
+  // ------------------------------------------------------- c42 RAG e2e
+
+  /** Deterministic text→vector featurizer for the RAG composition: a
+    * signed feature-hash projection of a token array — dim 0 is a
+    * constant 1 bias (no chunk can embed to the zero vector, so cosine
+    * is always defined), dims 1..32 sum ±1 votes per token keyed by
+    * `xxhash64(token, dim)`. Pure codegen'd higher-order functions, no
+    * UDF; a production deployment swaps this column for a real model's
+    * embeddings and NOTHING downstream changes — the index build,
+    * probe, and top-k all consume (vec_id, embedding) frames. */
+  private def embedTokensExpr(toksCol: String): org.apache.spark.sql.Column =
+    // the token array binds ONCE as a lambda variable — an aliased
+    // slice/split column would be inlined by CollapseProject into all
+    // 32 aggregate lambdas (the fingerprint/withShingles trap)
+    expr(
+      s"""transform(array($toksCol), ch ->
+         |  cast(concat(array(cast(1 as double)),
+         |    transform(sequence(1, 32), i ->
+         |      aggregate(ch, cast(0 as double),
+         |        (acc, t) -> acc + IF(pmod(xxhash64(t, i), 2) = 0,
+         |          cast(1 as double), cast(-1 as double)))))
+         |  as array<float>))[0]""".stripMargin)
+
+  /** chunk vec_id encoding: doc·4096 + ix + 1 (chunks per doc are
+    * bounded by text length / stride ≪ 4096); query ids live above
+    * 2⁴⁰ so the two id spaces can never collide. */
+  private val ragChunkIdBase = 4096L
+  private[graft] val ragQueryIdOffset = 1L << 40
+
+  /** C42 — RAG ingestion + retrieval, end to end, as ONE composed
+    * program (the c33 doctrine applied to the retrieval side of the
+    * house): overlapping chunking (the c36 kernel's window/stride) →
+    * deterministic chunk embeddings → a persisted IVF index over the
+    * CHUNKS ([[buildIvfIndexFrom]] — generation protocol, cell-
+    * partitioned layout) → a batch query-set retrieval through the
+    * same pruned-probe join as c3_ann_batch. Queries are the eval
+    * split's (doc_id % 20 = 0) first chunks, embedded by the identical
+    * featurizer, so every query has an exact copy in the index — the
+    * spec's recall handle: rank-1 similarity must be 1.0 for every
+    * query, batch-wide.
+    *
+    * Scale shape: chunk+embed is map-only; the index build pays one
+    * corpus shuffle (the layout step); the probe touches only probed
+    * cells via partition pruning and never loops per query. The index
+    * is fingerprint-cached per corpus like [[ensureIndex]], so repeated
+    * calls (bench run1/run2, sweeps) rebuild nothing. */
+  def ragE2E(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val docs = Relational.table(spark, dir, "documents")
+    def chunksOf(d: DataFrame): DataFrame = Scale.sizeForCompute(d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(expr(s"sequence(0, size(toks) - 1, ${Training.chunkStride})")))
+      .withColumnRenamed("pos", "chunk_ix")
+      .withColumn("chunk", expr(s"slice(toks, col + 1, ${Training.chunkWin})"))
+      .select(col("doc_id"), col("chunk_ix"), embedTokensExpr("chunk").as("embedding"))
+    val indexDir = ensureRagIndex(spark, dir,
+      chunksOf(docs).select(
+        (col("doc_id") * ragChunkIdBase + col("chunk_ix") + 1).as("vec_id"),
+        col("embedding")))
+    val queries = chunksOf(docs.filter(col("doc_id") % 20 === 0))
+      .filter(col("chunk_ix") === 0)
+      .select((col("doc_id") + ragQueryIdOffset).as("vec_id"), col("embedding"))
+    annIvfBatch(spark, indexDir, queries, k = 5)
+      .select(
+        (col("query_id") - ragQueryIdOffset).as("query_doc"),
+        col("rnk"),
+        expr(s"(vec_id - 1) div $ragChunkIdBase").as("src_doc"),
+        expr(s"cast((vec_id - 1) % $ragChunkIdBase as int)").as("chunk_ix"),
+        col("sim"))
+      .orderBy("query_doc", "rnk")
+  }
+
+  /** [[ensureIndex]]'s fingerprint-cache pattern for the c42 CHUNK
+    * index (keyed on documents.parquet — the chunk vectors derive
+    * deterministically from it, so same files ⇒ same index). */
+  private def ensureRagIndex(spark: SparkSession, dir: String,
+                             chunkVecs: => DataFrame): String = {
+    val files = IndexMeta.list(spark, s"$dir/documents.parquet").filter(_.isFile)
+    val fp = files.map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+      .sorted.mkString("|").hashCode.toHexString
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val tmpRoot = spark.conf.getOption("graft.index.root")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    val prefix = s"graft_rag_index_${key}_"
+    def ready(p: String) = IndexMeta.exists(spark, s"$p/centroids/_SUCCESS")
+    IndexMeta.list(spark, tmpRoot)
+      .filter(_.getPath.getName.startsWith(s"$prefix${fp}_"))
+      .map(_.getPath.toString).sorted.find(ready)
+      .getOrElse {
+        val mine = s"$tmpRoot/$prefix${fp}_${spark.sparkContext.applicationId}"
+        buildIvfIndexFrom(spark, chunkVecs, mine)
+        IndexMeta.list(spark, tmpRoot)
+          .filter { st =>
+            val n = st.getPath.getName
+            n.startsWith(prefix) && !n.startsWith(s"$prefix${fp}_") &&
+              ready(st.getPath.toString)
+          }
+          .foreach(st => IndexMeta.delete(spark, st.getPath.toString))
+        mine
+      }
+  }
+
   /** C3b3 — INCREMENTAL index append: assign a new vector batch to the
     * EXISTING coarse quantizer (no refit — Θ(batch·d) map work, zero
     * shuffles beyond the partitioned write), sign it, and land it in
@@ -3291,6 +3394,7 @@ object Similarity {
     "c3_ann_ivfpq_indexed" -> (annIvfPqIndexedQuery _),
     "c3_ann_indexed" -> (annIvfIndexedQuery _),
     "c3_ann_batch" -> (annIvfBatchQuery _),
+    "c42_rag_e2e" -> (ragE2E _),
     "c3_ann_index_append" -> (annIndexAppendQuery _),
     "c3_ann_index_compact" -> (annIndexCompactQuery _),
     "c3_ann_index_delete" -> (annIndexDeleteQuery _),

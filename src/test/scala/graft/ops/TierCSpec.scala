@@ -1583,6 +1583,36 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("C42 RAG e2e: every query's rank-1 hit is an exact copy; ranks dense; ids decode") {
+    val out = graft.SparkEntry.queries("c42_rag_e2e")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+    val docs = Relational.table(spark, dir, "documents")
+    val evalDocs = docs.filter(col("doc_id") % 20 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.nonEmpty, "no retrieval output")
+    val byQuery = out.groupBy(_._1)
+    assert(byQuery.keySet == evalDocs, "every eval doc queries exactly once")
+    byQuery.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to rows.size), s"query $q: rank gap")
+      assert(sorted.map(_._5).toSeq == sorted.map(_._5).sortBy(-_).toSeq,
+        s"query $q: sims not non-increasing")
+      // the query IS an indexed chunk (eval docs are chunked too), its
+      // cell is probed by construction — an exact copy must win rank 1
+      assert(sorted.head._5 == 1.0, s"query $q: rank-1 sim ${sorted.head._5} != 1.0")
+    }
+    // the rank-1 hit carries the query's own chunk-0 TEXT: md5-join the
+    // retrieved (src_doc, chunk_ix) against the c36 chunk table
+    val md5Of = Training.chunkOverlapOn(docs).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getString(4))).toMap
+    val selfText = byQuery.toSeq.count { case (q, rows) =>
+      val top = rows.minBy(_._2)
+      md5Of((top._3, top._4)) == md5Of((q, 0))
+    }
+    assert(selfText == byQuery.size,
+      s"rank-1 text mismatch for ${byQuery.size - selfText} of ${byQuery.size} queries")
+  }
+
   test("C40 tf-idf: exact integer recomputation at sf0.001 (micro-nat ln doctrine)") {
     val docs = Relational.table(spark, dir, "documents")
       .select("doc_id", "text").collect()
