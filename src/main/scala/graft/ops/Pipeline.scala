@@ -164,6 +164,14 @@ object Pipeline {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_micro").desc, col("tok"))
+    // broadcast boundary (the q8/q19 hint doctrine — the author hint
+    // carries the knowledge, the site documents where it stops): the
+    // idf table is one row per DISTINCT token; a curated corpus vocab
+    // (≤ tens of millions of (tok, bigint) rows, ≲ 1 GB) broadcasts on
+    // a 96 GB driver, an uncleaned web-scale token space (billions of
+    // typo/number tokens) does not — there, drop the hint and the tok-
+    // keyed shuffle join is the honest plan, or pre-filter to a
+    // c20-style top-K vocab before joining.
     tf.join(broadcast(idf), "tok")
       .withColumn("score_micro", col("tf") * col("idf_micro"))
       .withColumn("rnk", row_number().over(w))
