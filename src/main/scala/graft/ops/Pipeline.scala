@@ -194,6 +194,77 @@ object Pipeline {
   // doc_id) to avoid a second corpus join; df/scalars broadcast back.
   private[ops] val bm25Query = Seq("stream", "merge", "window", "vector")
 
+  /** The one BM25 idf expression, shared by the in-plan path (c41) and
+    * the persisted fit (c41b) so the two can never drift: micro-nat
+    * BIGINT the moment the ln lands (the c24 doctrine). Expects
+    * `dfq`/`n_docs` columns in scope. */
+  private val bm25IdfExpr =
+    """cast(round(ln((cast(n_docs - dfq as double) + cast(0.5 as double))
+      |    / (cast(dfq as double) + cast(0.5 as double)) + cast(1 as double))
+      |  * cast(1000000 as double), 0) as bigint)""".stripMargin
+
+  /** C41b fit — persist the BM25 corpus statistics: the FULL per-term
+    * document-frequency/idf table (vocab-sized — the term table a real
+    * search deployment maintains, not just one query's terms) plus the
+    * (s_total, n_docs) scalars. One distinct-term shuffle; same plan
+    * class as [[Training.fitUnigramLm]]. */
+  def fitBm25Stats(docs: DataFrame, statsDir: String): Unit = {
+    val d = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val scalars = d.agg(
+      sum(col("dl").cast("long")).as("s_total"),
+      count(lit(1)).as("n_docs"))
+    d.select(explode(array_distinct(col("toks"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("dfq"))
+      .crossJoin(broadcast(scalars))
+      .withColumn("idf_micro", expr(bm25IdfExpr))
+      .select(col("tok"), col("idf_micro"))
+      .write.mode("overwrite").parquet(s"$statsDir/terms")
+    scalars.coalesce(1).write.mode("overwrite").parquet(s"$statsDir/scalars")
+  }
+
+  /** C41b score — BM25 over a document batch against PERSISTED stats:
+    * the query terms prune the terms table before it broadcasts, the
+    * scalars ride as plan literals (two longs — the ADC literal
+    * doctrine), and the batch pays one map-side filter + one per-doc
+    * aggregate. The arrival path of a standing search/curation service:
+    * corpus statistics are fit once, every batch scores map-only. */
+  def bm25ScoreWith(spark: SparkSession, docs: DataFrame, statsDir: String,
+                    terms: Seq[String], k: Int = 10): DataFrame = {
+    val row = spark.read.parquet(s"$statsDir/scalars").head()
+    val (sTotal, nDocs) = (row.getLong(0), row.getLong(1))
+    val stats = spark.read.parquet(s"$statsDir/terms")
+      .filter(col("tok").isin(terms: _*))
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")))
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .join(broadcast(stats), "tok")
+      .withColumn("score_micro", expr(
+        s"""cast(round(cast(idf_micro as double)
+           |  * (cast(22 * ${sTotal}L * tf as double)
+           |     / cast(10 * ${sTotal}L * tf + 3 * ${sTotal}L + 9 * cast(dl as bigint) * ${nDocs}L as double)), 0)
+           |as bigint)""".stripMargin))
+      .groupBy(col("doc_id")).agg(sum(col("score_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("score_micro"))
+  }
+
+  /** Registry wrapper: fit the full stats table on the corpus, then
+    * score the same corpus for the fixed query through the persisted
+    * path — the oracle is c41's VERBATIM, so the deployment form must
+    * reproduce the in-plan form bit for bit. */
+  def bm25Persisted(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val statsDir = Similarity.freshScratch(spark, s"graft_bm25_stats_${key}_")
+    val docs = Relational.table(spark, dir, "documents")
+    fitBm25Stats(docs, statsDir)
+    bm25ScoreWith(spark, docs, statsDir, bm25Query)
+  }
+
   def bm25Search(spark: SparkSession, dir: String): DataFrame = {
     val docs = Relational.table(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -208,10 +279,7 @@ object Pipeline {
       .agg(count(lit(1)).as("tf"))
     val idf = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfq"))
       .crossJoin(broadcast(scalars))
-      .withColumn("idf_micro", expr(
-        """cast(round(ln((cast(n_docs - dfq as double) + cast(0.5 as double))
-          |    / (cast(dfq as double) + cast(0.5 as double)) + cast(1 as double))
-          |  * cast(1000000 as double), 0) as bigint)""".stripMargin))
+      .withColumn("idf_micro", expr(bm25IdfExpr))
       .select(col("tok"), col("idf_micro"), col("s_total"), col("n_docs"))
     tf.join(broadcast(idf), "tok")
       .withColumn("score_micro", expr(
@@ -498,6 +566,7 @@ object Pipeline {
     "c38_normalize" -> (normalizeCorpus _),
     "c40_tfidf" -> (tfidfTop _),
     "c41_bm25" -> (bm25Search _),
+    "c41b_bm25_persisted" -> (bm25Persisted _),
     "c5_multimodal" -> (multimodalStruct _))
 
   /** The c31 curation oracle's CTE chain (quality floor, exact/near
@@ -540,6 +609,34 @@ object Pipeline {
          |    AND q.doc_id NOT IN (SELECT doc_id FROM contaminated)),
          |r AS (SELECT doc_id, source, quality,
          |    row_number() OVER (PARTITION BY source ORDER BY k, doc_id) AS rank FROM pool)""".stripMargin
+
+  /** The one BM25 oracle (integer-rational rewrite, see [[bm25Search]]),
+    * shared verbatim by c41 (in-plan) and c41b (persisted stats): the
+    * deployment form must reproduce the in-plan form bit for bit. */
+  private val bm25OracleSql: String = {
+    val qList = bm25Query.map(t => s"'$t'").mkString("(", ",", ")")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+       |sc AS (SELECT sum(dl) AS s_total, count(*) AS n_docs FROM dl),
+       |tf AS (SELECT t.doc_id, dl.dl, t.tok, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM d) t
+       |  JOIN dl ON t.doc_id = dl.doc_id
+       |  WHERE t.tok IN $qList GROUP BY 1, 2, 3),
+       |idf AS (SELECT tok,
+       |    cast(round(ln((cast(n_docs - dfq AS DOUBLE) + cast(0.5 AS DOUBLE))
+       |        / (cast(dfq AS DOUBLE) + cast(0.5 AS DOUBLE)) + cast(1 AS DOUBLE))
+       |      * cast(1000000 AS DOUBLE), 0) AS BIGINT) AS idf_micro,
+       |    s_total, n_docs
+       |  FROM (SELECT tok, count(*) AS dfq FROM tf GROUP BY 1), sc),
+       |s AS (SELECT doc_id,
+       |    sum(cast(round(cast(idf_micro AS DOUBLE)
+       |      * (cast(22 * s_total * tf AS DOUBLE)
+       |         / cast(10 * s_total * tf + 3 * s_total + 9 * cast(dl AS BIGINT) * n_docs AS DOUBLE)), 0)
+       |    AS BIGINT)) AS score_micro
+       |  FROM tf JOIN idf USING (tok) GROUP BY 1)
+       |SELECT doc_id, cast(score_micro AS BIGINT) AS score_micro FROM s
+       |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "c20_vocab_topk" ->
@@ -654,31 +751,11 @@ object Pipeline {
         |SELECT doc_id, rnk, tok, score_micro FROM s WHERE rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin,
     // the integer-rational BM25 rewrite (see bm25Search): the only
-    // float ops are the quantized ln and one IEEE mul+div of exact ints
-    "c41_bm25" -> {
-      val qList = bm25Query.map(t => s"'$t'").mkString("(", ",", ")")
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |dl AS (SELECT doc_id, len(toks) AS dl FROM d),
-         |sc AS (SELECT sum(dl) AS s_total, count(*) AS n_docs FROM dl),
-         |tf AS (SELECT t.doc_id, dl.dl, t.tok, count(*) AS tf
-         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM d) t
-         |  JOIN dl ON t.doc_id = dl.doc_id
-         |  WHERE t.tok IN $qList GROUP BY 1, 2, 3),
-         |idf AS (SELECT tok,
-         |    cast(round(ln((cast(n_docs - dfq AS DOUBLE) + cast(0.5 AS DOUBLE))
-         |        / (cast(dfq AS DOUBLE) + cast(0.5 AS DOUBLE)) + cast(1 AS DOUBLE))
-         |      * cast(1000000 AS DOUBLE), 0) AS BIGINT) AS idf_micro,
-         |    s_total, n_docs
-         |  FROM (SELECT tok, count(*) AS dfq FROM tf GROUP BY 1), sc),
-         |s AS (SELECT doc_id,
-         |    sum(cast(round(cast(idf_micro AS DOUBLE)
-         |      * (cast(22 * s_total * tf AS DOUBLE)
-         |         / cast(10 * s_total * tf + 3 * s_total + 9 * cast(dl AS BIGINT) * n_docs AS DOUBLE)), 0)
-         |    AS BIGINT)) AS score_micro
-         |  FROM tf JOIN idf USING (tok) GROUP BY 1)
-         |SELECT doc_id, cast(score_micro AS BIGINT) AS score_micro FROM s
-         |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin
-    },
+    // float ops are the quantized ln and one IEEE mul+div of exact ints.
+    // c41b (the persisted fit-once/score-arrivals form) shares the SQL
+    // verbatim: the deployment path must reproduce the in-plan path.
+    "c41_bm25" -> bm25OracleSql,
+    "c41b_bm25_persisted" -> bm25OracleSql,
     "c4_fingerprint" ->
       """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
         |SELECT doc_id,

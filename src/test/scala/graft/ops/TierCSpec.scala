@@ -1635,6 +1635,23 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     assert(got == expected, s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
   }
 
+  test("C41b BM25 persisted: the deployment form reproduces the in-plan form exactly") {
+    val live = Pipeline.queries("c41_bm25")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val persisted = Pipeline.queries("c41b_bm25_persisted")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(persisted == live, s"persisted $persisted != live $live")
+    // and the stats table is the FULL vocab (a real term table), not
+    // just the one query's terms
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val statsDir = graft.ops.Similarity.freshScratch(spark, s"graft_bm25_spec_${key}_")
+    Pipeline.fitBm25Stats(Relational.table(spark, dir, "documents"), statsDir)
+    val vocab = spark.read.parquet(s"$statsDir/terms").count()
+    val distinctToks = Relational.table(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("t")).distinct().count()
+    assert(vocab == distinctToks, s"stats vocab $vocab != corpus vocab $distinctToks")
+  }
+
   test("C41 BM25: exact integer-rational recomputation at sf0.001") {
     val docs = Relational.table(spark, dir, "documents")
       .select("doc_id", "text").collect()
