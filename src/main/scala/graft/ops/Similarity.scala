@@ -2482,21 +2482,26 @@ object Similarity {
     * cells via partition pruning and never loops per query. The index
     * is fingerprint-cached per corpus like [[ensureIndex]], so repeated
     * calls (bench run1/run2, sweeps) rebuild nothing. */
+  /** The c42 chunk+embed projection: c36's window/stride enumeration
+    * with the embedding in place of the md5 — map-only (the only
+    * allowed exchange is [[Scale.sizeForCompute]]'s round-robin on an
+    * under-partitioned source; PlanSpec-pinned). */
+  private[graft] def ragChunks(d: DataFrame): DataFrame = Scale.sizeForCompute(d)
+    .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    .select(col("doc_id"), col("toks"),
+      posexplode(expr(s"sequence(0, size(toks) - 1, ${Training.chunkStride})")))
+    .withColumnRenamed("pos", "chunk_ix")
+    .withColumn("chunk", expr(s"slice(toks, col + 1, ${Training.chunkWin})"))
+    .select(col("doc_id"), col("chunk_ix"), embedTokensExpr("chunk").as("embedding"))
+
   def ragE2E(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val docs = Relational.table(spark, dir, "documents")
-    def chunksOf(d: DataFrame): DataFrame = Scale.sizeForCompute(d)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), col("toks"),
-        posexplode(expr(s"sequence(0, size(toks) - 1, ${Training.chunkStride})")))
-      .withColumnRenamed("pos", "chunk_ix")
-      .withColumn("chunk", expr(s"slice(toks, col + 1, ${Training.chunkWin})"))
-      .select(col("doc_id"), col("chunk_ix"), embedTokensExpr("chunk").as("embedding"))
     val indexDir = ensureRagIndex(spark, dir,
-      chunksOf(docs).select(
+      ragChunks(docs).select(
         (col("doc_id") * ragChunkIdBase + col("chunk_ix") + 1).as("vec_id"),
         col("embedding")))
-    val queries = chunksOf(docs.filter(col("doc_id") % 20 === 0))
+    val queries = ragChunks(docs.filter(col("doc_id") % 20 === 0))
       .filter(col("chunk_ix") === 0)
       .select((col("doc_id") + ragQueryIdOffset).as("vec_id"), col("embedding"))
     annIvfBatch(spark, indexDir, queries, k = 5)

@@ -719,6 +719,19 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"tf⋈idf must not shuffle the postings to a vocab-sized table:\n$p")
   }
 
+  test("C42 chunk+embed: map-only — no hash exchange, embedding inside codegen") {
+    val docs = Relational.table(spark, dir, "documents")
+    val df = Similarity.ragChunks(docs)
+    val p = plan(df)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunk+embed must not hash-shuffle (it is a generate+projection):\n$p")
+    // the only allowed exchange is sizeForCompute's round-robin
+    // repartition of an under-partitioned source
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("RoundRobinPartitioning")),
+      s"unexpected exchange kind:\n${exchanges.mkString("\n")}")
+  }
+
   test("C41 BM25: query-term filter precedes the tf aggregate; top-10 never fully sorts") {
     val df = Pipeline.queries("c41_bm25")(spark, dir)
     val p = plan(df)
