@@ -756,9 +756,44 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  // C44 — corpus snapshot diff: the data-versioning primitive (what
+  // changed between dataset release N and N+1 — the audit every
+  // training-data pipeline runs before retraining). Both snapshots
+  // project to (doc_id, md5(text)) BEFORE the join, so the only thing
+  // that ever shuffles is an 8-byte id + a 16-byte digest — document
+  // text never moves regardless of corpus size; the diff itself is one
+  // co-partitioned full outer join emitting only the delta rows
+  // (added / removed / changed), never the unchanged bulk. Snapshot B
+  // is derived deterministically in-plan (the a8_lenient
+  // dirty-in-plan doctrine — the testdata has one snapshot):
+  // doc_id % 17 == 3 dropped (removed), % 17 == 5 text-edited
+  // (changed), % 17 == 7 re-entering under id + 1e12 (added; the
+  // offset clears any MakeScale-replicated id range). DuckDB replays
+  // the same derivation, so the delta is hash-matched end to end.
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val a = Relational.table(spark, dir, "documents")
+    val snapA = a.select(col("doc_id"), md5(col("text")).as("ha"))
+    val snapB = a.filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 17 === 5, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text"))).as("hb"))
+      .unionByName(a.filter(col("doc_id") % 17 === 7)
+        .select((col("doc_id") + lit(1000000000000L)).as("doc_id"),
+          md5(col("text")).as("hb")))
+    snapA.join(snapB, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("hb").isNull, lit("removed"))
+          .when(col("ha").isNull, lit("added"))
+          .when(col("ha") =!= col("hb"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col("doc_id"), col("status"))
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c44_corpus_diff" -> (corpusDiff _),
     "c12_decontaminate" -> (decontaminate _),
     "c12c_decontaminate_bloom" -> (decontaminateBloom _),
     "c13_sample_stratified" -> (sampleStratified _),
@@ -829,6 +864,23 @@ object Curation {
   // a def, not a val: the c15 entry embeds the session's EFFECTIVE
   // shard span (see effectiveShardSpan) at dump time
   def oracleSql: Map[String, String] = Map(
+    // same deterministic snapshot-B derivation as the Spark plan; md5
+    // only ever compares WITHIN an engine, so digest-format agreement
+    // between Spark and DuckDB is not even required — the delta rows are
+    "c44_corpus_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS ha FROM documents),
+        |b AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 17 = 5 THEN concat(text, ' rev2') ELSE text END) AS hb
+        |  FROM documents WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000000, md5(text) FROM documents WHERE doc_id % 17 = 7),
+        |f AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |    CASE WHEN b.doc_id IS NULL THEN 'removed'
+        |         WHEN a.doc_id IS NULL THEN 'added'
+        |         WHEN ha <> hb THEN 'changed' END AS status
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT doc_id, status FROM f WHERE status IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
     // the oracle joins on the gram STRINGS; equality with the hashed
     // Spark path holds absent xxhash64 collisions (spec-proven at test
     // scale, probabilistically negligible beyond it)

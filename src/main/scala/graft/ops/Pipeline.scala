@@ -205,22 +205,67 @@ object Pipeline {
 
   /** C41b fit — persist the BM25 corpus statistics: the FULL per-term
     * document-frequency/idf table (vocab-sized — the term table a real
-    * search deployment maintains, not just one query's terms) plus the
-    * (s_total, n_docs) scalars. One distinct-term shuffle; same plan
-    * class as [[Training.fitUnigramLm]]. */
+    * search deployment maintains, not just one query's terms; dfq is
+    * persisted alongside idf so [[appendBm25Stats]] can merge arrivals
+    * additively) plus the (s_total, n_docs) scalars. One distinct-term
+    * shuffle; same plan class as [[Training.fitUnigramLm]]. Both tables
+    * land under the [[IndexMeta]] generation protocol (commit by
+    * `_SUCCESS`, no renames), so fits, appends, and readers follow the
+    * same max-committed-generation resolution as the IVF layout. */
   def fitBm25Stats(docs: DataFrame, statsDir: String): Unit = {
+    val spark = docs.sparkSession
     val d = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("dl", size(col("toks")))
     val scalars = d.agg(
       sum(col("dl").cast("long")).as("s_total"),
       count(lit(1)).as("n_docs"))
+    val (termsDir, oldTerms) = IndexMeta.nextGen(spark, statsDir, "terms")
     d.select(explode(array_distinct(col("toks"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("dfq"))
       .crossJoin(broadcast(scalars))
       .withColumn("idf_micro", expr(bm25IdfExpr))
-      .select(col("tok"), col("idf_micro"))
-      .write.mode("overwrite").parquet(s"$statsDir/terms")
-    scalars.coalesce(1).write.mode("overwrite").parquet(s"$statsDir/scalars")
+      .select(col("tok"), col("dfq"), col("idf_micro"))
+      .write.mode("overwrite").parquet(termsDir)
+    val (scalarsDir, oldScalars) = IndexMeta.nextGen(spark, statsDir, "scalars")
+    scalars.coalesce(1).write.mode("overwrite").parquet(scalarsDir)
+    (oldTerms ++ oldScalars).foreach(IndexMeta.delete(spark, _))
+  }
+
+  /** C41c append — merge an arrival batch into persisted BM25 stats
+    * WITHOUT refitting the corpus (the c27/appendToIvfIndex doctrine on
+    * the lexical side). Document frequency and the (s_total, n_docs)
+    * scalars are additive over disjoint corpora, so the merge is one
+    * batch-vocab aggregate full-outer-joined onto the vocab-sized terms
+    * table, then idf recomputed for EVERY term from the merged
+    * (dfq, n_docs) — n_docs changed globally, so every idf moves; the
+    * recompute is the same [[bm25IdfExpr]] the fit uses, which is what
+    * makes incremental ≡ refit exact (bit-identical BIGINTs, pinned by
+    * the c41c oracle: the whole-corpus c41 SQL). Cost is vocab-bounded,
+    * never corpus-bounded: the old corpus' text is not re-read. New
+    * generations commit via [[IndexMeta]]; a crash before commit leaves
+    * the old generation live. */
+  def appendBm25Stats(spark: SparkSession, statsDir: String, batch: DataFrame): Unit = {
+    val d = batch.select(split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val delta = d.agg(sum(col("dl").cast("long")), count(lit(1))).head()
+    val prev = spark.read.parquet(IndexMeta.requireLive(spark, statsDir, "scalars")).head()
+    val (s2, n2) = (prev.getLong(0) + delta.getLong(0), prev.getLong(1) + delta.getLong(1))
+    val deltaDf = d.select(explode(array_distinct(col("toks"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("ddf"))
+    val merged = spark.read.parquet(IndexMeta.requireLive(spark, statsDir, "terms"))
+      .select(col("tok"), col("dfq"))
+      .join(deltaDf, Seq("tok"), "full_outer")
+      .select(col("tok"),
+        (coalesce(col("dfq"), lit(0L)) + coalesce(col("ddf"), lit(0L))).as("dfq"))
+      .withColumn("n_docs", lit(n2))
+      .withColumn("idf_micro", expr(bm25IdfExpr))
+      .select(col("tok"), col("dfq"), col("idf_micro"))
+    val (termsDir, oldTerms) = IndexMeta.nextGen(spark, statsDir, "terms")
+    merged.write.mode("overwrite").parquet(termsDir)
+    val (scalarsDir, oldScalars) = IndexMeta.nextGen(spark, statsDir, "scalars")
+    spark.range(1).select(lit(s2).as("s_total"), lit(n2).as("n_docs"))
+      .coalesce(1).write.mode("overwrite").parquet(scalarsDir)
+    (oldTerms ++ oldScalars).foreach(IndexMeta.delete(spark, _))
   }
 
   /** C41b score — BM25 over a document batch against PERSISTED stats:
@@ -231,9 +276,9 @@ object Pipeline {
     * corpus statistics are fit once, every batch scores map-only. */
   def bm25ScoreWith(spark: SparkSession, docs: DataFrame, statsDir: String,
                     terms: Seq[String], k: Int = 10): DataFrame = {
-    val row = spark.read.parquet(s"$statsDir/scalars").head()
+    val row = spark.read.parquet(IndexMeta.requireLive(spark, statsDir, "scalars")).head()
     val (sTotal, nDocs) = (row.getLong(0), row.getLong(1))
-    val stats = spark.read.parquet(s"$statsDir/terms")
+    val stats = spark.read.parquet(IndexMeta.requireLive(spark, statsDir, "terms"))
       .filter(col("tok").isin(terms: _*))
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("dl", size(col("toks")))
@@ -265,7 +310,10 @@ object Pipeline {
     bm25ScoreWith(spark, docs, statsDir, bm25Query)
   }
 
-  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+  /** The in-plan BM25 score body shared by c41 (top-10 retrieval) and
+    * c43's sparse leg (top-[[rrfDepth]] ranks): per-doc integer-exact
+    * score_micro, unsorted. */
+  private def bm25Scores(spark: SparkSession, dir: String): DataFrame = {
     val docs = Relational.table(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("dl", size(col("toks")))
@@ -288,9 +336,85 @@ object Pipeline {
           |     / cast(10 * s_total * tf + 3 * s_total + 9 * cast(dl as bigint) * n_docs as double)), 0)
           |as bigint)""".stripMargin))
       .groupBy(col("doc_id")).agg(sum(col("score_micro")).as("score_micro"))
+  }
+
+  def bm25Search(spark: SparkSession, dir: String): DataFrame =
+    bm25Scores(spark, dir)
       .orderBy(col("score_micro").desc, col("doc_id"))
       .limit(10)
       .select(col("doc_id"), col("score_micro"))
+
+  /** Registry wrapper for the incremental leg: fit on 90% of the corpus
+    * (doc_id % 10 ≠ 7 — the deterministic split doctrine), append the
+    * remaining 10% as an arrival batch, score the FULL corpus through
+    * the merged stats. The oracle is c41's whole-corpus SQL verbatim:
+    * additivity of df and the scalars over disjoint corpora plus the
+    * shared idf recompute make incremental ≡ refit bit for bit. */
+  def bm25Incremental(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val statsDir = Similarity.freshScratch(spark, s"graft_bm25_inc_${key}_")
+    val docs = Relational.table(spark, dir, "documents")
+    fitBm25Stats(docs.filter(col("doc_id") % 10 =!= 7), statsDir)
+    appendBm25Stats(spark, statsDir, docs.filter(col("doc_id") % 10 === 7))
+    bm25ScoreWith(spark, docs, statsDir, bm25Query)
+  }
+
+  // C43 — HYBRID retrieval: sparse BM25 + dense cosine fused by
+  // reciprocal-rank fusion (RRF, Cormack/Clarke/Buettcher SIGIR'09 —
+  // the default production shape: lexical recall catches what the
+  // embedding misses and vice versa; public practice in every major
+  // search stack). Each leg is a top-[[rrfDepth]] retrieval with fully
+  // deterministic ranks (BM25 scores are integer-exact by the c41
+  // rational rewrite; cosine rounds to 4 before ranking, ties break on
+  // doc_id — the c3_sim_topk determinism class), so the fused output is
+  // hash-matchable. RRF weights 1/(60+rank) quantize as
+  // floor(1e6/(60+rank)): one IEEE division of small exact integers —
+  // exact where the result IS an integer (64 and 80 divide 1e6), and
+  // floor is unambiguous elsewhere, so no round-half hazard. Scale: each
+  // leg ends in a TakeOrdered (k rows, no global sort — BM25 shuffles
+  // only query-term postings, the dense leg is one broadcast-query map
+  // pass), and the fuse is a full outer join of two ≤rrfDepth-row sets.
+  // The batch-of-queries generalization runs the dense leg through the
+  // c3_ann_batch pruned-probe join and the sparse leg grouped by query
+  // id; this entry keeps c41's fixed single query so the whole fusion
+  // stays oracle-exact.
+  private[ops] val rrfK = 60
+  private[ops] val rrfDepth = 20
+
+  /** Top-n by `score` (desc, doc_id tiebreak) with dense 1-based ranks:
+    * TakeOrdered bounds the sort at n rows BEFORE the window, so the
+    * rank pass is a single n-row task, never a global sort. */
+  private def rankedTopN(df: DataFrame, score: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.orderBy(col(score).desc, col("doc_id")).limit(n)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col(score).desc, col("doc_id"))))
+  }
+
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // doc 0 is the query document (its embedding is the dense query
+    // vector), so it is excluded from BOTH legs — retrieval never
+    // returns the query itself.
+    val sparse = rankedTopN(
+      bm25Scores(spark, dir).filter(col("doc_id") =!= 0), "score_micro", rrfDepth)
+      .select(col("doc_id"), col("rnk").as("rank_sparse"))
+    val e = Relational.table(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val dense = rankedTopN(
+      e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          round(Similarity.cosineExpr("embedding", "qv"), 4).as("sim")),
+      "sim", rrfDepth)
+      .select(col("doc_id"), col("rnk").as("rank_dense"))
+    def w(rank: String) = coalesce(
+      expr(s"cast(floor(cast(1000000 as double) / cast($rrfK + $rank as double)) as bigint)"),
+      lit(0L))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_micro", w("rank_sparse") + w("rank_dense"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), col("rrf_micro"), col("rank_sparse"), col("rank_dense"))
   }
 
   // C5 — multimodal nested struct: doc ⋈ embedding ⋈ stats nested into
@@ -567,6 +691,8 @@ object Pipeline {
     "c40_tfidf" -> (tfidfTop _),
     "c41_bm25" -> (bm25Search _),
     "c41b_bm25_persisted" -> (bm25Persisted _),
+    "c41c_bm25_incremental" -> (bm25Incremental _),
+    "c43_hybrid_rrf" -> (hybridRrf _),
     "c5_multimodal" -> (multimodalStruct _))
 
   /** The c31 curation oracle's CTE chain (quality floor, exact/near
@@ -610,12 +736,11 @@ object Pipeline {
          |r AS (SELECT doc_id, source, quality,
          |    row_number() OVER (PARTITION BY source ORDER BY k, doc_id) AS rank FROM pool)""".stripMargin
 
-  /** The one BM25 oracle (integer-rational rewrite, see [[bm25Search]]),
-    * shared verbatim by c41 (in-plan) and c41b (persisted stats): the
-    * deployment form must reproduce the in-plan form bit for bit. */
-  private val bm25OracleSql: String = {
+  /** The BM25 score CTE chain ending at `s` (doc_id, score_micro) —
+    * shared by the c41/c41b/c41c oracle and c43's sparse-leg ranks. */
+  private val bm25OracleCtes: String = {
     val qList = bm25Query.map(t => s"'$t'").mkString("(", ",", ")")
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |dl AS (SELECT doc_id, len(toks) AS dl FROM d),
        |sc AS (SELECT sum(dl) AS s_total, count(*) AS n_docs FROM dl),
        |tf AS (SELECT t.doc_id, dl.dl, t.tok, count(*) AS tf
@@ -633,10 +758,43 @@ object Pipeline {
        |      * (cast(22 * s_total * tf AS DOUBLE)
        |         / cast(10 * s_total * tf + 3 * s_total + 9 * cast(dl AS BIGINT) * n_docs AS DOUBLE)), 0)
        |    AS BIGINT)) AS score_micro
-       |  FROM tf JOIN idf USING (tok) GROUP BY 1)
+       |  FROM tf JOIN idf USING (tok) GROUP BY 1)""".stripMargin
+  }
+
+  /** The one BM25 oracle (integer-rational rewrite, see [[bm25Search]]),
+    * shared verbatim by c41 (in-plan), c41b (persisted stats), and c41c
+    * (incrementally merged stats): every deployment form must reproduce
+    * the in-plan form bit for bit. */
+  private val bm25OracleSql: String =
+    s"""WITH $bm25OracleCtes
        |SELECT doc_id, cast(score_micro AS BIGINT) AS score_micro FROM s
        |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin
-  }
+
+  /** The c43 hybrid-RRF oracle: both legs re-ranked independently in
+    * DuckDB (BM25 from the shared CTEs; dense from
+    * list_cosine_similarity — the c3_sim_topk oracle form), fused with
+    * the same floor-quantized reciprocal ranks. */
+  private val hybridRrfOracleSql: String =
+    s"""WITH $bm25OracleCtes,
+       |sp0 AS (SELECT doc_id, score_micro FROM s WHERE doc_id <> 0
+       |  ORDER BY score_micro DESC, doc_id LIMIT $rrfDepth),
+       |sp AS (SELECT doc_id,
+       |  row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rs FROM sp0),
+       |dn0 AS (SELECT vec_id AS doc_id,
+       |    round(cast(list_cosine_similarity(cast(embedding as double[]),
+       |      (SELECT cast(embedding as double[]) FROM embeddings WHERE vec_id = 0)) as double), 4) AS sim
+       |  FROM embeddings WHERE vec_id <> 0
+       |  ORDER BY sim DESC, doc_id LIMIT $rrfDepth),
+       |dn AS (SELECT doc_id,
+       |  row_number() OVER (ORDER BY sim DESC, doc_id) AS rd FROM dn0),
+       |f AS (SELECT coalesce(sp.doc_id, dn.doc_id) AS doc_id,
+       |    coalesce(cast(floor(cast(1000000 AS DOUBLE) / cast($rrfK + rs AS DOUBLE)) AS BIGINT), 0)
+       |    + coalesce(cast(floor(cast(1000000 AS DOUBLE) / cast($rrfK + rd AS DOUBLE)) AS BIGINT), 0) AS rrf_micro,
+       |    rs, rd
+       |  FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id)
+       |SELECT doc_id, rrf_micro,
+       |  cast(rs AS INT) AS rank_sparse, cast(rd AS INT) AS rank_dense
+       |FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "c20_vocab_topk" ->
@@ -756,6 +914,8 @@ object Pipeline {
     // verbatim: the deployment path must reproduce the in-plan path.
     "c41_bm25" -> bm25OracleSql,
     "c41b_bm25_persisted" -> bm25OracleSql,
+    "c41c_bm25_incremental" -> bm25OracleSql,
+    "c43_hybrid_rrf" -> hybridRrfOracleSql,
     "c4_fingerprint" ->
       """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
         |SELECT doc_id,

@@ -583,4 +583,20 @@ class CurationSpec extends AnyFunSuite with SparkTestSession {
       case _ =>
     }
   }
+
+  test("C44 corpus diff: exactly the planted delta classes, nothing else") {
+    val got = Curation.queries("c44_corpus_diff")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ids = Relational.table(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = (
+      ids.filter(_ % 17 == 3).map(id => (id, "removed")) ++
+      ids.filter(_ % 17 == 5).map(id => (id, "changed")) ++
+      ids.filter(_ % 17 == 7).map(id => (id + 1000000000000L, "added"))
+    ).toSeq.sortBy(_._1)
+    assert(got == expected,
+      s"diff mismatch: extra=${(got.toSet -- expected).take(3)} missing=${(expected.toSet -- got).take(3)}")
+    // the unchanged bulk must NOT be emitted — the delta is the output
+    assert(got.size < ids.size, "diff emitted the unchanged bulk")
+  }
 }

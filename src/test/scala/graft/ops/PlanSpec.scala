@@ -751,4 +751,36 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(hasTermFilterBelowAgg,
       s"query-term filter not below the tf aggregate:\n${opt.treeString}")
   }
+
+  test("C43 hybrid RRF: both legs TakeOrdered-bounded at depth 20 before ranking; fuse joins k-row sets") {
+    val p = plan(Pipeline.queries("c43_hybrid_rrf")(spark, dir))
+    // each leg bounds the corpus to rrfDepth rows BEFORE its rank
+    // window — the window then sorts 20 rows, never the corpus; a
+    // global Sort feeding a Window would be the 100 TB killer
+    val bounded = "TakeOrderedAndProject\\(limit=20".r.findAllIn(p).size
+    assert(bounded == 2, s"expected both legs TakeOrdered at depth 20, got $bounded:\n$p")
+    assert(p.contains("TakeOrderedAndProject(limit=10"),
+      s"fused top-10 must be TakeOrdered, not a global sort:\n$p")
+    // every rank window sits above a 20-row leg (no unbounded window)
+    val winCount = p.linesIterator.count(_.contains("+- Window "))
+    assert(winCount == 2, s"expected exactly the two 20-row rank windows:\n$p")
+  }
+
+  test("C44 corpus diff: the join sees (doc_id, digest) only — text never shuffles") {
+    val df = Curation.queries("c44_corpus_diff")(spark, dir)
+    // md5 is computed below the join (and therefore below its
+    // exchanges), so the shuffle width is an id + a digest per row no
+    // matter how large the documents are: on the OPTIMIZED plan every
+    // join input's schema must already be text-free
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.size == 1, s"diff must be ONE equi-join, got ${joins.size}")
+    joins.foreach(_.children.foreach { side =>
+      assert(!side.output.exists(_.name == "text"),
+        s"a join input still carries document text:\n${side.treeString}")
+    })
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"diff must be one equi-join:\n$p")
+  }
 }

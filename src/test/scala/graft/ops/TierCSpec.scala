@@ -1646,7 +1646,8 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val statsDir = graft.ops.Similarity.freshScratch(spark, s"graft_bm25_spec_${key}_")
     Pipeline.fitBm25Stats(Relational.table(spark, dir, "documents"), statsDir)
-    val vocab = spark.read.parquet(s"$statsDir/terms").count()
+    val vocab = spark.read.parquet(
+      graft.ops.IndexMeta.requireLive(spark, statsDir, "terms")).count()
     val distinctToks = Relational.table(spark, dir, "documents")
       .select(explode(split(col("text"), " ")).as("t")).distinct().count()
     assert(vocab == distinctToks, s"stats vocab $vocab != corpus vocab $distinctToks")
@@ -1676,5 +1677,100 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     val got = Pipeline.queries("c41_bm25")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == expected, s"got $got\nexpected $expected")
+  }
+
+  test("C41c incremental stats: fit(90%) + append(10%) scores ≡ whole-corpus c41") {
+    val inc = Pipeline.queries("c41c_bm25_incremental")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val full = Pipeline.queries("c41_bm25")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(inc == full, s"incremental $inc != whole-corpus $full")
+  }
+
+  test("C41c append commits a fresh generation whose stats equal a from-scratch refit") {
+    val docs = Relational.table(spark, dir, "documents")
+    val statsDir = Similarity.freshScratch(spark, "graft_bm25_incspec_")
+    Pipeline.fitBm25Stats(docs.filter(col("doc_id") % 10 =!= 7), statsDir)
+    val g0 = IndexMeta.requireLive(spark, statsDir, "terms")
+    Pipeline.appendBm25Stats(spark, statsDir, docs.filter(col("doc_id") % 10 === 7))
+    val g1 = IndexMeta.requireLive(spark, statsDir, "terms")
+    assert(g0 != g1, "append must commit a NEW terms generation")
+    assert(!IndexMeta.exists(spark, g0),
+      "the superseded terms generation must be deleted after commit")
+    // merged (dfq, idf_micro) per term == a whole-corpus refit, term for
+    // term — not just the one query's scores
+    val fullDir = Similarity.freshScratch(spark, "graft_bm25_fullspec_")
+    Pipeline.fitBm25Stats(docs, fullDir)
+    def termsOf(d: String) = spark.read.parquet(d)
+      .select("tok", "dfq", "idf_micro").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val merged = termsOf(g1)
+    val refit = termsOf(IndexMeta.requireLive(spark, fullDir, "terms"))
+    assert(merged == refit,
+      s"first diff: ${(merged.toSet diff refit.toSet).take(3)} / ${(refit.toSet diff merged.toSet).take(3)}")
+    def scalarsOf(d: String) = {
+      val r = spark.read.parquet(IndexMeta.requireLive(spark, d, "scalars")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(scalarsOf(statsDir) == scalarsOf(fullDir))
+  }
+
+  test("C43 hybrid RRF: exact fusion of independently recomputed legs") {
+    // sparse leg: the c41 integer-rational recomputation, depth 20,
+    // doc 0 (the query document) excluded
+    val docs = Relational.table(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq)).toSeq
+    val n = docs.size.toLong
+    val sTotal = docs.map(_._2.size.toLong).sum
+    val q = Pipeline.bm25Query.toSet
+    val tf = docs.map { case (id, toks) =>
+      (id, toks.size.toLong, toks.filter(q).groupBy(identity).view.mapValues(_.size.toLong).toMap)
+    }
+    val dfq = q.map(t => t -> tf.count(_._3.contains(t)).toLong).toMap
+    val idf = dfq.collect { case (t, d) if d > 0 =>
+      t -> math.round(math.log(((n - d).toDouble + 0.5) / (d.toDouble + 0.5) + 1.0) * 1e6)
+    }
+    val sparse = tf.flatMap { case (id, dl, m) =>
+      if (m.isEmpty || id == 0L) None else Some((id, m.map { case (t, f) =>
+        val num = 22L * sTotal * f
+        val den = 10L * sTotal * f + 3L * sTotal + 9L * dl * n
+        math.round(idf(t).toDouble * (num.toDouble / den.toDouble))
+      }.sum))
+    }.sortBy { case (id, s) => (-s, id) }.take(20)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    // dense leg: the graft_cosine sequential fold, round-half-up to 4,
+    // ranked (sim desc, id)
+    val embs = Relational.table(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val qv = embs.find(_._1 == 0L).get._2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val dense = embs.filter(_._1 != 0L)
+      .map { case (id, v) => (id, java.math.BigDecimal.valueOf(cos(v, qv))
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue) }
+      .sortBy { case (id, s) => (-s, id) }.take(20)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    def w(r: Option[Int]): Long =
+      r.map(rk => math.floor(1000000.0 / (60 + rk)).toLong).getOrElse(0L)
+    val expected = (sparse.keySet ++ dense.keySet).toSeq
+      .map(id => (id, w(sparse.get(id)) + w(dense.get(id))))
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+      .map { case (id, s) => (id, s, sparse.get(id), dense.get(id)) }
+    val got = Pipeline.queries("c43_hybrid_rrf")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)))).toSeq
+    assert(got == expected, s"got $got\nexpected $expected")
+    // both legs must actually contribute to the fused top-10 (the
+    // fusion isn't degenerate at this sf)
+    assert(got.exists(_._3.isDefined) && got.exists(_._4.isDefined))
   }
 }
