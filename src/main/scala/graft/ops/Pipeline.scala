@@ -391,6 +391,152 @@ object Pipeline {
         row_number().over(Window.orderBy(col(score).desc, col("doc_id"))))
   }
 
+  // C43b — BATCH hybrid retrieval: the c43 fusion for a query SET, the
+  // form a production retrieval pass actually takes. Queries are every
+  // `graft.ann.batchQueryMod`-th document (default 17, ~6% — the
+  // c3_ann_batch convention); each query's dense vector is its
+  // embedding, and its sparse terms are its [[hybridQueryTerms]]
+  // RAREST distinct tokens (rank by corpus df ascending — keyword
+  // extraction, the standard doc-as-query practice). Rare-term
+  // selection is what makes batch sparse retrieval scale-bounded: the
+  // fan-out join's size is Σ_query Σ_{t∈rare-5} df(t), and rare terms
+  // have small df BY SELECTION — with full-doc term sets the common
+  // terms make every query touch most of the corpus (measured: the
+  // full-term form ground past 10 min at sf10 where this one holds
+  // single-digit seconds; the same reason real engines use WAND /
+  // impact-ordered pruning). The sparse leg is EXACT batch BM25 over
+  // the selected terms: corpus postings semi-join the term vocabulary
+  // BEFORE the tf aggregate (the c41 doctrine with a dynamic set); the
+  // vocab-BOUNDED df/idf tables broadcast (the c40 doctrine). The
+  // dense leg is the persisted-IVF batch probe
+  // ([[Similarity.annIvfBatch]]: map-side cell assignment,
+  // partition-pruned cell join, never a per-query loop). Fusion, per
+  // query: full outer join on (query_id, doc_id), the same
+  // floor-quantized RRF weights as c43, per-query top-10 via a
+  // query-partitioned window (each partition ranks ≤ 2·rrfDepth rows).
+  // Rare-term selection alone is NOT enough when posting lists are
+  // dense (this synthetic corpus has a ~26-token global vocabulary, so
+  // every term's posting list is a large corpus fraction — measured:
+  // 557M fan-out rows at sf1, 297 s for the pair aggregate). The
+  // second standard lever closes that: IMPACT-ORDERED POSTING
+  // TRUNCATION — each term keeps only its [[hybridPostingCap]]
+  // highest-impact postings (by the term's actual BM25 contribution,
+  // score_micro desc — the WAND / impact-ordered early-termination
+  // family), so per-query sparse work is ≤ terms × cap REGARDLESS of
+  // posting density. Exact whenever every posting list fits the cap
+  // (the spec's scale — pinned); at 100 TB it trades tail recall for
+  // bounded work, exactly as production engines do.
+  // Approximate overall (the IVF leg + the cap) → rows-only in the
+  // driver gate; the spec pins the sparse leg EXACT rank-for-rank
+  // (below-cap regime) and the fusion's overlap against a brute-force
+  // exact hybrid.
+  private[ops] val hybridQueryTerms = 5
+  private[ops] val hybridPostingCap = 1000
+
+  def hybridRrfBatch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val qmod = spark.conf.getOption("graft.ann.batchQueryMod")
+      .map(_.toLong).getOrElse(17L)
+
+    val docs = Relational.table(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")))
+    // full-vocab document frequency: one distinct-term shuffle, result
+    // vocab-sized (the c40 idf table) — broadcast back for selection
+    val dfAll = docs.select(explode(array_distinct(col("toks"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df_all"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("df_all").asc, col("tok").asc)
+    // localCheckpoint: queryTerms feeds THREE consumers (the tf
+    // semi-join's term set, the idf restriction, the fan-out join) and
+    // tf feeds TWO (idf build, probe side) — without cutting the
+    // lineage every consumer re-runs the corpus explode + df window
+    // chain (measured at sf1: 173 s composed vs 6.4+1.3 s for the legs
+    // alone; checkpointed the whole query runs in seconds). Both
+    // checkpointed frames are SMALL: queries×5 rows and Σ df(rare
+    // terms) postings — never the corpus (the knnJoinIvf2 doctrine).
+    // queries: every qmod-th doc that HAS an embedding — fusion is
+    // only defined where both modalities exist (the embeddings table
+    // can be a subset of documents), and this also keeps the two legs'
+    // query sets identical
+    val qIds = Relational.table(spark, dir, "embeddings")
+      .select(col("vec_id").as("doc_id")).filter(col("doc_id") % qmod === 0)
+    val queryTerms = docs.join(qIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(col("toks"))).as("tok"))
+      .join(broadcast(dfAll), Seq("tok"))
+      .withColumn("trk", row_number().over(wq))
+      .filter(col("trk") <= hybridQueryTerms)
+      .select(col("query_id"), col("tok"))
+      .localCheckpoint()
+    val termSet = queryTerms.select("tok").distinct()
+    val scalars = docs.agg(
+      sum(col("dl").cast("long")).as("s_total"),
+      count(lit(1)).as("n_docs"))
+    val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .join(broadcast(termSet), Seq("tok"), "left_semi")
+      .groupBy(col("doc_id"), col("dl"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    // df counts ALL docs containing a term (including query docs) —
+    // the same statistics a standing search service serves
+    val idf = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfq"))
+      .crossJoin(broadcast(scalars))
+      .withColumn("idf_micro", expr(bm25IdfExpr))
+      .select(col("tok"), col("idf_micro"), col("s_total"), col("n_docs"))
+    val perTerm = tf.join(broadcast(idf), "tok")
+      .withColumn("score_micro", expr(
+        """cast(round(cast(idf_micro as double)
+          |  * (cast(22 * s_total * tf as double)
+          |     / cast(10 * s_total * tf + 3 * s_total + 9 * cast(dl as bigint) * n_docs as double)), 0)
+          |as bigint)""".stripMargin))
+      .select(col("doc_id"), col("tok"), col("score_micro"))
+    // impact-ordered truncation: per term, keep the cap's
+    // highest-impact postings (WindowGroupLimit pushes the cap into
+    // the sort — never a full posting-list materialization per group)
+    val wp = Window.partitionBy(col("tok"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    val perTermCapped = perTerm
+      .withColumn("prk", row_number().over(wp))
+      .filter(col("prk") <= hybridPostingCap)
+      .select(col("doc_id"), col("tok"), col("score_micro"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    // postings ⋈ query-terms on tok: BOTH sides scale with the query
+    // batch (this is the term-sharded retrieval join, not a dim join),
+    // so no broadcast hint — AQE picks BHJ at small batches and a
+    // tok-sharded shuffle join (the posting-list intersection a search
+    // engine runs) at large ones
+    val sparse = perTermCapped
+      .join(queryTerms, Seq("tok"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("score_micro")).as("score_micro"))
+      .withColumn("rank_sparse", row_number().over(ws))
+      .filter(col("rank_sparse") <= rrfDepth)
+      .select(col("query_id"), col("doc_id"), col("rank_sparse"))
+
+    val dense = Similarity.annIvfBatch(spark, Similarity.ensureIndex(spark, dir),
+        Relational.table(spark, dir, "embeddings")
+          .filter(col("vec_id") % qmod === 0)
+          .select(col("vec_id"), col("embedding")),
+        k = rrfDepth)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rnk").as("rank_dense"))
+
+    def w(rank: String) = coalesce(
+      expr(s"cast(floor(cast(1000000 as double) / cast($rrfK + $rank as double)) as bigint)"),
+      lit(0L))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+    sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_micro", w("rank_sparse") + w("rank_dense"))
+      .withColumn("rnk", row_number().over(wf)).filter(col("rnk") <= 10)
+      .select(col("query_id"), col("doc_id"), col("rrf_micro"),
+        col("rank_sparse"), col("rank_dense"))
+      .orderBy(col("query_id"), col("rrf_micro").desc, col("doc_id"))
+  }
+
   def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     // doc 0 is the query document (its embedding is the dense query
@@ -693,6 +839,7 @@ object Pipeline {
     "c41b_bm25_persisted" -> (bm25Persisted _),
     "c41c_bm25_incremental" -> (bm25Incremental _),
     "c43_hybrid_rrf" -> (hybridRrf _),
+    "c43b_hybrid_rrf_batch" -> (hybridRrfBatch _),
     "c5_multimodal" -> (multimodalStruct _))
 
   /** The c31 curation oracle's CTE chain (quality floor, exact/near

@@ -3316,7 +3316,7 @@ object Similarity {
     * readers take the first ready one. A successful build then GCs
     * READY indexes of superseded fingerprints of the same data dir
     * (in-flight builds are not ready and are never touched). */
-  private def ensureIndex(spark: SparkSession, dir: String): String = {
+  private[ops] def ensureIndex(spark: SparkSession, dir: String): String = {
     val files = IndexMeta.list(spark, s"$dir/embeddings.parquet").filter(_.isFile)
     val fp = files.map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
       .sorted.mkString("|").hashCode.toHexString

@@ -36,7 +36,8 @@ class DecimalLintSpec extends AnyFunSuite with SparkTestSession {
   /** Constructor-eager families (fit/build/replay on construction). */
   private val eagerPrefixes = Seq(
     "c2_", "c22", "c27", "c28", "c29", "c3_", "c32", "c33", "c9_",
-    "c21_", "c24b", "c14", "c37", "c31", "c15b", "a2_", "a7_", "c5_", "c6_")
+    "c21_", "c24b", "c14", "c37", "c31", "c15b", "a2_", "a7_", "c5_", "c6_",
+    "c43b")
 
   private def decimalNodes(df: org.apache.spark.sql.DataFrame): Seq[String] = {
     val plan = df.queryExecution.optimizedPlan

@@ -1773,4 +1773,88 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     // fusion isn't degenerate at this sf)
     assert(got.exists(_._3.isDefined) && got.exists(_._4.isDefined))
   }
+
+  test("C43b batch hybrid: sparse leg exact rank-for-rank; fusion overlaps exact hybrid") {
+    val out = Pipeline.queries("c43b_hybrid_rrf_batch")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)),
+        if (r.isNullAt(4)) None else Some(r.getInt(4)))).toSeq
+    assert(out.forall { case (q, d, _, _) => q != d }, "self-match leaked")
+    // ---- exact recompute driver-side (600 docs, ~35 queries)
+    val docs = Relational.table(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq)).toSeq
+    val n = docs.size.toLong
+    val sTotal = docs.map(_._2.size.toLong).sum
+    val embIds = Relational.table(spark, dir, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val qids = docs.map(_._1).filter(id => id % 17 == 0 && embIds(id))
+    assert(out.map(_._1).distinct.sorted == qids.sorted,
+      "every embedding-backed query must appear in the output")
+    val df = scala.collection.mutable.Map.empty[String, Long]
+    def dfOf(t: String): Long =
+      df.getOrElseUpdate(t, docs.count(_._2.contains(t)).toLong)
+    def idfOf(t: String): Long =
+      math.round(math.log(((n - dfOf(t)).toDouble + 0.5) / (dfOf(t).toDouble + 0.5) + 1.0) * 1e6)
+    def sparseRanks(q: Long): Map[Long, Int] = {
+      // mirror the rare-term selection: 5 distinct tokens by (df asc, tok)
+      val terms = docs.find(_._1 == q).get._2.distinct
+        .sortBy(t => (dfOf(t), t)).take(Pipeline.hybridQueryTerms)
+      docs.filter(_._1 != q).flatMap { case (d, toks) =>
+        val dl = toks.size.toLong
+        val s = terms.flatMap { t =>
+          val f = toks.count(_ == t).toLong
+          if (f == 0) None else {
+            val num = 22L * sTotal * f
+            val den = 10L * sTotal * f + 3L * sTotal + 9L * dl * n
+            Some(math.round(idfOf(t).toDouble * (num.toDouble / den.toDouble)))
+          }
+        }.sum
+        if (s == 0L) None else Some((d, s))
+      }.sortBy { case (d, s) => (-s, d) }.take(20)
+        .zipWithIndex.map { case ((d, _), i) => d -> (i + 1) }.toMap
+    }
+    // the sparse leg is EXACT: every non-null rank_sparse must equal
+    // the brute-force rank, and no exact top-20 member may be missing
+    // from the output's sparse annotations when the doc IS in the output
+    qids.foreach { q =>
+      val exact = sparseRanks(q)
+      out.filter(_._1 == q).foreach { case (_, d, rs, _) =>
+        rs.foreach(r => assert(exact.get(d).contains(r),
+          s"query $q doc $d: sparse rank $r != exact ${exact.get(d)}"))
+      }
+    }
+    // fusion quality: mean overlap@10 vs the EXACT hybrid (brute-force
+    // dense + exact sparse, same RRF) — the IVF leg is the only
+    // approximation, so overlap should be high
+    val embs = Relational.table(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def wgt(r: Option[Int]): Long =
+      r.map(rk => math.floor(1000000.0 / (60 + rk)).toLong).getOrElse(0L)
+    val overlaps = qids.map { q =>
+      val qv = embs(q)
+      val denseExact = embs.toSeq.filter(_._1 != q)
+        .map { case (d, v) => (d, java.math.BigDecimal.valueOf(cos(v, qv))
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue) }
+        .sortBy { case (d, s) => (-s, d) }.take(20)
+        .zipWithIndex.map { case ((d, _), i) => d -> (i + 1) }.toMap
+      val sp = sparseRanks(q)
+      val fusedExact = (sp.keySet ++ denseExact.keySet).toSeq
+        .map(d => (d, wgt(sp.get(d)) + wgt(denseExact.get(d))))
+        .sortBy { case (d, s) => (-s, d) }.take(10).map(_._1).toSet
+      val got10 = out.filter(_._1 == q).map(_._2).toSet
+      fusedExact.intersect(got10).size.toDouble / math.max(1, fusedExact.size)
+    }
+    val mean = overlaps.sum / overlaps.size
+    assert(mean >= 0.6, s"mean fused overlap@10 $mean < 0.6 across ${qids.size} queries")
+  }
 }
