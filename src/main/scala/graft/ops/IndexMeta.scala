@@ -127,6 +127,39 @@ private[graft] object IndexMeta {
   def requireLiveVectors(spark: SparkSession, indexDir: String): String =
     requireLive(spark, indexDir, "vectors")
 
+  /** Fingerprint-keyed derived-index cache under `graft.index.root`
+    * (default java.io.tmpdir): the index is a pure function of the
+    * source files, so same (name, length, mtime) set ⇒ same index and
+    * repeated wrapper calls (bench run1/run2, sweeps) rebuild nothing.
+    * `ready` marks a complete build (concurrent builders each write
+    * their own appId-suffixed dir; readers take any ready one); stale
+    * fingerprints of the same prefix are GC'd after a successful
+    * build. Shared by the IVF, RAG-chunk, and lexical index wrappers —
+    * one cache protocol, three indexes. */
+  def ensureDerived(spark: SparkSession, sourceDir: String, prefix: String)
+                   (ready: String => Boolean)(build: String => Unit): String = {
+    val files = list(spark, sourceDir).filter(_.isFile)
+    val fp = files.map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+      .sorted.mkString("|").hashCode.toHexString
+    val tmpRoot = spark.conf.getOption("graft.index.root")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    list(spark, tmpRoot)
+      .filter(_.getPath.getName.startsWith(s"$prefix${fp}_"))
+      .map(_.getPath.toString).sorted.find(ready)
+      .getOrElse {
+        val mine = s"$tmpRoot/$prefix${fp}_${spark.sparkContext.applicationId}"
+        build(mine)
+        list(spark, tmpRoot)
+          .filter { st =>
+            val n = st.getPath.getName
+            n.startsWith(prefix) && !n.startsWith(s"$prefix${fp}_") &&
+              ready(st.getPath.toString)
+          }
+          .foreach(st => delete(spark, st.getPath.toString))
+        mine
+      }
+  }
+
   /** Path for the NEXT generation of `table` (max existing + 1,
     * committed or not — an uncommitted crash leftover must not be
     * overwritten while a concurrent writer could still be filling it).

@@ -203,15 +203,72 @@ object Pipeline {
       |    / (cast(dfq as double) + cast(0.5 as double)) + cast(1 as double))
       |  * cast(1000000 as double), 0) as bigint)""".stripMargin
 
+  /** The one BM25 per-(doc, term) score expression (k1/b folded into
+    * the 22/10/3/9 integer-rational coefficients — the c41 rewrite),
+    * shared by the in-plan scorer, the batch hybrid, and the lex-index
+    * fit so the three can never drift. Expects `idf_micro`, `tf`,
+    * `dl`, `s_total`, `n_docs` columns in scope. */
+  private val bm25RationalExpr =
+    """cast(round(cast(idf_micro as double)
+      |  * (cast(22 * s_total * tf as double)
+      |     / cast(10 * s_total * tf + 3 * s_total + 9 * cast(dl as bigint) * n_docs as double)), 0)
+      |as bigint)""".stripMargin
+
+  /** Resolve the live (terms, scalars) paths of a persisted BM25 stats
+    * dir. Current layout (round 13): ONE `stats.gN` generation holding
+    * `terms/` and `scalars/`, committed by a single root `_SUCCESS`
+    * marker created AFTER both tables land — so a reader can never
+    * pair a new terms table with old scalars (or vice versa), which
+    * the round-12 two-independent-generations layout allowed when a
+    * crash or a concurrent reader fell between the two commits
+    * (round-12 advice). Earlier layouts are read-compatible: the
+    * round-12 split `terms.gN`/`scalars.gN` (resolved per table —
+    * callers migrate to the unified layout at their next fit/append,
+    * which GCs the split dirs) and the pre-generation flat
+    * `terms`/`scalars`. */
+  private[graft] def bm25StatsPaths(spark: SparkSession, statsDir: String): (String, String) =
+    IndexMeta.liveGen(spark, statsDir, "stats") match {
+      case Some(g) => (s"$g/terms", s"$g/scalars")
+      case None if IndexMeta.liveGen(spark, statsDir, "terms").isDefined =>
+        (IndexMeta.requireLive(spark, statsDir, "terms"),
+          IndexMeta.requireLive(spark, statsDir, "scalars"))
+      case None if IndexMeta.exists(spark, s"$statsDir/terms") =>
+        (s"$statsDir/terms", s"$statsDir/scalars")
+      case None => sys.error(
+        s"no committed stats generation under $statsDir — not a BM25 " +
+          "stats dir (fit one first) or a fit crashed before commit " +
+          "(re-run the fit)")
+    }
+
+  /** Write (terms, scalars) as ONE committed generation: both tables
+    * land in the next `stats.gN`, then a single root marker commits the
+    * snapshot atomically (the Spark per-table `_SUCCESS` files live one
+    * level down and are not the commit signal). Superseded generations
+    * — unified, round-12 split, and the flat legacy dirs — are GC'd
+    * only after the commit, so a crash at any point leaves a readable
+    * consistent snapshot live. */
+  private def commitBm25Stats(spark: SparkSession, statsDir: String,
+                              terms: DataFrame, scalars: DataFrame): Unit = {
+    val (genDir, oldStats) = IndexMeta.nextGen(spark, statsDir, "stats")
+    terms.write.mode("overwrite").parquet(s"$genDir/terms")
+    scalars.coalesce(1).write.mode("overwrite").parquet(s"$genDir/scalars")
+    IndexMeta.createMarker(spark, s"$genDir/_SUCCESS")
+    val oldSplit = IndexMeta.nextGen(spark, statsDir, "terms")._2 ++
+      IndexMeta.nextGen(spark, statsDir, "scalars")._2
+    val oldFlat = Seq(s"$statsDir/terms", s"$statsDir/scalars")
+      .filter(IndexMeta.exists(spark, _))
+    (oldStats ++ oldSplit ++ oldFlat).foreach(IndexMeta.delete(spark, _))
+  }
+
   /** C41b fit — persist the BM25 corpus statistics: the FULL per-term
     * document-frequency/idf table (vocab-sized — the term table a real
     * search deployment maintains, not just one query's terms; dfq is
     * persisted alongside idf so [[appendBm25Stats]] can merge arrivals
     * additively) plus the (s_total, n_docs) scalars. One distinct-term
     * shuffle; same plan class as [[Training.fitUnigramLm]]. Both tables
-    * land under the [[IndexMeta]] generation protocol (commit by
-    * `_SUCCESS`, no renames), so fits, appends, and readers follow the
-    * same max-committed-generation resolution as the IVF layout. */
+    * commit as ONE [[IndexMeta]] generation (`stats.gN`, single marker
+    * — see [[commitBm25Stats]]), so a reader always sees a terms/
+    * scalars pair produced by the same fit or append. */
   def fitBm25Stats(docs: DataFrame, statsDir: String): Unit = {
     val spark = docs.sparkSession
     val d = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -219,16 +276,12 @@ object Pipeline {
     val scalars = d.agg(
       sum(col("dl").cast("long")).as("s_total"),
       count(lit(1)).as("n_docs"))
-    val (termsDir, oldTerms) = IndexMeta.nextGen(spark, statsDir, "terms")
-    d.select(explode(array_distinct(col("toks"))).as("tok"))
+    val terms = d.select(explode(array_distinct(col("toks"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("dfq"))
       .crossJoin(broadcast(scalars))
       .withColumn("idf_micro", expr(bm25IdfExpr))
       .select(col("tok"), col("dfq"), col("idf_micro"))
-      .write.mode("overwrite").parquet(termsDir)
-    val (scalarsDir, oldScalars) = IndexMeta.nextGen(spark, statsDir, "scalars")
-    scalars.coalesce(1).write.mode("overwrite").parquet(scalarsDir)
-    (oldTerms ++ oldScalars).foreach(IndexMeta.delete(spark, _))
+    commitBm25Stats(spark, statsDir, terms, scalars)
   }
 
   /** C41c append — merge an arrival batch into persisted BM25 stats
@@ -241,18 +294,26 @@ object Pipeline {
     * recompute is the same [[bm25IdfExpr]] the fit uses, which is what
     * makes incremental ≡ refit exact (bit-identical BIGINTs, pinned by
     * the c41c oracle: the whole-corpus c41 SQL). Cost is vocab-bounded,
-    * never corpus-bounded: the old corpus' text is not re-read. New
-    * generations commit via [[IndexMeta]]; a crash before commit leaves
-    * the old generation live. */
+    * never corpus-bounded: the old corpus' text is not re-read. The
+    * merged terms+scalars commit as ONE generation ([[commitBm25Stats]]);
+    * a crash before the single marker leaves the old snapshot live. */
   def appendBm25Stats(spark: SparkSession, statsDir: String, batch: DataFrame): Unit = {
+    // localCheckpoint: `d` feeds TWO aggregates (the scalars delta and
+    // the per-term df delta). A non-deterministic batch frame (sample,
+    // unordered limit) would otherwise hand the two aggregates
+    // DIFFERENT row sets and corrupt the merged stats with no error
+    // (round-12 advice); pinning the rows once also skips the double
+    // tokenize.
     val d = batch.select(split(col("text"), " ").as("toks"))
       .withColumn("dl", size(col("toks")))
+      .localCheckpoint()
+    val (termsPath, scalarsPath) = bm25StatsPaths(spark, statsDir)
     val delta = d.agg(sum(col("dl").cast("long")), count(lit(1))).head()
-    val prev = spark.read.parquet(IndexMeta.requireLive(spark, statsDir, "scalars")).head()
+    val prev = spark.read.parquet(scalarsPath).head()
     val (s2, n2) = (prev.getLong(0) + delta.getLong(0), prev.getLong(1) + delta.getLong(1))
     val deltaDf = d.select(explode(array_distinct(col("toks"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("ddf"))
-    val merged = spark.read.parquet(IndexMeta.requireLive(spark, statsDir, "terms"))
+    val merged = spark.read.parquet(termsPath)
       .select(col("tok"), col("dfq"))
       .join(deltaDf, Seq("tok"), "full_outer")
       .select(col("tok"),
@@ -260,12 +321,9 @@ object Pipeline {
       .withColumn("n_docs", lit(n2))
       .withColumn("idf_micro", expr(bm25IdfExpr))
       .select(col("tok"), col("dfq"), col("idf_micro"))
-    val (termsDir, oldTerms) = IndexMeta.nextGen(spark, statsDir, "terms")
-    merged.write.mode("overwrite").parquet(termsDir)
-    val (scalarsDir, oldScalars) = IndexMeta.nextGen(spark, statsDir, "scalars")
-    spark.range(1).select(lit(s2).as("s_total"), lit(n2).as("n_docs"))
-      .coalesce(1).write.mode("overwrite").parquet(scalarsDir)
-    (oldTerms ++ oldScalars).foreach(IndexMeta.delete(spark, _))
+    val scalars = spark.range(1)
+      .select(lit(s2).as("s_total"), lit(n2).as("n_docs"))
+    commitBm25Stats(spark, statsDir, merged, scalars)
   }
 
   /** C41b score — BM25 over a document batch against PERSISTED stats:
@@ -276,9 +334,10 @@ object Pipeline {
     * corpus statistics are fit once, every batch scores map-only. */
   def bm25ScoreWith(spark: SparkSession, docs: DataFrame, statsDir: String,
                     terms: Seq[String], k: Int = 10): DataFrame = {
-    val row = spark.read.parquet(IndexMeta.requireLive(spark, statsDir, "scalars")).head()
+    val (termsPath, scalarsPath) = bm25StatsPaths(spark, statsDir)
+    val row = spark.read.parquet(scalarsPath).head()
     val (sTotal, nDocs) = (row.getLong(0), row.getLong(1))
-    val stats = spark.read.parquet(IndexMeta.requireLive(spark, statsDir, "terms"))
+    val stats = spark.read.parquet(termsPath)
       .filter(col("tok").isin(terms: _*))
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("dl", size(col("toks")))
@@ -330,11 +389,7 @@ object Pipeline {
       .withColumn("idf_micro", expr(bm25IdfExpr))
       .select(col("tok"), col("idf_micro"), col("s_total"), col("n_docs"))
     tf.join(broadcast(idf), "tok")
-      .withColumn("score_micro", expr(
-        """cast(round(cast(idf_micro as double)
-          |  * (cast(22 * s_total * tf as double)
-          |     / cast(10 * s_total * tf + 3 * s_total + 9 * cast(dl as bigint) * n_docs as double)), 0)
-          |as bigint)""".stripMargin))
+      .withColumn("score_micro", expr(bm25RationalExpr))
       .groupBy(col("doc_id")).agg(sum(col("score_micro")).as("score_micro"))
   }
 
@@ -433,6 +488,48 @@ object Pipeline {
   private[ops] val hybridQueryTerms = 5
   private[ops] val hybridPostingCap = 1000
 
+  /** The impact-ordered posting cap, conf-overridable
+    * (`graft.retrieval.postingCap`) so the cap↔recall trade can be
+    * swept as a knob — the coarseProbes treatment applied to the
+    * lexical side. Governs BOTH the in-plan c43b truncation and the
+    * [[fitLexIndex]] build-time truncation. */
+  private[graft] def postingCap(spark: SparkSession): Int =
+    spark.conf.getOption("graft.retrieval.postingCap")
+      .map(_.toInt).getOrElse(hybridPostingCap)
+
+  /** The batch query-id set shared by c43b and c43c: every qmod-th id
+    * present in BOTH tables — fusion is only defined where both
+    * modalities exist (either table can be a subset of the other), and
+    * both legs semi-join this one frame, so the query sets are
+    * identical by construction: an embedding with no documents row can
+    * never become a dense-only query (round-12 advice). */
+  private def batchQueryIds(spark: SparkSession, dir: String, qmod: Long): DataFrame =
+    Relational.table(spark, dir, "embeddings")
+      .select(col("vec_id").as("doc_id")).filter(col("doc_id") % qmod === 0)
+      .join(Relational.table(spark, dir, "documents").select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+
+  /** Per-query RRF fusion of a (query_id, doc_id, rank_sparse) leg and
+    * a (query_id, doc_id, rank_dense) leg — the c43 floor-quantized
+    * weights, full outer join per (query, doc), per-query top-10 via a
+    * query-partitioned window (each partition ranks ≤ 2·rrfDepth
+    * rows). Shared by c43b and c43c so the fusion can never drift
+    * between the in-plan and indexed forms. */
+  private def fuseRrfBatch(sparse: DataFrame, dense: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def w(rank: String) = coalesce(
+      expr(s"cast(floor(cast(1000000 as double) / cast($rrfK + $rank as double)) as bigint)"),
+      lit(0L))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+    sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_micro", w("rank_sparse") + w("rank_dense"))
+      .withColumn("rnk", row_number().over(wf)).filter(col("rnk") <= 10)
+      .select(col("query_id"), col("doc_id"), col("rrf_micro"),
+        col("rank_sparse"), col("rank_dense"))
+      .orderBy(col("query_id"), col("rrf_micro").desc, col("doc_id"))
+  }
+
   def hybridRrfBatch(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
@@ -456,12 +553,7 @@ object Pipeline {
     // alone; checkpointed the whole query runs in seconds). Both
     // checkpointed frames are SMALL: queries×5 rows and Σ df(rare
     // terms) postings — never the corpus (the knnJoinIvf2 doctrine).
-    // queries: every qmod-th doc that HAS an embedding — fusion is
-    // only defined where both modalities exist (the embeddings table
-    // can be a subset of documents), and this also keeps the two legs'
-    // query sets identical
-    val qIds = Relational.table(spark, dir, "embeddings")
-      .select(col("vec_id").as("doc_id")).filter(col("doc_id") % qmod === 0)
+    val qIds = batchQueryIds(spark, dir, qmod)
     val queryTerms = docs.join(qIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(col("toks"))).as("tok"))
@@ -485,11 +577,7 @@ object Pipeline {
       .withColumn("idf_micro", expr(bm25IdfExpr))
       .select(col("tok"), col("idf_micro"), col("s_total"), col("n_docs"))
     val perTerm = tf.join(broadcast(idf), "tok")
-      .withColumn("score_micro", expr(
-        """cast(round(cast(idf_micro as double)
-          |  * (cast(22 * s_total * tf as double)
-          |     / cast(10 * s_total * tf + 3 * s_total + 9 * cast(dl as bigint) * n_docs as double)), 0)
-          |as bigint)""".stripMargin))
+      .withColumn("score_micro", expr(bm25RationalExpr))
       .select(col("doc_id"), col("tok"), col("score_micro"))
     // impact-ordered truncation: per term, keep the cap's
     // highest-impact postings (WindowGroupLimit pushes the cap into
@@ -498,7 +586,7 @@ object Pipeline {
       .orderBy(col("score_micro").desc, col("doc_id"))
     val perTermCapped = perTerm
       .withColumn("prk", row_number().over(wp))
-      .filter(col("prk") <= hybridPostingCap)
+      .filter(col("prk") <= postingCap(spark))
       .select(col("doc_id"), col("tok"), col("score_micro"))
     val ws = Window.partitionBy(col("query_id"))
       .orderBy(col("score_micro").desc, col("doc_id"))
@@ -518,23 +606,159 @@ object Pipeline {
 
     val dense = Similarity.annIvfBatch(spark, Similarity.ensureIndex(spark, dir),
         Relational.table(spark, dir, "embeddings")
-          .filter(col("vec_id") % qmod === 0)
+          .join(qIds.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
           .select(col("vec_id"), col("embedding")),
         k = rrfDepth)
       .select(col("query_id"), col("vec_id").as("doc_id"),
         col("rnk").as("rank_dense"))
 
-    def w(rank: String) = coalesce(
-      expr(s"cast(floor(cast(1000000 as double) / cast($rrfK + $rank as double)) as bigint)"),
-      lit(0L))
-    val wf = Window.partitionBy(col("query_id"))
-      .orderBy(col("rrf_micro").desc, col("doc_id"))
-    sparse.join(dense, Seq("query_id", "doc_id"), "full_outer")
-      .withColumn("rrf_micro", w("rank_sparse") + w("rank_dense"))
-      .withColumn("rnk", row_number().over(wf)).filter(col("rnk") <= 10)
-      .select(col("query_id"), col("doc_id"), col("rrf_micro"),
-        col("rank_sparse"), col("rank_dense"))
-      .orderBy(col("query_id"), col("rrf_micro").desc, col("doc_id"))
+    fuseRrfBatch(sparse, dense)
+  }
+
+  // C43c — hybrid retrieval from a PERSISTED lexical posting index
+  // (the round-12 weak cell: c43b recomputed the inverted index —
+  // corpus tokenize → tf aggregate — per query batch; at 100 TB that
+  // is a full corpus re-read per retrieval, the precise anti-pattern
+  // the fit-once doctrine (c24b/c29b/c41b/c27) exists to kill). The
+  // fit pays the corpus passes ONCE and persists three tables under a
+  // single [[IndexMeta]] generation; every arrival batch then scores
+  // from the stored tables — the score-time plan touches corpus text
+  // NEVER (PlanSpec-pinned: no documents scan).
+
+  /** C43c fit — build the lexical retrieval index: one `lex.gN`
+    * generation (single root marker, the [[commitBm25Stats]] atomicity
+    * doctrine) holding
+    *   - `terms/`    (tok, dfq, idf_micro) — the c41b vocab table; the
+    *     stored df is what rare-term selection ranks by at query time,
+    *   - `scalars/`  (s_total, n_docs),
+    *   - `postings/` (tok, doc_id, score_micro) — per term, the top-
+    *     [[postingCap]] postings by the term's FULL BM25 contribution,
+    *     impact-ordered (WAND family). The cap is applied AT BUILD, so
+    *     query-time sparse work is ≤ terms × cap regardless of posting
+    *     density, and the index is ~cap×vocab rows of 8-byte triples —
+    *     a small fraction of corpus bytes (the c27 shape on the
+    *     lexical side).
+    * Cost: one tokenize pass, one (doc, tok) tf shuffle, one tok-keyed
+    * truncation window (WindowGroupLimit bounds per-group state at the
+    * cap). The idf join is tok-keyed and UNHINTED — at web scale the
+    * vocab does not broadcast; AQE picks BHJ when it does. */
+  def fitLexIndex(docs: DataFrame, indexDir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val d = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val scalars = d.agg(
+      sum(col("dl").cast("long")).as("s_total"),
+      count(lit(1)).as("n_docs"))
+    val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("dl"), col("tok")).agg(count(lit(1)).as("tf"))
+      // tf feeds the terms aggregate AND the postings join — cut the
+      // lineage or the corpus explode runs twice (the c43b doctrine);
+      // unlike c43b's query-term-bounded tf this is the FULL posting
+      // set, but the fit is the one place that cost belongs
+      .localCheckpoint()
+    val terms = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfq"))
+      .crossJoin(broadcast(scalars))
+      .withColumn("idf_micro", expr(bm25IdfExpr))
+      .select(col("tok"), col("dfq"), col("idf_micro"), col("s_total"), col("n_docs"))
+      .localCheckpoint()
+    val wp = Window.partitionBy(col("tok"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    val postings = tf.join(terms, "tok")
+      .withColumn("score_micro", expr(bm25RationalExpr))
+      .select(col("tok"), col("doc_id"), col("score_micro"))
+      .withColumn("prk", row_number().over(wp))
+      .filter(col("prk") <= postingCap(spark))
+      .select(col("tok"), col("doc_id"), col("score_micro"))
+    val (genDir, oldGens) = IndexMeta.nextGen(spark, indexDir, "lex")
+    terms.select(col("tok"), col("dfq"), col("idf_micro"))
+      .write.mode("overwrite").parquet(s"$genDir/terms")
+    scalars.coalesce(1).write.mode("overwrite").parquet(s"$genDir/scalars")
+    postings.write.mode("overwrite").parquet(s"$genDir/postings")
+    IndexMeta.createMarker(spark, s"$genDir/_SUCCESS")
+    oldGens.foreach(IndexMeta.delete(spark, _))
+  }
+
+  /** C43c score — batch hybrid retrieval where the sparse leg reads
+    * ONLY the persisted index: rare-term selection joins the query
+    * batch's tokens against the stored `terms` table (the query side
+    * broadcasts — batch-bounded; the vocab-sized terms table streams,
+    * map-only), and scoring is one tok-keyed join of the stored capped
+    * postings with the selected query terms. Corpus text is never
+    * read at score time — the plan scans the query batch and the
+    * index tables, nothing else (PlanSpec-pinned). Equals [[
+    * hybridRrfBatch]] row-for-row whenever the index was fit on the
+    * same corpus at the same cap (spec-pinned): the stored df/idf/
+    * scalars are the same statistics c43b recomputes inline.
+    *
+    * `queryDocs` is the arrival batch's (doc_id, text); `queryVecs`
+    * its (vec_id, embedding) dense vectors; `annDir` the persisted IVF
+    * index for the dense leg. */
+  def hybridScoreIndexed(spark: SparkSession, lexDir: String, annDir: String,
+                         queryDocs: DataFrame, queryVecs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val g = IndexMeta.requireLive(spark, lexDir, "lex")
+    val terms = spark.read.parquet(s"$g/terms")
+    val postings = spark.read.parquet(s"$g/postings")
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("dfq").asc, col("tok").asc)
+    // rare-term selection against the STORED df: the exploded query
+    // tokens broadcast (queries × doc-length rows — batch-bounded),
+    // the vocab-sized terms table is the streamed probe side; a term
+    // the corpus has never seen has no stats and no postings, so the
+    // inner join dropping it is the correct semantics
+    val qToks = queryDocs
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val queryTerms = terms.select(col("tok"), col("dfq"))
+      .join(broadcast(qToks), Seq("tok"))
+      .withColumn("trk", row_number().over(wq))
+      .filter(col("trk") <= hybridQueryTerms)
+      .select(col("query_id"), col("tok"))
+      .localCheckpoint()
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    // stored postings ⋈ query terms: the same term-sharded retrieval
+    // join as c43b, but the left side is the ≤cap×vocab index table —
+    // no tokenize, no tf aggregate, no corpus scan
+    val sparse = postings
+      .join(queryTerms, Seq("tok"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("score_micro")).as("score_micro"))
+      .withColumn("rank_sparse", row_number().over(ws))
+      .filter(col("rank_sparse") <= rrfDepth)
+      .select(col("query_id"), col("doc_id"), col("rank_sparse"))
+    val dense = Similarity.annIvfBatch(spark, annDir, queryVecs, k = rrfDepth)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rnk").as("rank_dense"))
+    fuseRrfBatch(sparse, dense)
+  }
+
+  /** Registry wrapper: the lex index is fingerprint-cached per corpus
+    * ([[IndexMeta.ensureDerived]] — same files ⇒ same index, sweeps
+    * rebuild nothing), the dense index is the shared [[
+    * Similarity.ensureIndex]], and the query batch is c43b's verbatim
+    * (every qmod-th doc-backed embedding id) so the two keys answer
+    * the same question through different deployment shapes. */
+  def hybridRrfBatchIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val qmod = spark.conf.getOption("graft.ann.batchQueryMod")
+      .map(_.toLong).getOrElse(17L)
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val lexDir = IndexMeta.ensureDerived(spark, s"$dir/documents.parquet",
+      s"graft_lex_index_${key}_")(
+      p => IndexMeta.liveGen(spark, p, "lex").isDefined)(
+      fitLexIndex(Relational.table(spark, dir, "documents"), _))
+    val qIds = batchQueryIds(spark, dir, qmod)
+    val queryDocs = Relational.table(spark, dir, "documents")
+      .join(qIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"))
+    val queryVecs = Relational.table(spark, dir, "embeddings")
+      .join(qIds.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("embedding"))
+    hybridScoreIndexed(spark, lexDir, Similarity.ensureIndex(spark, dir),
+      queryDocs, queryVecs)
   }
 
   def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
@@ -840,6 +1064,7 @@ object Pipeline {
     "c41c_bm25_incremental" -> (bm25Incremental _),
     "c43_hybrid_rrf" -> (hybridRrf _),
     "c43b_hybrid_rrf_batch" -> (hybridRrfBatch _),
+    "c43c_hybrid_batch_indexed" -> (hybridRrfBatchIndexed _),
     "c5_multimodal" -> (multimodalStruct _))
 
   /** The c31 curation oracle's CTE chain (quality floor, exact/near

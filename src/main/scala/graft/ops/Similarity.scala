@@ -2519,29 +2519,11 @@ object Similarity {
     * deterministically from it, so same files ⇒ same index). */
   private def ensureRagIndex(spark: SparkSession, dir: String,
                              chunkVecs: => DataFrame): String = {
-    val files = IndexMeta.list(spark, s"$dir/documents.parquet").filter(_.isFile)
-    val fp = files.map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
-      .sorted.mkString("|").hashCode.toHexString
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val tmpRoot = spark.conf.getOption("graft.index.root")
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    val prefix = s"graft_rag_index_${key}_"
-    def ready(p: String) = IndexMeta.exists(spark, s"$p/centroids/_SUCCESS")
-    IndexMeta.list(spark, tmpRoot)
-      .filter(_.getPath.getName.startsWith(s"$prefix${fp}_"))
-      .map(_.getPath.toString).sorted.find(ready)
-      .getOrElse {
-        val mine = s"$tmpRoot/$prefix${fp}_${spark.sparkContext.applicationId}"
-        buildIvfIndexFrom(spark, chunkVecs, mine)
-        IndexMeta.list(spark, tmpRoot)
-          .filter { st =>
-            val n = st.getPath.getName
-            n.startsWith(prefix) && !n.startsWith(s"$prefix${fp}_") &&
-              ready(st.getPath.toString)
-          }
-          .foreach(st => IndexMeta.delete(spark, st.getPath.toString))
-        mine
-      }
+    IndexMeta.ensureDerived(spark, s"$dir/documents.parquet",
+      s"graft_rag_index_${key}_")(
+      p => IndexMeta.exists(spark, s"$p/centroids/_SUCCESS"))(
+      buildIvfIndexFrom(spark, chunkVecs, _))
   }
 
   /** C3b3 — INCREMENTAL index append: assign a new vector batch to the
@@ -3317,29 +3299,11 @@ object Similarity {
     * READY indexes of superseded fingerprints of the same data dir
     * (in-flight builds are not ready and are never touched). */
   private[ops] def ensureIndex(spark: SparkSession, dir: String): String = {
-    val files = IndexMeta.list(spark, s"$dir/embeddings.parquet").filter(_.isFile)
-    val fp = files.map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
-      .sorted.mkString("|").hashCode.toHexString
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val tmpRoot = spark.conf.getOption("graft.index.root")
-      .getOrElse(System.getProperty("java.io.tmpdir"))
-    val prefix = s"graft_ivf_index_${key}_"
-    def ready(p: String) = IndexMeta.exists(spark, s"$p/centroids/_SUCCESS")
-    IndexMeta.list(spark, tmpRoot)
-      .filter(_.getPath.getName.startsWith(s"$prefix${fp}_"))
-      .map(_.getPath.toString).sorted.find(ready)
-      .getOrElse {
-        val mine = s"$tmpRoot/$prefix${fp}_${spark.sparkContext.applicationId}"
-        buildIvfIndex(spark, dir, mine)
-        IndexMeta.list(spark, tmpRoot)
-          .filter { st =>
-            val n = st.getPath.getName
-            n.startsWith(prefix) && !n.startsWith(s"$prefix${fp}_") &&
-              ready(st.getPath.toString)
-          }
-          .foreach(st => IndexMeta.delete(spark, st.getPath.toString))
-        mine
-      }
+    IndexMeta.ensureDerived(spark, s"$dir/embeddings.parquet",
+      s"graft_ivf_index_${key}_")(
+      p => IndexMeta.exists(spark, s"$p/centroids/_SUCCESS"))(
+      buildIvfIndex(spark, dir, _))
   }
 
   private val scratchSeq = new java.util.concurrent.atomic.AtomicLong()

@@ -544,6 +544,29 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("C43c: score-time plan reads the lex + IVF indexes, never a documents scan") {
+    import org.apache.spark.sql.functions.col
+    val lexDir = java.nio.file.Files.createTempDirectory("graft_c43c_plan_").toString
+    val docs = Relational.table(spark, dir, "documents")
+    Pipeline.fitLexIndex(docs, lexDir)
+    // the arrival batch arrives as an IN-MEMORY frame (what a service
+    // scoring a request batch holds) — so ANY documents.parquet scan
+    // in the score plan is a corpus re-read, the round-12 weak cell
+    val batch = docs.select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 17 === 0).limit(4).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    import spark.implicits._
+    val queryDocs = batch.toDF("doc_id", "text")
+    val queryVecs = Relational.table(spark, dir, "embeddings")
+      .filter(col("vec_id").isin(batch.map(_._1): _*))
+      .select(col("vec_id"), col("embedding"))
+    val df = Pipeline.hybridScoreIndexed(spark, lexDir,
+      Similarity.ensureIndex(spark, dir), queryDocs, queryVecs)
+    val p = plan(df)
+    assert(!p.contains("documents.parquet"),
+      s"score-time plan re-reads the corpus:\n$p")
+  }
+
   test("C26: the per-source cap ranks salted first — the hot-domain exchange carries salt") {
     val p = plan(Curation.queries("c26_cap_per_source")(spark, dir))
     // phase 1 must hash-partition on (source, salt): a plan whose only

@@ -1647,7 +1647,7 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     val statsDir = graft.ops.Similarity.freshScratch(spark, s"graft_bm25_spec_${key}_")
     Pipeline.fitBm25Stats(Relational.table(spark, dir, "documents"), statsDir)
     val vocab = spark.read.parquet(
-      graft.ops.IndexMeta.requireLive(spark, statsDir, "terms")).count()
+      Pipeline.bm25StatsPaths(spark, statsDir)._1).count()
     val distinctToks = Relational.table(spark, dir, "documents")
       .select(explode(split(col("text"), " ")).as("t")).distinct().count()
     assert(vocab == distinctToks, s"stats vocab $vocab != corpus vocab $distinctToks")
@@ -1691,12 +1691,12 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     val docs = Relational.table(spark, dir, "documents")
     val statsDir = Similarity.freshScratch(spark, "graft_bm25_incspec_")
     Pipeline.fitBm25Stats(docs.filter(col("doc_id") % 10 =!= 7), statsDir)
-    val g0 = IndexMeta.requireLive(spark, statsDir, "terms")
+    val g0 = Pipeline.bm25StatsPaths(spark, statsDir)._1
     Pipeline.appendBm25Stats(spark, statsDir, docs.filter(col("doc_id") % 10 === 7))
-    val g1 = IndexMeta.requireLive(spark, statsDir, "terms")
-    assert(g0 != g1, "append must commit a NEW terms generation")
+    val g1 = Pipeline.bm25StatsPaths(spark, statsDir)._1
+    assert(g0 != g1, "append must commit a NEW stats generation")
     assert(!IndexMeta.exists(spark, g0),
-      "the superseded terms generation must be deleted after commit")
+      "the superseded stats generation must be deleted after commit")
     // merged (dfq, idf_micro) per term == a whole-corpus refit, term for
     // term — not just the one query's scores
     val fullDir = Similarity.freshScratch(spark, "graft_bm25_fullspec_")
@@ -1705,14 +1705,61 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
       .select("tok", "dfq", "idf_micro").collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     val merged = termsOf(g1)
-    val refit = termsOf(IndexMeta.requireLive(spark, fullDir, "terms"))
+    val refit = termsOf(Pipeline.bm25StatsPaths(spark, fullDir)._1)
     assert(merged == refit,
       s"first diff: ${(merged.toSet diff refit.toSet).take(3)} / ${(refit.toSet diff merged.toSet).take(3)}")
     def scalarsOf(d: String) = {
-      val r = spark.read.parquet(IndexMeta.requireLive(spark, d, "scalars")).head()
+      val r = spark.read.parquet(Pipeline.bm25StatsPaths(spark, d)._2).head()
       (r.getLong(0), r.getLong(1))
     }
     assert(scalarsOf(statsDir) == scalarsOf(fullDir))
+  }
+
+  test("C41b stats commit is one atomic generation; legacy layouts read and migrate") {
+    val docs = Relational.table(spark, dir, "documents")
+    val statsDir = Similarity.freshScratch(spark, "graft_bm25_atomspec_")
+    Pipeline.fitBm25Stats(docs, statsDir)
+    // exactly one committed stats.gN holding BOTH tables under ONE
+    // root marker — never split terms.gN/scalars.gN generations whose
+    // independent commits could be read torn (round-12 advice)
+    val gens = IndexMeta.list(spark, statsDir).map(_.getPath.getName)
+    assert(gens.count(_.startsWith("stats.g")) == 1, s"layout: $gens")
+    assert(!gens.exists(n => n.startsWith("terms.g") || n.startsWith("scalars.g")))
+    val g = IndexMeta.requireLive(spark, statsDir, "stats")
+    assert(IndexMeta.exists(spark, s"$g/terms") && IndexMeta.exists(spark, s"$g/scalars"))
+    // an UNCOMMITTED generation (both tables written, marker missing —
+    // the crash window) is invisible to readers: the old snapshot stays live
+    val (g1, _) = IndexMeta.nextGen(spark, statsDir, "stats")
+    spark.range(1).select(lit("x").as("tok"), lit(1L).as("dfq"), lit(0L).as("idf_micro"))
+      .write.parquet(s"$g1/terms")
+    spark.range(1).select(lit(0L).as("s_total"), lit(0L).as("n_docs"))
+      .write.parquet(s"$g1/scalars")
+    assert(Pipeline.bm25StatsPaths(spark, statsDir)._1 == s"$g/terms",
+      "a generation without the root marker must not resolve")
+    IndexMeta.delete(spark, g1)
+    // legacy flat layout (pre-generation): readable, and the next
+    // append migrates it to a unified generation and GCs the flat dirs
+    val legacyDir = Similarity.freshScratch(spark, "graft_bm25_legacyspec_")
+    val half = docs.filter(col("doc_id") % 10 =!= 7)
+    val tmp = Similarity.freshScratch(spark, "graft_bm25_legacysrc_")
+    Pipeline.fitBm25Stats(half, tmp)
+    val (tp, sp) = Pipeline.bm25StatsPaths(spark, tmp)
+    spark.read.parquet(tp).write.parquet(s"$legacyDir/terms")
+    spark.read.parquet(sp).write.parquet(s"$legacyDir/scalars")
+    val legacyScore = Pipeline.bm25ScoreWith(spark, docs, legacyDir, Pipeline.bm25Query)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val genScore = Pipeline.bm25ScoreWith(spark, docs, tmp, Pipeline.bm25Query)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(legacyScore == genScore, "flat legacy layout must score identically")
+    Pipeline.appendBm25Stats(spark, legacyDir, docs.filter(col("doc_id") % 10 === 7))
+    assert(!IndexMeta.exists(spark, s"$legacyDir/terms"),
+      "append must migrate the flat layout and GC it")
+    assert(IndexMeta.liveGen(spark, legacyDir, "stats").isDefined)
+    val migrated = Pipeline.bm25ScoreWith(spark, docs, legacyDir, Pipeline.bm25Query)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val full = Pipeline.queries("c41_bm25")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(migrated == full, "migrated legacy stats must equal the whole-corpus fit")
   }
 
   test("C43 hybrid RRF: exact fusion of independently recomputed legs") {
@@ -1856,5 +1903,111 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     }
     val mean = overlaps.sum / overlaps.size
     assert(mean >= 0.6, s"mean fused overlap@10 $mean < 0.6 across ${qids.size} queries")
+  }
+
+  test("C43c indexed hybrid ≡ the in-plan batch hybrid, row for row") {
+    // same corpus, same cap, same query set — the persisted index path
+    // must reproduce c43b exactly: the stored df/idf/scalars/postings
+    // are the statistics c43b recomputes inline, and both forms share
+    // the fusion code. Both outputs are totally ordered, so plain
+    // sequence equality is the strongest check.
+    def rows(k: String) = Pipeline.queries(k)(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)),
+        if (r.isNullAt(4)) None else Some(r.getInt(4)))).toSeq
+    val inPlan = rows("c43b_hybrid_rrf_batch")
+    val indexed = rows("c43c_hybrid_batch_indexed")
+    assert(indexed == inPlan,
+      s"first diff: ${indexed.zip(inPlan).find(p => p._1 != p._2)}")
+  }
+
+  test("C43c cap↔recall: fused overlap@10 vs the exact hybrid is monotone in the cap") {
+    // the posting cap trades tail recall for bounded work; this pins
+    // the trade MEASURED and MONOTONE on the dense-posting fixture
+    // (~26-token global vocab — every posting list is a large corpus
+    // fraction, so small caps genuinely bite). Overlap is vs the
+    // exact hybrid (uncapped sparse + exact brute-force dense, same
+    // RRF), recomputed driver-side.
+    val docs = Relational.table(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq)).toSeq
+    val n = docs.size.toLong
+    val sTotal = docs.map(_._2.size.toLong).sum
+    val embs = Relational.table(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    val qids = docs.map(_._1).filter(id => id % 17 == 0 && embs.contains(id))
+    val df = scala.collection.mutable.Map.empty[String, Long]
+    def dfOf(t: String): Long =
+      df.getOrElseUpdate(t, docs.count(_._2.contains(t)).toLong)
+    def idfOf(t: String): Long =
+      math.round(math.log(((n - dfOf(t)).toDouble + 0.5) / (dfOf(t).toDouble + 0.5) + 1.0) * 1e6)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def wgt(r: Option[Int]): Long =
+      r.map(rk => math.floor(1000000.0 / (60 + rk)).toLong).getOrElse(0L)
+    val exactTop10: Map[Long, Set[Long]] = qids.map { q =>
+      val terms = docs.find(_._1 == q).get._2.distinct
+        .sortBy(t => (dfOf(t), t)).take(Pipeline.hybridQueryTerms)
+      val sp = docs.filter(_._1 != q).flatMap { case (d, toks) =>
+        val dl = toks.size.toLong
+        val s = terms.flatMap { t =>
+          val f = toks.count(_ == t).toLong
+          if (f == 0) None else {
+            val num = 22L * sTotal * f
+            val den = 10L * sTotal * f + 3L * sTotal + 9L * dl * n
+            Some(math.round(idfOf(t).toDouble * (num.toDouble / den.toDouble)))
+          }
+        }.sum
+        if (s == 0L) None else Some((d, s))
+      }.sortBy { case (d, s) => (-s, d) }.take(20)
+        .zipWithIndex.map { case ((d, _), i) => d -> (i + 1) }.toMap
+      val qv = embs(q)
+      val dn = embs.toSeq.filter(_._1 != q)
+        .map { case (d, v) => (d, java.math.BigDecimal.valueOf(cos(v, qv))
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue) }
+        .sortBy { case (d, s) => (-s, d) }.take(20)
+        .zipWithIndex.map { case ((d, _), i) => d -> (i + 1) }.toMap
+      q -> (sp.keySet ++ dn.keySet).toSeq
+        .map(d => (d, wgt(sp.get(d)) + wgt(dn.get(d))))
+        .sortBy { case (d, s) => (-s, d) }.take(10).map(_._1).toSet
+    }.toMap
+    def meanOverlapAtCap(cap: Int): Double = {
+      spark.conf.set("graft.retrieval.postingCap", cap.toString)
+      try {
+        val lexDir = Similarity.freshScratch(spark, s"graft_lex_cap${cap}_")
+        Pipeline.fitLexIndex(Relational.table(spark, dir, "documents"), lexDir)
+        val qIdDf = Relational.table(spark, dir, "embeddings")
+          .select(col("vec_id").as("doc_id")).filter(col("doc_id") % 17 === 0)
+        val out = Pipeline.hybridScoreIndexed(spark, lexDir,
+            Similarity.ensureIndex(spark, dir),
+            Relational.table(spark, dir, "documents")
+              .join(qIdDf, Seq("doc_id"), "left_semi").select(col("doc_id"), col("text")),
+            Relational.table(spark, dir, "embeddings")
+              .join(qIdDf.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+              .select(col("vec_id"), col("embedding")))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val ov = qids.map { q =>
+          val got = out.filter(_._1 == q).map(_._2).toSet
+          val ex = exactTop10(q)
+          ex.intersect(got).size.toDouble / math.max(1, ex.size)
+        }
+        ov.sum / ov.size
+      } finally spark.conf.unset("graft.retrieval.postingCap")
+    }
+    val caps = Seq(25, 100, 400, 1600)
+    val overlaps = caps.map(meanOverlapAtCap)
+    info(s"cap→overlap@10: ${caps.zip(overlaps).map { case (c, o) => s"$c=${"%.3f".format(o)}" }.mkString(", ")}")
+    overlaps.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-9, s"overlap not monotone in cap: $caps → $overlaps")
+    }
+    assert(overlaps.last >= 0.6,
+      s"full-cap overlap ${overlaps.last} < 0.6 — cap no longer converges to the exact hybrid")
   }
 }
