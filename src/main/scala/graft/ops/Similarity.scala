@@ -2280,6 +2280,101 @@ object Similarity {
     // stale tombstones name ids of the REPLACED corpus — they must not
     // suppress rows of the rebuilt one
     IndexMeta.delete(spark, s"$indexDir/tombstones")
+    // quantizer BASELINE for the drift policy (one layout scan at build
+    // time — the cost belongs to the build, so every later drift probe
+    // is Θ(batch) instead of Θ(index))
+    writeQuantStats(spark, indexDir)
+  }
+
+  // ------------------------------------------------- quantizer drift
+
+  /** Squared-L2 of `embedding` to its assigned `centroid` — shared by
+    * the build-time baseline and the arrival-side drift probe so the
+    * ratio compares like with like. */
+  private def assignSqDistCol: org.apache.spark.sql.Column = expr(
+    """aggregate(zip_with(embedding, centroid, (a, b) -> (a - b) * (a - b)),
+      |cast(0 as double), (acc, x) -> acc + cast(x as double))""".stripMargin)
+
+  /** Persist the build-time quantizer baseline: mean squared
+    * assignment distance over the live layout (cells are already
+    * stored — no re-assignment), one `quantstats.gN` row. */
+  private def writeQuantStats(spark: SparkSession, indexDir: String): Unit = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .select(col("cell"), col("centroid"))
+    val row = spark.read.parquet(liveVectorsPath(spark, indexDir))
+      .select(col("cell").cast("int").as("cell"), col("embedding"))
+      .join(broadcast(cents), "cell")
+      .agg(avg(assignSqDistCol).as("m"), count(lit(1)).as("n")).head()
+    if (!row.isNullAt(0)) {
+      val (g, old) = IndexMeta.nextGen(spark, indexDir, "quantstats")
+      spark.range(1)
+        .select(lit(row.getDouble(0)).as("mean_sq_dist"), lit(row.getLong(1)).as("n_build"))
+        .coalesce(1).write.mode("overwrite").parquet(g)
+      old.foreach(IndexMeta.delete(spark, _))
+    }
+  }
+
+  /** Mean squared assignment distance of a (vec_id, embedding) batch to
+    * its NEAREST live centroid — the same kernel the append path files
+    * under (nprobe=1), Θ(batch·k·d) map work + one scalar aggregate. */
+  private def meanAssignSqDist(spark: SparkSession, indexDir: String,
+                               vecs: DataFrame): Double = {
+    GraftFunctions.register(spark)
+    val (flat, dim) = indexCentroidsFlat(spark, indexDir)
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .select(col("cell"), col("centroid"))
+    vecs.select(col("embedding"))
+      .withColumn("cell", element_at(indexCellsCol(spark, indexDir, flat, dim, 1), 1))
+      .join(broadcast(cents), "cell")
+      .agg(avg(assignSqDistCol)).head().getDouble(0)
+  }
+
+  /** C3b5 — QUANTIZER-DRIFT metric (round-12 verdict item 5: drift was
+    * "the documented rebuild trigger" with nothing computing it): the
+    * ratio of an arrival batch's mean squared assignment distance (to
+    * the FROZEN centroids) over the build-time baseline persisted in
+    * `quantstats`. ≈ 1 for in-distribution arrivals; grows as arrival
+    * mass moves off the codebook — frozen cells then mis-shape the
+    * arrival region (boundary twins split, populations skew), which is
+    * exactly when a refit pays. Θ(batch) at probe time; pre-quantstats
+    * indexes compute the baseline from the live layout on the fly
+    * (one scan, the cost the build would have paid). */
+  def quantizerDrift(spark: SparkSession, indexDir: String,
+                     arrivals: DataFrame): Double = {
+    val base = IndexMeta.liveGen(spark, indexDir, "quantstats") match {
+      case Some(g) => spark.read.parquet(g.toString).head().getDouble(0)
+      case None =>
+        writeQuantStats(spark, indexDir)
+        spark.read.parquet(
+          IndexMeta.requireLive(spark, indexDir, "quantstats")).head().getDouble(0)
+    }
+    val arr = meanAssignSqDist(spark, indexDir,
+      arrivals.select(col("vec_id"), col("embedding")))
+    arr / math.max(base, java.lang.Double.MIN_NORMAL)
+  }
+
+  /** C3b6 — drift-triggered REBUILD policy: measure [[quantizerDrift]]
+    * on the arrival batch; above `threshold`, refit the index from its
+    * live vector set ([[buildIvfIndexFrom]] — next generation, old
+    * GC'd after commit, tombstones become physical, baseline
+    * refreshed). Below, no-op. Returns whether it rebuilt, so an
+    * ingest loop wires this after appends the way compaction wires
+    * [[compactIvfIndexIfFragmented]] — the two maintenance axes of a
+    * standing index (file layout and codebook fit), each mechanical.
+    * Threshold 4.0 = arrival assignment error 4× the build's: drift
+    * ratios sit near 1 in-distribution (spec-measured ≈ 1), so 4× is
+    * far outside noise while still firing long before the planted-twin
+    * recall floor the rehearsal spec demonstrates. */
+  def rebuildIvfIfDrifted(spark: SparkSession, indexDir: String,
+                          arrivals: DataFrame, threshold: Double = 4.0): Boolean = {
+    val d = quantizerDrift(spark, indexDir, arrivals)
+    System.err.println(f"[drift] $indexDir drift=$d%.2f threshold=$threshold%.2f")
+    if (d > threshold) {
+      buildIvfIndexFrom(spark,
+        liveIndexVectors(spark, indexDir).select(col("vec_id"), col("embedding")),
+        indexDir)
+      true
+    } else false
   }
 
   /** The index's LIVE vector set: the cell-partitioned layout minus any
@@ -2494,14 +2589,21 @@ object Similarity {
     .withColumn("chunk", expr(s"slice(toks, col + 1, ${Training.chunkWin})"))
     .select(col("doc_id"), col("chunk_ix"), embedTokensExpr("chunk").as("embedding"))
 
-  def ragE2E(spark: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(spark)
-    val docs = Relational.table(spark, dir, "documents")
-    val indexDir = ensureRagIndex(spark, dir,
-      ragChunks(docs).select(
-        (col("doc_id") * ragChunkIdBase + col("chunk_ix") + 1).as("vec_id"),
-        col("embedding")))
-    val queries = ragChunks(docs.filter(col("doc_id") % 20 === 0))
+  /** The c42 chunk-VECTOR projection: [[ragChunks]] with the
+    * doc·4096+ix+1 id encoding — the one frame shape the chunk index
+    * consumes, shared by the build, the arrival ingest, and the
+    * streaming leg so the three can never drift. */
+  private[graft] def ragChunkVecs(d: DataFrame): DataFrame = ragChunks(d)
+    .select((col("doc_id") * ragChunkIdBase + col("chunk_ix") + 1).as("vec_id"),
+      col("embedding"))
+
+  /** Query the chunk index at `indexDir` with `queryDocs`' FIRST
+    * chunks (embedded by the identical featurizer) and decode the
+    * retrieved chunk ids back to (src_doc, chunk_ix) — the shared
+    * retrieval tail of c42/c42b/c42c. */
+  private[graft] def ragQueriesOn(spark: SparkSession, indexDir: String,
+                                  queryDocs: DataFrame): DataFrame = {
+    val queries = ragChunks(queryDocs)
       .filter(col("chunk_ix") === 0)
       .select((col("doc_id") + ragQueryIdOffset).as("vec_id"), col("embedding"))
     annIvfBatch(spark, indexDir, queries, k = 5)
@@ -2512,6 +2614,116 @@ object Similarity {
         expr(s"cast((vec_id - 1) % $ragChunkIdBase as int)").as("chunk_ix"),
         col("sim"))
       .orderBy("query_doc", "rnk")
+  }
+
+  def ragE2E(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val docs = Relational.table(spark, dir, "documents")
+    val indexDir = ensureRagIndex(spark, dir, ragChunkVecs(docs))
+    ragQueriesOn(spark, indexDir, docs.filter(col("doc_id") % 20 === 0))
+  }
+
+  /** C42b — INCREMENTAL RAG ingest: the arrival path of a standing RAG
+    * deployment (round-12 verdict item 4 — c42 built its chunk index
+    * once; arrivals had no chunk+embed+append leg). New documents run
+    * the SAME map-only chunk+embed projection as the build and land in
+    * the chunk index via [[appendToIvfIndex]]: assignment to the
+    * frozen coarse quantizer (Θ(batch·d) map work), one small exchange
+    * of the batch, at most one new file per touched cell — the index
+    * never refits, and queries see old + new chunks through the
+    * identical partition-pruned probe plan. Idempotent under `batchId`
+    * replay (the append marker); quantizer drift from accumulated
+    * arrivals is the rebuild trigger (the drift-policy ops below). */
+  def ragIngest(spark: SparkSession, indexDir: String, arrivals: DataFrame,
+                batchId: Option[String] = None): Unit =
+    appendToIvfIndex(spark, indexDir, ragChunkVecs(arrivals), batchId)
+
+  /** Registry wrapper: build the chunk index on 95% of the corpus
+    * (doc_id ≢ 3 mod 20), ingest the held-out 5% as the arrival batch,
+    * then query with the ARRIVALS' first chunks — every query's
+    * planted twin (its own chunk) entered the index through the append
+    * path, so rank-1 sim = 1.0 batch-wide proves arrivals are
+    * retrievable (the spec also proves they are NOT retrievable before
+    * the ingest, and that a batchId replay is a no-op). */
+  def ragIncrementalQuery(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val idx = freshScratch(spark, s"graft_c42b_index_${key}_")
+    val docs = Relational.table(spark, dir, "documents")
+    buildIvfIndexFrom(spark, ragChunkVecs(docs.filter(col("doc_id") % 20 =!= 3)), idx)
+    val arrivals = docs.filter(col("doc_id") % 20 === 3)
+    ragIngest(spark, idx, arrivals, Some("c42b_arrival"))
+    ragQueriesOn(spark, idx, arrivals)
+  }
+
+  /** C42c — STREAMING RAG ingest (the c22c/c22d foreachBatch doctrine
+    * on the retrieval side): replay `arrivals` one file per trigger;
+    * each micro-batch makes ONE idempotent [[ragIngest]] call keyed by
+    * the engine's batchId, so a crashed batch replays into a no-op
+    * (exactly-once through the append marker). In-stream maintenance:
+    * when `graft.stream.compactMaxFiles` is set, each commit is
+    * followed by the amortized file-census trigger and an index
+    * compaction when truly over — a long-running ingest stream never
+    * needs an out-of-band maintenance job. Single writer by
+    * construction (foreachBatch batches are sequential). */
+  private[graft] def ragIngestStreamOn(spark: SparkSession, idx: String,
+      arrivals: DataFrame, name: String,
+      nSlices: Int = Relational.replaySlices): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val src = arrivals.select(col("doc_id"), col("text"))
+    val stage = Relational.stageSlices(spark, src, col("doc_id"), s"${name}_stage", nSlices)
+    val base = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"sink_${spark.sparkContext.applicationId}_$name")
+    if (Files.exists(base)) {
+      Files.walk(base).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+    val census = new CensusCadence(
+      () => IndexMeta.countUnder(spark, liveVectorsPath(spark, idx), ".parquet"))
+    val q = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .writeStream.queryName(name)
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        val t0 = System.nanoTime()
+        ragIngest(spark, idx, batch, Some(s"stream_$bid"))
+        streamCompactMaxFiles(spark).foreach { mf =>
+          // files-added bound: one file per touched cell ≤ chunk rows;
+          // chunks per doc are bounded by text length / stride
+          val (n, exact) = census.check(batch.count(), mf)
+          val compacted = exact && n > mf
+          val (shown, mark) =
+            if (compacted) {
+              compactIvfIndex(spark, idx)
+              val c = IndexMeta.countUnder(spark, liveVectorsPath(spark, idx), ".parquet")
+              census.reset(c)
+              (c, "=")
+            } else (n, if (exact) "=" else "<=")
+          System.err.println(s"[stream-census] $name bid=$bid files$mark$shown compacted=$compacted")
+        }
+        System.err.println(f"[stream-batch] $name bid=$bid " +
+          f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+        ()
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Registry wrapper for the streaming leg: same split and planted-
+    * twin contract as [[ragIncrementalQuery]], arrivals replayed
+    * through [[ragIngestStreamOn]] micro-batches instead of one
+    * append. */
+  def ragStreamQuery(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val idx = freshScratch(spark, s"graft_c42c_index_${key}_")
+    val docs = Relational.table(spark, dir, "documents")
+    buildIvfIndexFrom(spark, ragChunkVecs(docs.filter(col("doc_id") % 20 =!= 3)), idx)
+    val arrivals = docs.filter(col("doc_id") % 20 === 3)
+    ragIngestStreamOn(spark, idx, arrivals, s"graft_c42c_$key")
+    ragQueriesOn(spark, idx, arrivals)
   }
 
   /** [[ensureIndex]]'s fingerprint-cache pattern for the c42 CHUNK
@@ -3364,6 +3576,8 @@ object Similarity {
     "c3_ann_indexed" -> (annIvfIndexedQuery _),
     "c3_ann_batch" -> (annIvfBatchQuery _),
     "c42_rag_e2e" -> (ragE2E _),
+    "c42b_rag_ingest" -> (ragIncrementalQuery _),
+    "c42c_rag_stream" -> (ragStreamQuery _),
     "c3_ann_index_append" -> (annIndexAppendQuery _),
     "c3_ann_index_compact" -> (annIndexCompactQuery _),
     "c3_ann_index_delete" -> (annIndexDeleteQuery _),

@@ -422,6 +422,92 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("C3 drift lifecycle: shifted arrivals degrade twin recall; the metric fires; rebuild restores") {
+    import spark.implicits._
+    val e = Relational.table(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val idx = Similarity.freshScratch(spark, "graft_drift_spec_")
+    Similarity.buildIvfIndexFrom(spark, e, idx)
+    // in-distribution control: a resample of the corpus itself sits ≈ 1
+    val ctrl = Similarity.quantizerDrift(spark, idx, e.filter(col("vec_id") % 3 === 0))
+    assert(ctrl < 2.0, s"in-distribution drift $ctrl not ≈ 1")
+    // ---- shifted arrival fixture. Two components:
+    // (a) planted near-twin pairs ON frozen Voronoi boundaries —
+    //     midpoints of close centroid pairs ± δ along the inter-
+    //     centroid axis, kept only when the two ends VERIFIABLY assign
+    //     to different frozen cells (the geometry a distribution shift
+    //     creates when frozen cells cut through new-region modes);
+    // (b) a far bulk (each centroid displaced by a uniform per-dim
+    //     shift sized from the build's own quantstats baseline, so the
+    //     batch mean lands ~50× it) that carries the drift mass.
+    val cents = spark.read.parquet(s"$idx/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray)).sortBy(_._1)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    def nearestCell(x: Array[Double]): Int = cents.minBy(c => d2(c._2, x))._1
+    val used = scala.collection.mutable.Set.empty[Int]
+    val closePairs = cents.flatMap { case (i, ci) =>
+      if (used(i)) None else {
+        val cand = cents.filter(c => c._1 != i && !used(c._1))
+          .minBy(c => d2(c._2, ci))
+        used += i; used += cand._1
+        Some((ci, cand._2))
+      }
+    }
+    val modes = closePairs.toSeq.flatMap { case (ca, cb) =>
+      val gap = math.sqrt(d2(ca, cb))
+      val m = ca.zip(cb).map { case (x, y) => (x + y) / 2 }
+      val del = 0.05 * gap
+      val q = m.zip(ca.zip(cb)).map { case (x, (a, b)) => x - del * (b - a) / gap }
+      val t = m.zip(ca.zip(cb)).map { case (x, (a, b)) => x + del * (b - a) / gap }
+      if (nearestCell(q) != nearestCell(t)) Some((q, t)) else None
+    }
+    assert(modes.size >= 4, s"fixture straddles only ${modes.size} boundaries")
+    val queries = modes.zipWithIndex.map { case ((q, _), i) =>
+      (900000L + i, q.map(_.toFloat)) }
+    val twins = modes.zipWithIndex.map { case ((_, t), i) =>
+      (910000L + i, t.map(_.toFloat)) }
+    val baseMean = spark.read.parquet(
+      IndexMeta.requireLive(spark, idx, "quantstats")).head().getDouble(0)
+    val shift = math.sqrt(60.0 * baseMean / cents.head._2.length)
+    val bulk = (0 until 100).map { j =>
+      (920000L + j, cents(j % cents.length)._2.map(x => (x + shift).toFloat))
+    }
+    val arrivals = (queries ++ twins ++ bulk).toDF("vec_id", "embedding")
+      .localCheckpoint()
+    Similarity.appendToIvfIndex(spark, idx, arrivals)
+    // recall probe at nprobe=1 (assignment-level recall — where
+    // boundary splits are visible; wider probes only delay the
+    // symptom while the metric catches the cause batch-one)
+    spark.conf.set("graft.ann.nprobe", "1")
+    try {
+      def twinRecall(): Double = {
+        val qDf = queries.toDF("vec_id", "embedding")
+        val top = Similarity.annIvfBatch(spark, idx, qDf, k = 1).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+        queries.count { case (qid, _) =>
+          top.get(qid).contains(qid - 900000L + 910000L)
+        }.toDouble / queries.size
+      }
+      val recallPre = twinRecall()
+      assert(recallPre <= 0.25,
+        s"boundary twins unexpectedly retrievable pre-rebuild: $recallPre")
+      val driftPre = Similarity.quantizerDrift(spark, idx, arrivals)
+      assert(driftPre > 4.0, s"drift metric did not fire: $driftPre")
+      assert(Similarity.rebuildIvfIfDrifted(spark, idx, arrivals),
+        "policy op did not rebuild above threshold")
+      val recallPost = twinRecall()
+      assert(recallPost >= 0.75 && recallPost > recallPre,
+        s"rebuild did not restore twin recall: $recallPre -> $recallPost")
+      val driftPost = Similarity.quantizerDrift(spark, idx, arrivals)
+      assert(driftPost < 4.0, s"post-rebuild drift still high: $driftPost")
+      assert(!Similarity.rebuildIvfIfDrifted(spark, idx, arrivals),
+        "policy op rebuilt again below threshold")
+    } finally spark.conf.unset("graft.ann.nprobe")
+  }
+
   test("compaction cadence: file-count trigger compacts once, then holds") {
     val idx = java.nio.file.Files.createTempDirectory("graft_cadence_spec").toString
     val e = Relational.table(spark, dir, "embeddings")
@@ -1611,6 +1697,65 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     }
     assert(selfText == byQuery.size,
       s"rank-1 text mismatch for ${byQuery.size - selfText} of ${byQuery.size} queries")
+  }
+
+  test("C42b incremental RAG ingest: arrivals unreachable before, planted twin after; replay no-op") {
+    val docs = Relational.table(spark, dir, "documents")
+    val idx = Similarity.freshScratch(spark, "graft_c42b_spec_")
+    Similarity.buildIvfIndexFrom(spark,
+      Similarity.ragChunkVecs(docs.filter(col("doc_id") % 20 =!= 3)), idx)
+    val arrivals = docs.filter(col("doc_id") % 20 === 3)
+    // BEFORE the ingest: no arrival chunk is in the index, so no
+    // retrieved src_doc can be an arrival doc
+    val before = Similarity.ragQueriesOn(spark, idx, arrivals).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(4)))
+    assert(before.nonEmpty)
+    assert(before.forall { case (_, src, _) => src % 20 != 3 },
+      s"arrival chunk retrieved before ingest: ${before.find(_._2 % 20 == 3)}")
+    Similarity.ragIngest(spark, idx, arrivals, Some("spec_batch"))
+    val after = Similarity.ragQueriesOn(spark, idx, arrivals).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+    val qids = arrivals.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(after.map(_._1).toSet == qids, "every arrival doc queries once")
+    // AFTER: every query's planted twin (its own chunk-0, appended via
+    // the ingest path) is found at sim 1.0 — and because an exact-copy
+    // build doc can tie, pin the rank-1 TEXT, not the id
+    val md5Of = Training.chunkOverlapOn(docs).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getString(4))).toMap
+    after.groupBy(_._1).foreach { case (q, rows) =>
+      val top = rows.minBy(_._2)
+      assert(top._5 == 1.0, s"query $q: rank-1 sim ${top._5} != 1.0")
+      assert(md5Of((top._3, top._4)) == md5Of((q, 0)),
+        s"query $q: rank-1 text is not the planted chunk")
+    }
+    // and the ingest-path chunks themselves serve probes: some query
+    // retrieves its OWN appended chunk
+    assert(after.exists { case (q, _, src, _, _) => src == q },
+      "no query retrieved its own appended chunk")
+    // exactly-once: replaying the SAME batchId is a no-op (marker), so
+    // the retrieval output is unchanged
+    Similarity.ragIngest(spark, idx, arrivals, Some("spec_batch"))
+    val replay = Similarity.ragQueriesOn(spark, idx, arrivals).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+    assert(replay.toSeq == after.toSeq, "batchId replay changed the index")
+    // and a DIFFERENT batchId re-inserting the same ids fails LOUDLY on
+    // the live-id guard instead of silently double-serving
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ragIngest(spark, idx, arrivals, Some("spec_batch_2"))
+    }
+    assert(e.getMessage.contains("already live"), e.getMessage)
+  }
+
+  test("C42c streaming RAG ingest ≡ the one-shot incremental ingest") {
+    // same split, same arrivals, same frozen quantizer (seeded KMeans
+    // on the same build slice) — micro-batched ingest must land the
+    // identical index content, so the retrieval output is row-identical
+    def rows(k: String) = graft.SparkEntry.queries(k)(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getDouble(4))).toSeq
+    val stream = rows("c42c_rag_stream")
+    val oneShot = rows("c42b_rag_ingest")
+    assert(stream == oneShot,
+      s"first diff: ${stream.zip(oneShot).find(p => p._1 != p._2)}")
   }
 
   test("C40 tf-idf: exact integer recomputation at sf0.001 (micro-nat ln doctrine)") {
