@@ -482,6 +482,44 @@ object Relational {
          |ORDER BY p_brand""".stripMargin)
   }
 
+  /** Author-knowledge BROADCAST hint, SELF-DISABLING past its scale
+    * boundary (round-12 verdict item 7: the four hinted sites carried
+    * their boundaries as prose — "part ~sf1000, customer ~sf300" —
+    * and beyond the boundary the hint becomes the bug). Each dim is
+    * (table, selectivity, widthFrac, estimable):
+    *   - estimated build bytes = source file bytes ×
+    *     `graft.io.compressionFactor` (raw↔compressed, default 8) ×
+    *     widthFrac (post-prune column fraction) × selectivity (the
+    *     author-stated post-filter fraction — the knowledge a non-CBO
+    *     estimator lacks and CBO lacks for LIKE '%…%');
+    *   - the hint names the table only while that estimate fits
+    *     `graft.hints.maxBroadcastBytes` (default 1 GiB — one
+    *     comfortable executor build; with the stated fractions part
+    *     crosses it ≈ sf1400 and customer ≈ sf400, mechanizing the
+    *     prose boundaries);
+    *   - when CBO is enabled (`spark.sql.cbo.enabled`, the
+    *     SPARK_GRAFT_STATS path) and the predicate is ESTIMABLE by
+    *     column stats (equality/range — not contains), the hint
+    *     yields to the stats.
+    * Returns `/*+ BROADCAST(…) */ ` or the empty string; boundaries
+    * now live in conf + code, not comments. */
+  private[ops] def dimHint(spark: SparkSession, dir: String,
+      dims: Seq[(String, Double, Double, Boolean)]): String = {
+    val maxBytes = spark.conf.getOption("graft.hints.maxBroadcastBytes")
+      .map(_.toLong).getOrElse(1L << 30).toDouble
+    val cbo = spark.conf.getOption("spark.sql.cbo.enabled").exists(_.toBoolean)
+    val cf = spark.conf.getOption("graft.io.compressionFactor")
+      .map(_.toLong).getOrElse(8L).toDouble
+    val keep = dims.filter { case (t, sel, widthFrac, estimable) =>
+      !(cbo && estimable) && {
+        val fileBytes = table(spark, dir, t)
+          .queryExecution.optimizedPlan.stats.sizeInBytes.toDouble
+        fileBytes * cf * widthFrac * sel <= maxBytes
+      }
+    }.map(_._1)
+    if (keep.isEmpty) "" else keep.mkString("/*+ BROADCAST(", ", ", ") */ ")
+  }
+
   // B39 — TPC-H Q20 shape: NESTED two-level IN (suppliers of parts in a
   // name-matched set) PLUS Q20's correlated quantity threshold, here
   // correlated on the COMPOSITE (l_partkey, l_suppkey) key — the
@@ -496,17 +534,19 @@ object Relational {
   // blind on LIKE '%…%', un-stats'd estimate above the default
   // threshold at sf100 → 17.1 GB shuffle for a query that shuffles
   // 0.23 GB at sf10). The hint rides the IN-subquery into the
-  // decorrelated semi-join's build side. Scale boundary as tpchQ19.
+  // decorrelated semi-join's build side. Boundary: [[dimHint]]
+  // ('%gizmo%' keeps ~5% of part; the build list is the 8-byte key).
   def tpchQ20(spark: SparkSession, dir: String): DataFrame = {
     table(spark, dir, "supplier").createOrReplaceTempView("supplier")
     table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
     table(spark, dir, "part").createOrReplaceTempView("part")
+    val hint = dimHint(spark, dir, Seq(("part", 0.05, 0.1, false)))
     spark.sql(
-      """SELECT s_suppkey, s_name
+      s"""SELECT s_suppkey, s_name
         |FROM supplier
         |WHERE s_suppkey IN (
         |  SELECT l_suppkey FROM lineitem l
-        |  WHERE l_partkey IN (SELECT /*+ BROADCAST(part) */ p_partkey FROM part WHERE p_name LIKE '%gizmo%')
+        |  WHERE l_partkey IN (SELECT ${hint}p_partkey FROM part WHERE p_name LIKE '%gizmo%')
         |    AND l_quantity > (SELECT 1.8 * avg(l2.l_quantity) FROM lineitem l2
         |                      WHERE l2.l_partkey = l.l_partkey
         |                        AND l2.l_suppkey = l.l_suppkey))
@@ -644,14 +684,16 @@ object Relational {
   // shuffles (round-11's one weak perf cell). CBO stats also fix this
   // one (brand/size are estimable — see tools/TableStats), but the
   // hint makes the REGISTRY plan right without a stats setup step.
-  // Scale boundary, stated honestly: part grows with SF, so the hint
-  // is right while ~9% of part × 24 B fits an executor (up to roughly
-  // sf1000); beyond that remove it and let per-relation stats decide.
+  // Boundary: [[dimHint]] — ~9% of part × 3 columns; the hint
+  // self-disables when the estimated build exceeds
+  // graft.hints.maxBroadcastBytes (≈ sf1400 at the 1 GiB default),
+  // and yields to CBO when stats are on (brand/size ARE estimable).
   def tpchQ19(spark: SparkSession, dir: String): DataFrame = {
     table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
     table(spark, dir, "part").createOrReplaceTempView("part")
+    val hint = dimHint(spark, dir, Seq(("part", 0.09, 0.33, true)))
     spark.sql(
-      """SELECT /*+ BROADCAST(part) */
+      s"""SELECT $hint
         |       round(sum(cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) as bigint))
         |             / cast(10000.0 as double), 4) AS revenue,
         |       count(*) AS n_lines
@@ -745,13 +787,16 @@ object Relational {
   // BROADCAST(part): the p_type-filtered part list (1/ndv of 20M rows
   // at sf100) estimated 32–72 MB un-stats'd and fell to SMJ at sf100,
   // shuffling 14.4 GB (round-11 decade finding) — the b45 hint
-  // doctrine; same scale boundary (~sf1000), see tpchQ19.
+  // doctrine; boundary via [[dimHint]] (p_type equality IS estimable,
+  // so the hint yields to CBO when stats are on).
   // BROADCAST(customer): the pruned 2-column customer list (15M rows ×
   // 16 B ≈ 240 MB raw at sf100) is the one mid-size dim whose broadcast
   // the retired 64 MB posture used to win — measured sf100 A/B with the
   // part hint in place: 22.8 s / 4.54 GB broadcast vs 32.1 s / 6.93 GB
-  // sort-merged. Tighter scale boundary than the part hints (~sf300 on
-  // a 96 GB driver); remove it first when scaling out.
+  // sort-merged. Tighter boundary than the part hints (no filter, the
+  // whole pruned table broadcasts — [[dimHint]] disables it ≈ sf400 at
+  // the default bound, first of the four to go when scaling out; not
+  // estimable: stats price width, the win is author A/B knowledge).
   def tpchQ8(spark: SparkSession, dir: String): DataFrame = {
     table(spark, dir, "part").createOrReplaceTempView("part")
     table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -760,12 +805,14 @@ object Relational {
     table(spark, dir, "customer").createOrReplaceTempView("customer")
     table(spark, dir, "nation").createOrReplaceTempView("nation")
     table(spark, dir, "region").createOrReplaceTempView("region")
+    val hint = dimHint(spark, dir,
+      Seq(("part", 0.05, 0.1, true), ("customer", 1.0, 0.25, false)))
     spark.sql(
-      """SELECT yr,
+      s"""SELECT yr,
         |       round(sum(CASE WHEN nation = 'NATION_3' THEN cents ELSE 0 END)
         |             / cast(sum(cents) as double), 4) AS mkt_share,
         |       count(*) AS n_lines
-        |FROM (SELECT /*+ BROADCAST(part, customer) */ year(o_orderdate) AS yr, n2.n_name AS nation,
+        |FROM (SELECT ${hint}year(o_orderdate) AS yr, n2.n_name AS nation,
         |             cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) as bigint) AS cents
         |      FROM part
         |      JOIN lineitem ON p_partkey = l_partkey
@@ -799,22 +846,24 @@ object Relational {
   // measured via tools/TableStats), so stats make this WORSE, while
   // the un-stats'd estimate (32–72 MB) sat above the default
   // threshold and shuffled 19.5 GB at sf100. Author knowledge: the
-  // '%gizmo%' list is ~5% of part. Scale boundary as tpchQ19.
+  // '%gizmo%' list is ~5% of part. Boundary via [[dimHint]]
+  // (contains-filter → NOT estimable: the hint survives CBO).
   def tpchQ9(spark: SparkSession, dir: String): DataFrame = {
     table(spark, dir, "part").createOrReplaceTempView("part")
     table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
     table(spark, dir, "supplier").createOrReplaceTempView("supplier")
     table(spark, dir, "nation").createOrReplaceTempView("nation")
     table(spark, dir, "orders").createOrReplaceTempView("orders")
+    val hint = dimHint(spark, dir, Seq(("part", 0.05, 0.1, false)))
     spark.sql(
-      """WITH partsupp AS (
+      s"""WITH partsupp AS (
         |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
         |         min(l_extendedprice / l_quantity) AS ps_supplycost
         |  FROM lineitem GROUP BY l_partkey, l_suppkey)
         |SELECT nation, yr,
         |       round(sum(amount) / cast(10000.0 as double), 4) AS sum_profit,
         |       count(*) AS n_lines
-        |FROM (SELECT /*+ BROADCAST(part) */ n_name AS nation, year(o_orderdate) AS yr,
+        |FROM (SELECT ${hint}n_name AS nation, year(o_orderdate) AS yr,
         |             cast(round(l_extendedprice * (1 - l_discount) * 10000, 0) as bigint)
         |             - cast(round(ps_supplycost * cast(0.5 as double) * l_quantity * 10000, 0) as bigint)
         |               AS amount

@@ -201,6 +201,33 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"q19 nested loop:\n$p")
   }
 
+  test("B45/B48/B49: dimHint self-disables past the conf boundary and yields to CBO where estimable") {
+    // default boundary: the hint fires (the sf100 A/B plans unchanged)
+    assert(Relational.dimHint(spark, dir, Seq(("part", 0.09, 0.33, true)))
+      .contains("BROADCAST(part)"))
+    // past the boundary: no hint — the comment-prose scale limit is now conf
+    spark.conf.set("graft.hints.maxBroadcastBytes", "1")
+    try assert(Relational.dimHint(spark, dir, Seq(("part", 0.09, 0.33, true))) == "")
+    finally spark.conf.unset("graft.hints.maxBroadcastBytes")
+    // CBO on: estimable predicates yield to the stats; contains-filtered
+    // dims (CBO-blind) keep the author hint — and q8's pair splits
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      assert(Relational.dimHint(spark, dir, Seq(("part", 0.09, 0.33, true))) == "")
+      assert(Relational.dimHint(spark, dir, Seq(("part", 0.05, 0.1, false)))
+        .contains("BROADCAST(part)"))
+      assert(Relational.dimHint(spark, dir,
+        Seq(("part", 0.05, 0.1, true), ("customer", 1.0, 0.25, false)))
+        == "/*+ BROADCAST(customer) */ ")
+    } finally spark.conf.unset("spark.sql.cbo.enabled")
+    // correctness is hint-independent: q19 with the hint disabled
+    // returns the identical rows
+    val base = Relational.tpchQ19(spark, dir).collect().toSeq
+    spark.conf.set("graft.hints.maxBroadcastBytes", "1")
+    try assert(Relational.tpchQ19(spark, dir).collect().toSeq == base)
+    finally spark.conf.unset("graft.hints.maxBroadcastBytes")
+  }
+
   test("B46: Q7 nation-pair OR — per-side name factors prune both dim scans") {
     val p = plan(Relational.tpchQ7(spark, dir))
     // nation joins twice; each side's OR-factor (name IN the pair) must
