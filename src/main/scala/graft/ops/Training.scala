@@ -195,7 +195,7 @@ object Training {
     * is O(L·|covered|) — quadratic on a long mostly-boilerplate doc).
     * Empty gaps at the flanks fall out of the hi >= lo guard; docs
     * with no covered interval pass through whole. */
-  private def gapSliceKept(docs: DataFrame, covered: DataFrame): DataFrame =
+  private def gapSliceCore(docs: DataFrame, covered: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .join(covered, Seq("doc_id"), "left")
       .withColumn("kept", expr(
@@ -207,6 +207,9 @@ object Training {
           |                  THEN slice(toks, glo + 1, ghi - glo + 1)
           |                  ELSE array() END))
           |END""".stripMargin))
+
+  private def gapSliceKept(docs: DataFrame, covered: DataFrame): DataFrame =
+    gapSliceCore(docs, covered)
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
         size(col("kept")).cast("long").as("n_kept"),
         md5(concat_ws(" ", col("kept"))).as("kept_md5"))
@@ -650,13 +653,15 @@ object Training {
 
   // ------------------------------------------ C33 pretrain composition
 
-  /** Stages 1–4 of [[pretrainE2E]]: curate → fit BPE → pack → shard
-    * write; returns the shard-file directory (spec entry point). */
+  /** Stages 1–6 of [[pretrainE2E]]: curate → leak-free split → span
+    * excision → fit BPE → pack → shard write; returns the shard-file
+    * directory (spec entry point). */
   private[ops] def writePretrainShards(spark: SparkSession, dir: String): String = {
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val out = Similarity.freshScratch(spark, s"graft_pretrain_${key}_")
     val modelDir = Similarity.freshScratch(spark, s"graft_bpe_e2e_${key}_")
     val poolDir = Similarity.freshScratch(spark, s"graft_pool_${key}_")
+    val keptDir = Similarity.freshScratch(spark, s"graft_kept_${key}_")
     // per-stage wall telemetry: the c33 decade tables in BASELINE.md
     // attribute the composition's cost to its stages from these lines
     def staged[T](name: String)(body: => T): T = {
@@ -666,8 +671,7 @@ object Training {
       r
     }
     // 1. CURATION runs ONCE, materialized to scratch as an id list:
-    //    three downstream consumers (BPE fit, packing, shard plan +
-    //    payload join) would each re-execute the whole LSH /
+    //    the downstream consumers would each re-execute the whole LSH /
     //    decontamination lineage otherwise (Spark plans derived-frame
     //    reuse as recomputation). Ids only — 8 bytes/doc — so the
     //    barrier is tiny at any corpus scale, and disk-backed (unlike a
@@ -677,25 +681,53 @@ object Training {
         .write.mode("overwrite").parquet(poolDir)
     }
     val pool = spark.read.parquet(poolDir)
-    val docs = Relational.table(spark, dir, "documents").join(pool, "doc_id")
-    // 2. the TOKENIZER artifact: fit once on the curated pool (the
+    // 2. LEAK-FREE SPLIT (c37): the Lehmer-gated eval holdout leaves
+    //    the training pool entirely, keyed on near-dup CLUSTERS over
+    //    the FULL corpus — a survivor whose cluster drew the eval side
+    //    must not train, or its eval twin leaks every benchmark it
+    //    touches. One id semi-join; the result rides into the excision
+    //    barrier below rather than materializing separately.
+    val trainIds = Curation.splitLeakFree(spark, dir)
+      .filter(col("split") === "train").select(col("doc_id"))
+      .join(pool, Seq("doc_id"), "left_semi")
+    // 3. SPAN EXCISION (c35b): curation's 13-gram decontamination
+    //    DROPPED heavily-contaminated docs; what survives can still
+    //    carry shorter (≥ w-token) verbatim eval spans — cut those out,
+    //    keep the rest. The kept TEXT is what the tokenizer/packer/
+    //    sharder consume, so this stage is the materialization barrier
+    //    (the id list is no longer enough — the text changed): three
+    //    consumers read keptDir, the excision lineage runs once.
+    staged("split_and_excision") {
+      val docsTbl = Relational.table(spark, dir, "documents")
+      decontamExciseTextAgainst(
+          docsTbl.join(trainIds, Seq("doc_id"), "left_semi")
+            .select(col("doc_id"), col("text")),
+          docsTbl.filter(col("doc_id") % 20 === 0).select(col("doc_id"), col("text")))
+        .write.mode("overwrite").parquet(keptDir)
+    }
+    val docs = spark.read.parquet(keptDir)
+      .join(Relational.table(spark, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id")
+    // 4. the TOKENIZER artifact: fit once on the excised pool (the
     //    thing a training run ships), persisted under the generation
     //    protocol — unlike c32's 95/5 registry split, the composition
     //    tokenizes the same pool it fit on, the production shape
     staged("bpe_fit") {
       fitBpe(spark, docs, modelDir, bpeMerges(spark), bpeMaxWords(spark))
     }
-    // 3. PACK by real tokenizer counts over the curated pool (the c15b
+    // 5. PACK by real tokenizer counts over the excised pool (the c15b
     //    window; its span-stratum `shard` column is internal to packing
     //    and dropped here — the FILE shard below is c25's md5 shard)
     val packed = Curation.packBpeOn(spark,
         docs.select(col("doc_id"), col("lang"), col("text")), modelDir)
       .select(col("doc_id"), col("n_tokens").as("bpe_tokens"),
         col("seq_id"), col("straddles"))
-    // 4. SHARD WRITE: the files a training loader streams — text plus
-    //    the packing columns as payload, physically in pos order (the
-    //    pack stage executes inside this write — stages 3+4 are one
-    //    job by design, so their line reports the fused cost)
+    // 6. SHARD WRITE: the files a training loader streams — the KEPT
+    //    text plus the packing columns as payload, physically in pos
+    //    order; n_chars is the kept length, so part cuts reflect what
+    //    the loader actually reads (the pack stage executes inside
+    //    this write — stages 5+6 are one job by design, so their line
+    //    reports the fused cost)
     staged("pack_and_shard_write") {
       writeShardsOn(spark,
         docs.select(col("doc_id"), col("text"), col("n_chars")).join(packed, "doc_id"),
@@ -705,22 +737,29 @@ object Training {
   }
 
   /** C33 — the FULL pretraining composition, one program: c31 curation
-    * → c32 BPE tokenization → c15b packing (real token counts) → c25b
-    * shard write, answered FROM the re-read shard files. Every stage is
-    * the shipped operator's own code path ([[Pipeline.curateE2E]],
-    * [[fitBpe]]/[[bpeTokensCol]], `Curation.packBpeOn`,
-    * [[writeShardsOn]]), so the composition inherits each stage's scale
-    * design; the only new machinery is the id-list materialization
-    * barrier between curation and its three consumers.
+    * → c37 leak-free split → c35b span excision → c32 BPE tokenization
+    * → c15b packing (real token counts) → c25b shard write, answered
+    * FROM the re-read shard files (round-12 verdict item 8 added the
+    * split and excision stages — the actual production chain). Every
+    * stage is the shipped operator's own code path
+    * ([[Pipeline.curateE2E]], `Curation.splitLeakFree`,
+    * [[decontamExciseTextAgainst]], [[fitBpe]]/[[bpeTokensCol]],
+    * `Curation.packBpeOn`, [[writeShardsOn]]), so the composition
+    * inherits each stage's scale design; the only new machinery is the
+    * two materialization barriers (curated ids; excised kept text —
+    * needed because excision CHANGES the text its three consumers
+    * read).
     *
-    * Oracle: the c31 stage oracle's CTE chain extended with the c25/
-    * c25b shard SQL over the SURVIVORS — hash-matching it proves the
-    * written files carry exactly the curated pool in exactly the
-    * planned permutation and part cuts. The BPE-derived payload columns
-    * (bpe_tokens, seq_id, straddles) ride in the FILES but not in this
-    * oracle-checked answer — BPE is not SQL-expressible (the c32/c15b
-    * rows-only doctrine); the spec re-verifies them from the re-read
-    * files against a plain-Scala recomputation instead. */
+    * Oracle: the c31 stage oracle's CTE chain extended with the c37
+    * closure gate, the c35b kept-text reconstruction, and the c25/c25b
+    * shard SQL over the kept lengths — hash-matching it proves the
+    * written files carry exactly the split-gated, span-excised curated
+    * pool in exactly the planned permutation and part cuts. The
+    * BPE-derived payload columns (bpe_tokens, seq_id, straddles) ride
+    * in the FILES but not in this oracle-checked answer — BPE is not
+    * SQL-expressible (the c32/c15b rows-only doctrine); the spec
+    * re-verifies them from the re-read files against a plain-Scala
+    * recomputation instead. */
   def pretrainE2E(spark: SparkSession, dir: String): DataFrame = {
     val out = writePretrainShards(spark, dir)
     spark.read.parquet(out)
@@ -790,6 +829,22 @@ object Training {
     val train = df.filter(col("doc_id") % 20 =!= 0)
     gapSliceKept(train,
       coveredIntervals(spanWindows(train, w).join(broadcast(evalH), Seq("h")), w))
+  }
+
+  /** The c35b excision of `train` against an EXPLICIT eval frame,
+    * emitting the kept TEXT — the consumable form the c33 composition
+    * feeds to the tokenizer/packer/sharder (the md5 form above is the
+    * audit answer; a pipeline needs the remainder itself). Same scale
+    * shape: eval hashes broadcast, train pass map-only, O(L) gap-slice
+    * reconstruction. */
+  private[graft] def decontamExciseTextAgainst(train: DataFrame,
+                                               evalDocs: DataFrame): DataFrame = {
+    val w = effectiveSpanTokens(train.sparkSession)
+    val evalH = spanWindows(evalDocs, w).select(col("h")).distinct()
+    gapSliceCore(train,
+        coveredIntervals(spanWindows(train, w).join(broadcast(evalH), Seq("h")), w))
+      .select(col("doc_id"), concat_ws(" ", col("kept")).as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
   // --------------------------------------- C36 overlapping chunking
@@ -1011,14 +1066,52 @@ object Training {
          |  md5(string_agg(cast(doc_id as varchar), ',' ORDER BY pos)) AS doc_md5
          |FROM p GROUP BY shard, part ORDER BY shard, part""".stripMargin,
     // the c31 stage-oracle CTE chain (ending at `r`) extended with the
-    // c25/c25b shard SQL over the curation survivors — the chained
+    // c37 closure gate (np/edges/reach reuse curateCtes' pairs/sizes —
+    // the SAME pair graph, so no duplicate CTEs), the c35b kept-text
+    // reconstruction against the eval split's window set, and the
+    // c25/c25b shard SQL over the KEPT lengths — the chained
     // whole-pipeline oracle (stage-oracle composition, the c31 doctrine)
     "c33_pretrain_e2e" ->
-      s"""WITH ${Pipeline.curateCtes},
+      s"""WITH RECURSIVE ${Pipeline.curateCtes},
+         |np AS (SELECT da, db FROM pairs
+         |  JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+         |  WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.8),
+         |edges AS (SELECT da AS src, db AS dst FROM np UNION ALL SELECT db, da FROM np),
+         |reach AS (
+         |  SELECT src AS id, src AS node FROM edges
+         |  UNION
+         |  SELECT r2.id, e.dst FROM reach r2 JOIN edges e ON r2.node = e.src),
+         |labels AS (SELECT id AS doc_id, min(node) AS cluster_id FROM reach GROUP BY id),
          |survivors AS (SELECT doc_id FROM r WHERE rank <= ${Curation.sourceCap}),
-         |t AS (SELECT d.doc_id, d.n_chars,
-         |    md5(concat('shard:', cast(d.doc_id as varchar))) AS k
-         |  FROM documents d JOIN survivors USING (doc_id)),
+         |trainpool AS (SELECT s0.doc_id FROM survivors s0 LEFT JOIN labels l USING (doc_id)
+         |  WHERE ${Curation.lehmerSql("coalesce(l.cluster_id, s0.doc_id)")} >= ${Curation.evalThresh}),
+         |tt AS (SELECT d.doc_id, string_split(d.text, ' ') AS toks
+         |  FROM documents d JOIN trainpool USING (doc_id)),
+         |evw AS (SELECT DISTINCT array_to_string(toks[i+1:i+$activeSpanTokens], ' ') AS win
+         |  FROM (SELECT string_split(text, ' ') AS toks FROM documents
+         |        WHERE doc_id % 20 = 0) te,
+         |       UNNEST(range(len(toks) - ${activeSpanTokens - 1})) AS u(i)
+         |  WHERE len(toks) >= $activeSpanTokens),
+         |wt AS (SELECT doc_id, i,
+         |    array_to_string(toks[i+1:i+$activeSpanTokens], ' ') AS win
+         |  FROM tt, UNNEST(range(len(toks) - ${activeSpanTokens - 1})) AS u(i)
+         |  WHERE len(toks) >= $activeSpanTokens),
+         |cov AS (SELECT doc_id, list(DISTINCT p) AS cov
+         |  FROM (SELECT wt.doc_id, c.p FROM wt JOIN evw USING (win),
+         |        UNNEST(range(wt.i, wt.i + $activeSpanTokens)) AS c(p))
+         |  GROUP BY doc_id),
+         |kx AS (SELECT tt.doc_id,
+         |    CASE WHEN cov IS NULL THEN toks
+         |         ELSE list_transform(
+         |                list_filter(list_transform(range(len(toks)),
+         |                              i -> {'i': i, 'tk': toks[i+1]}),
+         |                            s -> NOT list_contains(cov, s.i)),
+         |                s -> s.tk) END AS kept
+         |  FROM tt LEFT JOIN cov ON tt.doc_id = cov.doc_id),
+         |t AS (SELECT doc_id,
+         |    len(array_to_string(kept, ' ')) AS n_chars,
+         |    md5(concat('shard:', cast(doc_id as varchar))) AS k
+         |  FROM kx),
          |s AS (SELECT doc_id, n_chars, k, ${shardExpr(activeShardCount)} AS shard FROM t),
          |p AS (SELECT doc_id, n_chars, shard,
          |    row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos,

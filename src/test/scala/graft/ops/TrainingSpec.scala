@@ -158,11 +158,15 @@ class TrainingSpec extends AnyFunSuite with SparkTestSession {
         col("seq_id"), col("straddles"))
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3), r.getBoolean(4)))
-    // 1. file doc set == the c31 survivors, each exactly once
+    // 1. file doc set == the c31 survivors GATED by the c37 train side
+    //    (the round-13 composition: the leak-free eval holdout leaves
+    //    the pool entirely; excision changes text, never membership)
     val pool = Pipeline.curateE2E(spark, dir).select("doc_id")
+      .join(Curation.splitLeakFree(spark, dir)
+        .filter(col("split") === "train").select("doc_id"), Seq("doc_id"), "left_semi")
       .collect().map(_.getLong(0)).sorted
     assert(rows.map(_._1).sorted.toSeq === pool.toSeq,
-      "shard files do not carry exactly the curated pool")
+      "shard files do not carry exactly the split-gated curated pool")
     // 2. recompute the packing in plain Scala: per (lang, doc_id div
     //    span) stratum in doc_id order, running token sums cut at the
     //    512 budget; seq_id = chunk of the doc's first token
