@@ -494,9 +494,11 @@ object Relational {
     *     estimator lacks and CBO lacks for LIKE '%…%');
     *   - the hint names the table only while that estimate fits
     *     `graft.hints.maxBroadcastBytes` (default 1 GiB — one
-    *     comfortable executor build; with the stated fractions part
-    *     crosses it ≈ sf1400 and customer ≈ sf400, mechanizing the
-    *     prose boundaries);
+    *     comfortable executor build; measured against the sf100
+    *     fixture bytes, q8's unfiltered customer estimate is ~280 MB
+    *     → crosses ≈ sf380, q19's part ~43 MB → ≈ sf2500, the LIKE
+    *     sites ~7 MB → far out — mechanizing the prose boundaries,
+    *     customer first exactly as the comments used to say);
     *   - when CBO is enabled (`spark.sql.cbo.enabled`, the
     *     SPARK_GRAFT_STATS path) and the predicate is ESTIMABLE by
     *     column stats (equality/range — not contains), the hint
@@ -686,7 +688,7 @@ object Relational {
   // hint makes the REGISTRY plan right without a stats setup step.
   // Boundary: [[dimHint]] — ~9% of part × 3 columns; the hint
   // self-disables when the estimated build exceeds
-  // graft.hints.maxBroadcastBytes (≈ sf1400 at the 1 GiB default),
+  // graft.hints.maxBroadcastBytes (≈ sf2500 at the 1 GiB default),
   // and yields to CBO when stats are on (brand/size ARE estimable).
   def tpchQ19(spark: SparkSession, dir: String): DataFrame = {
     table(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -794,7 +796,7 @@ object Relational {
   // the retired 64 MB posture used to win — measured sf100 A/B with the
   // part hint in place: 22.8 s / 4.54 GB broadcast vs 32.1 s / 6.93 GB
   // sort-merged. Tighter boundary than the part hints (no filter, the
-  // whole pruned table broadcasts — [[dimHint]] disables it ≈ sf400 at
+  // whole pruned table broadcasts — [[dimHint]] disables it ≈ sf380 at
   // the default bound, first of the four to go when scaling out; not
   // estimable: stats price width, the win is author A/B knowledge).
   def tpchQ8(spark: SparkSession, dir: String): DataFrame = {
