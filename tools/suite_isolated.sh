@@ -30,10 +30,14 @@ if [ -n "$ONLY" ]; then QUERIES="${ONLY//,/ }"; fi
 : > "$OUT"
 for q in $QUERIES; do
   echo "[isolated] $q" >&2
+  # full per-query log kept for diagnosis — the grep used to eat the
+  # stack trace when a query died
+  QLOG="${OUT%.jsonl}_${q}.log"
   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   java -Xmx96g $ADDOPENS -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-    graft.tools.TpchSuite "$SF_DIR" "$q" 2>&1 \
-    | grep -E '^\{"q":' >> "$OUT" || echo "{\"query\":\"$q\",\"err\":true}" >> "$OUT"
+    graft.tools.TpchSuite "$SF_DIR" "$q" > "$QLOG" 2>&1 \
+    || echo "{\"query\":\"$q\",\"err\":true}" >> "$OUT"
+  grep -E '^\{"q":' "$QLOG" >> "$OUT" || true
 done
 python3 - "$OUT" <<'EOF'
 import json, sys
