@@ -1066,22 +1066,39 @@ object Training {
          |  md5(string_agg(cast(doc_id as varchar), ',' ORDER BY pos)) AS doc_md5
          |FROM p GROUP BY shard, part ORDER BY shard, part""".stripMargin,
     // the c31 stage-oracle CTE chain (ending at `r`) extended with the
-    // c37 closure gate (np/edges/reach reuse curateCtes' pairs/sizes —
-    // the SAME pair graph, so no duplicate CTEs), the c35b kept-text
-    // reconstruction against the eval split's window set, and the
+    // c37 closure gate, the c35b kept-text reconstruction, and the
     // c25/c25b shard SQL over the KEPT lengths — the chained
-    // whole-pipeline oracle (stage-oracle composition, the c31 doctrine)
+    // whole-pipeline oracle (stage-oracle composition, the c31
+    // doctrine). The closure here is CONTRACTED to unique-text reps
+    // (keepers): Jaccard depends only on text, so exact-copy groups
+    // are cliques whose component structure equals the rep graph's,
+    // and min doc_id per component = min rep id (each rep IS its
+    // group's min) — identical labels to the c37 full-closure oracle.
+    // The contraction is a NECESSITY, not a nicety: at sf1 the
+    // composed query with the doc-level recursion spilled DuckDB past
+    // 55 GB of temp (the planner re-derives the pair join inside the
+    // recursion when the surrounding chain is large enough), while
+    // the rep-level recursion's subtree is unique-texts-sized and
+    // cheap even fully inlined per iteration.
     "c33_pretrain_e2e" ->
       s"""WITH RECURSIVE ${Pipeline.curateCtes},
-         |np AS (SELECT da, db FROM pairs
+         |rex AS (SELECT ex.doc_id, ex.s FROM ex JOIN keepers USING (doc_id)),
+         |rpairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         |  FROM rex a JOIN rex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |rnp AS (SELECT da, db FROM rpairs
          |  JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
          |  WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 4) >= 0.8),
-         |edges AS (SELECT da AS src, db AS dst FROM np UNION ALL SELECT db, da FROM np),
-         |reach AS (
-         |  SELECT src AS id, src AS node FROM edges
+         |redges AS (SELECT da AS src, db AS dst FROM rnp UNION ALL SELECT db, da FROM rnp),
+         |rreach AS (
+         |  SELECT src AS id, src AS node FROM redges
          |  UNION
-         |  SELECT r2.id, e.dst FROM reach r2 JOIN edges e ON r2.node = e.src),
-         |labels AS (SELECT id AS doc_id, min(node) AS cluster_id FROM reach GROUP BY id),
+         |  SELECT r2.id, e.dst FROM rreach r2 JOIN redges e ON r2.node = e.src),
+         |rlabels AS (SELECT id AS rep, min(node) AS rcluster FROM rreach GROUP BY id),
+         |grp AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep,
+         |    count(*) OVER (PARTITION BY text) AS gcnt FROM documents),
+         |labels AS (SELECT g.doc_id, coalesce(rl.rcluster, g.rep) AS cluster_id
+         |  FROM grp g LEFT JOIN rlabels rl ON g.rep = rl.rep
+         |  WHERE g.gcnt > 1 OR rl.rep IS NOT NULL),
          |survivors AS (SELECT doc_id FROM r WHERE rank <= ${Curation.sourceCap}),
          |trainpool AS (SELECT s0.doc_id FROM survivors s0 LEFT JOIN labels l USING (doc_id)
          |  WHERE ${Curation.lehmerSql("coalesce(l.cluster_id, s0.doc_id)")} >= ${Curation.evalThresh}),
