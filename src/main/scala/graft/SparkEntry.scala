@@ -38,10 +38,10 @@ object SparkEntry {
     // SOURCE files (sizeInBytes is the compressed file size). Default 8
     // is the measured zstd-parquet ratio on this data (BASELINE.md); a
     // differently-compressed source (snappy ~4, uncompressed 1) should
-    // set it so write parallelism tracks actual raw volume.
-    val compressionFactor = spark.conf.getOption("graft.io.compressionFactor")
-      .map(_.toLong).getOrElse(8L)
-    val target = (sizeBytes * compressionFactor / (64L << 20)).toLong.toInt.max(1)
+    // set it so write parallelism tracks actual raw volume. Shared
+    // accessor with Relational.dimHint (round-13 advice).
+    val target = (sizeBytes.toDouble * Relational.compressionFactor(spark)
+      / (64L << 20)).toLong.toInt.max(1)
       .min(spark.sparkContext.defaultParallelism)
     val sized = if (target > src.rdd.getNumPartitions) src.repartition(target) else src
     OrcIO.writeOrc(sized, path, OrcIO.WriteOptions(overwrite = true))

@@ -328,10 +328,7 @@ object Curation {
                    maxRoundsDefault: Int = 50): DataFrame = {
     val maxRounds = spark.conf.getOption("graft.cluster.maxRounds")
       .map(_.toInt).getOrElse(maxRoundsDefault)
-    val reliableDir = spark.conf.getOption("graft.checkpoint.dir")
-    reliableDir.foreach(spark.sparkContext.setCheckpointDir)
-    def pin(df: DataFrame): DataFrame =
-      if (reliableDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    def pin(df: DataFrame): DataFrame = Scale.pin(df)
     val pairs = pin(pairDf.toDF("da", "db"))
     val edges = pairs.unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
     var labels = edges.select(col("da").as("id")).distinct()

@@ -630,14 +630,26 @@ object Pipeline {
     * doctrine) holding
     *   - `terms/`    (tok, dfq, idf_micro) — the c41b vocab table; the
     *     stored df is what rare-term selection ranks by at query time,
-    *   - `scalars/`  (s_total, n_docs),
-    *   - `postings/` (tok, doc_id, score_micro) — per term, the top-
-    *     [[postingCap]] postings by the term's FULL BM25 contribution,
-    *     impact-ordered (WAND family). The cap is applied AT BUILD, so
-    *     query-time sparse work is ≤ terms × cap regardless of posting
-    *     density, and the index is ~cap×vocab rows of 8-byte triples —
-    *     a small fraction of corpus bytes (the c27 shape on the
-    *     lexical side).
+    *   - `scalars/`  (s_total, n_docs, posting_cap) — the cap is an
+    *     INDEX property, baked into the stored postings, so it rides
+    *     the generation: [[appendLexIndex]]/[[compactLexIndex]]
+    *     re-truncate at the cap the index was BUILT at, never at
+    *     whatever the session conf happens to say (round-13 advice),
+    *   - `postings/` (tok, doc_id, tf, dl, score_micro) — per term,
+    *     the top-[[postingCap]] postings by the term's FULL BM25
+    *     contribution, impact-ordered (WAND family). The cap is
+    *     applied AT BUILD, so query-time sparse work is ≤ terms × cap
+    *     regardless of posting density, and the index is ~cap×vocab
+    *     narrow rows — a small fraction of corpus bytes (the c27 shape
+    *     on the lexical side). The raw (tf, dl) facts ride each row
+    *     (two extra longs; score reads prune them away) because every
+    *     global statistic moves on append/delete (n_docs and s_total
+    *     enter every score) — maintenance RESCORES the stored rows
+    *     from the raw facts instead of refitting the corpus,
+    *   - `doclens/`  (doc_id, dl) — one narrow row per indexed
+    *     document (the IVF ids-sidecar doctrine): the append path's
+    *     loud live-id guard and the delete path's exact
+    *     (s_total, n_docs) decrement both read this, never the corpus.
     * Cost: one tokenize pass, one (doc, tok) tf shuffle, one tok-keyed
     * truncation window (WindowGroupLimit bounds per-group state at the
     * cap). The idf join is tok-keyed and UNHINTED — at web scale the
@@ -650,33 +662,76 @@ object Pipeline {
     val scalars = d.agg(
       sum(col("dl").cast("long")).as("s_total"),
       count(lit(1)).as("n_docs"))
-    val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
-      .groupBy(col("doc_id"), col("dl"), col("tok")).agg(count(lit(1)).as("tf"))
-      // tf feeds the terms aggregate AND the postings join — cut the
-      // lineage or the corpus explode runs twice (the c43b doctrine);
-      // unlike c43b's query-term-bounded tf this is the FULL posting
-      // set, but the fit is the one place that cost belongs
-      .localCheckpoint()
-    val terms = tf.groupBy(col("tok")).agg(count(lit(1)).as("dfq"))
-      .crossJoin(broadcast(scalars))
-      .withColumn("idf_micro", expr(bm25IdfExpr))
-      .select(col("tok"), col("dfq"), col("idf_micro"), col("s_total"), col("n_docs"))
-      .localCheckpoint()
+    // tf feeds the terms aggregate AND the postings join — cut the
+    // lineage or the corpus explode runs twice (the c43b doctrine);
+    // unlike c43b's query-term-bounded tf this is the FULL posting set
+    // — the fit's largest intermediate (≈ one (doc_id, dl, tok, tf)
+    // row per distinct (doc, term); the fit's disk high-water mark,
+    // BASELINE "lex fit disk obligation") — and the one place that
+    // cost belongs. [[Scale.pin]]: executor-local blocks on local[n],
+    // reliable checkpoint onto `graft.checkpoint.dir` on a cluster,
+    // where losing an executor mid-fit must not restart the corpus
+    // pass (round-13 verdict, What's wrong #2).
+    val tf = Scale.pin(
+      d.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+        .groupBy(col("doc_id"), col("dl"), col("tok")).agg(count(lit(1)).as("tf")))
+    val terms = Scale.pin(
+      tf.groupBy(col("tok")).agg(count(lit(1)).as("dfq"))
+        .crossJoin(broadcast(scalars))
+        .withColumn("idf_micro", expr(bm25IdfExpr))
+        .select(col("tok"), col("dfq"), col("idf_micro"), col("s_total"), col("n_docs")))
+    val cap = postingCap(spark)
+    val postings = truncatePostings(
+      tf.join(terms, "tok")
+        .withColumn("score_micro", expr(bm25RationalExpr)), cap)
+    commitLexGen(spark, indexDir,
+      terms = terms.select(col("tok"), col("dfq"), col("idf_micro")),
+      scalars = scalars.withColumn("posting_cap", lit(cap.toLong)),
+      postings = postings,
+      doclens = tf.select(col("doc_id"), col("dl")).distinct())
+  }
+
+  /** Impact-ordered truncation shared by fit, append, and compaction:
+    * per term, keep the cap's highest-impact postings (score desc,
+    * doc_id tiebreak — deterministic; WindowGroupLimit bounds
+    * per-group state at the cap). Input needs (tok, doc_id, tf, dl,
+    * score_micro) in scope. */
+  private def truncatePostings(scored: DataFrame, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wp = Window.partitionBy(col("tok"))
       .orderBy(col("score_micro").desc, col("doc_id"))
-    val postings = tf.join(terms, "tok")
-      .withColumn("score_micro", expr(bm25RationalExpr))
-      .select(col("tok"), col("doc_id"), col("score_micro"))
+    scored
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"), col("score_micro"))
       .withColumn("prk", row_number().over(wp))
-      .filter(col("prk") <= postingCap(spark))
-      .select(col("tok"), col("doc_id"), col("score_micro"))
+      .filter(col("prk") <= cap)
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"), col("score_micro"))
+  }
+
+  /** Commit the four lex tables as the next `lex.gN` — single root
+    * marker AFTER all four land (the [[commitBm25Stats]] atomicity
+    * doctrine: a reader can never pair tables from different fits);
+    * superseded generations GC'd only after the commit. */
+  private def commitLexGen(spark: SparkSession, indexDir: String,
+      terms: DataFrame, scalars: DataFrame, postings: DataFrame,
+      doclens: DataFrame): Unit = {
     val (genDir, oldGens) = IndexMeta.nextGen(spark, indexDir, "lex")
-    terms.select(col("tok"), col("dfq"), col("idf_micro"))
-      .write.mode("overwrite").parquet(s"$genDir/terms")
+    terms.write.mode("overwrite").parquet(s"$genDir/terms")
     scalars.coalesce(1).write.mode("overwrite").parquet(s"$genDir/scalars")
     postings.write.mode("overwrite").parquet(s"$genDir/postings")
+    doclens.write.mode("overwrite").parquet(s"$genDir/doclens")
     IndexMeta.createMarker(spark, s"$genDir/_SUCCESS")
     oldGens.foreach(IndexMeta.delete(spark, _))
+  }
+
+  /** The build-time posting cap of a live lex generation (scalars'
+    * `posting_cap` column); pre-cap-column generations (round 13) fall
+    * back to the session conf, the only cap they could have been
+    * built at. */
+  private def lexStoredCap(spark: SparkSession, genDir: String): Int = {
+    val sc = spark.read.parquet(s"$genDir/scalars")
+    if (sc.columns.contains("posting_cap"))
+      sc.select(col("posting_cap")).head().getLong(0).toInt
+    else postingCap(spark)
   }
 
   /** C43c score — batch hybrid retrieval where the sparse leg reads
@@ -694,13 +749,262 @@ object Pipeline {
     * `queryDocs` is the arrival batch's (doc_id, text); `queryVecs`
     * its (vec_id, embedding) dense vectors; `annDir` the persisted IVF
     * index for the dense leg. */
+  /** C43d — INCREMENTAL lexical-index append (round-13 verdict item 1:
+    * `fitLexIndex` was the only way postings entered `lex.gN`, so an
+    * arrival batch could not join sparse retrieval without a full
+    * corpus refit). The merge is Θ(index + batch), never
+    * corpus-bounded — the old corpus' text is NEVER re-read (the
+    * batch is pinned first, so every downstream plan reads only the
+    * pinned batch and the stored tables; PlanSpec):
+    *   1. df and the (s_total, n_docs) scalars are additive over
+    *      disjoint corpora — the [[appendBm25Stats]] merge verbatim
+    *      (batch-vocab aggregate full-outer-joined onto the stored
+    *      terms table);
+    *   2. idf recomputes for EVERY term from the merged (dfq, n_docs)
+    *      — n_docs changed globally, so every idf moves (vocab-bounded
+    *      map work);
+    *   3. postings RESCORE from the stored raw (tf, dl) facts union
+    *      the batch's, under the merged statistics — s_total and
+    *      n_docs enter every score, so the rescore touches the whole
+    *      ≤cap×vocab index table (index-bounded, one tok-keyed join)
+    *      — then re-truncate at the STORED build cap. Exact ≡ refit
+    *      whenever every posting list fits the cap (spec-pinned,
+    *      term-for-term, bit-identical scores: same tf/dl/dfq/S/N
+    *      through the same [[bm25IdfExpr]]/[[bm25RationalExpr]]);
+    *      above the cap, a batch posting can only displace a stored
+    *      one through the same impact order a refit would apply, but
+    *      postings the BUILD already truncated away cannot re-enter —
+    *      the documented staleness, repaired by the next full fit.
+    * Idempotent under `batchId` replay (the [[Similarity.
+    * appendToIvfIndex]] marker protocol — created only AFTER the new
+    * generation commits, so a crash mid-append replays into a clean
+    * retry, never a double-count). Ids already indexed, or tombstoned
+    * and not yet compacted, are rejected LOUDLY (the append-id-check
+    * doctrine): a double-insert would double df and serve two posting
+    * rows per (term, doc); a tombstone re-insert would resurrect
+    * stats the next compaction then corrupts. */
+  def appendLexIndex(spark: SparkSession, lexDir: String, batch: DataFrame,
+                     batchId: Option[String] = None): Unit = {
+    val marker = batchId.map(b =>
+      s"$lexDir/_appended_${b.replaceAll("[^A-Za-z0-9._-]", "_")}")
+    if (marker.exists(IndexMeta.exists(spark, _))) return
+    val g = IndexMeta.requireLive(spark, lexDir, "lex")
+    require(spark.read.parquet(s"$g/postings").columns.contains("tf"),
+      s"lex generation $g predates the raw-fact postings layout " +
+        "(no tf/dl columns) — appends cannot rescore it; refit with " +
+        "fitLexIndex first")
+    val cap = lexStoredCap(spark, g)
+    // pin the batch: it feeds four consumers (id guard, scalars delta,
+    // df delta, postings union) — and pinning is what makes the
+    // no-old-corpus-read property STRUCTURAL rather than incidental
+    val d = Scale.pin(batch
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks"))))
+    val doclens = spark.read.parquet(s"$g/doclens")
+    val tombIds = lexTombstones(spark, lexDir)
+      .map(_.select(col("doc_id")))
+      .getOrElse(spark.range(0).select(col("id").as("doc_id")))
+    val clash = doclens.select(col("doc_id")).unionByName(tombIds)
+      .join(broadcast(d.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+      .limit(5).collect().map(_.getLong(0))
+    require(clash.isEmpty,
+      s"batch re-inserts doc ids ${clash.mkString(", ")} already indexed " +
+        s"(or tombstoned and awaiting compaction) in $lexDir — a " +
+        "double-insert double-counts df and serves duplicate postings; " +
+        "dedup the batch (or compact first) and retry")
+    // 1. additive scalars
+    val delta = d.agg(sum(col("dl").cast("long")), count(lit(1))).head()
+    val prev = spark.read.parquet(s"$g/scalars").select("s_total", "n_docs").head()
+    val (s2, n2) = (prev.getLong(0) + delta.getLong(0), prev.getLong(1) + delta.getLong(1))
+    val (merged, postings, newLens) = mergedLexFrames(spark, g, d, s2, n2, cap)
+    commitLexGen(spark, lexDir,
+      terms = merged,
+      scalars = spark.range(1).select(lit(s2).as("s_total"), lit(n2).as("n_docs"),
+        lit(cap.toLong).as("posting_cap")),
+      postings = postings,
+      doclens = newLens)
+    marker.foreach(IndexMeta.createMarker(spark, _))
+  }
+
+  /** The append merge's three output frames — (terms, postings,
+    * doclens) — from the stored generation `g` and the PINNED batch
+    * `d` (doc_id, toks, dl). A separate seam so PlanSpec can pin the
+    * no-old-corpus-read property on the production plans themselves:
+    * every input here is the pinned batch or a stored index table, so
+    * no plan may contain a corpus file scan. */
+  private[graft] def mergedLexFrames(spark: SparkSession, g: String, d: DataFrame,
+      s2: Long, n2: Long, cap: Int): (DataFrame, DataFrame, DataFrame) = {
+    // 2. additive df, idf recomputed for every term under merged stats
+    val deltaDf = d.select(explode(array_distinct(col("toks"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("ddf"))
+    val merged = spark.read.parquet(s"$g/terms")
+      .select(col("tok"), col("dfq"))
+      .join(deltaDf, Seq("tok"), "full_outer")
+      .select(col("tok"),
+        (coalesce(col("dfq"), lit(0L)) + coalesce(col("ddf"), lit(0L))).as("dfq"))
+      .withColumn("n_docs", lit(n2))
+      .withColumn("idf_micro", expr(bm25IdfExpr))
+      .select(col("tok"), col("dfq"), col("idf_micro"))
+    // 3. rescore stored + batch raw facts under the merged statistics,
+    //    re-truncate at the stored cap
+    val batchTf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("dl"), col("tok")).agg(count(lit(1)).as("tf"))
+    val allFacts = spark.read.parquet(s"$g/postings")
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
+      .unionByName(batchTf.select(col("tok"), col("doc_id"), col("tf"), col("dl")))
+    val postings = truncatePostings(
+      allFacts.join(merged.select(col("tok"), col("idf_micro")), "tok")
+        .withColumn("s_total", lit(s2)).withColumn("n_docs", lit(n2))
+        .withColumn("score_micro", expr(bm25RationalExpr)), cap)
+    val newLens = spark.read.parquet(s"$g/doclens")
+      .unionByName(d.select(col("doc_id"), col("dl")))
+    (merged, postings, newLens)
+  }
+
+  /** The lex index's tombstone table, if any deletes are pending. */
+  private def lexTombstones(spark: SparkSession, lexDir: String): Option[DataFrame] = {
+    val t = s"$lexDir/tombstones"
+    if (IndexMeta.exists(spark, t)) Some(spark.read.parquet(t)) else None
+  }
+
+  /** C43e — lexical TAKEDOWN: tombstone doc ids as a side table
+    * (O(deletes) — one narrow parquet append, the
+    * [[Similarity.deleteFromIvfIndex]] LSM discipline; never a layout
+    * rewrite). Every sparse-leg read anti-joins the broadcast
+    * tombstones, so a deleted document is invisible to the NEXT query
+    * batch — takedown latency is one append, a compliance property
+    * (round-13 verdict item 3: a redacted/DMCA'd doc must not stay
+    * retrievable until a full refit). Idempotent: re-deleting an id
+    * (or an id already compacted away, or never indexed) is a no-op in
+    * the anti-join. Corpus statistics (df, s_total, n_docs) stay
+    * STALE until [[compactLexIndex]] — the documented bound: staleness
+    * is at most the tombstone window, and compaction cadence bounds
+    * the window exactly as the IVF family's does. */
+  def deleteLexDocs(spark: SparkSession, lexDir: String, ids: DataFrame): Unit =
+    ids.select(col("doc_id")).coalesce(1)
+      .write.mode("append").parquet(s"$lexDir/tombstones")
+
+  /** C43e compaction — make lexical deletes physical and the
+    * statistics exact again: one new `lex.gN` rebuilt from the STORED
+    * tables only (index-bounded, never a corpus read):
+    *   - doclens/postings drop tombstoned ids (anti-join);
+    *   - scalars recompute EXACTLY from the surviving doclens
+    *     (s_total = Σ dl, n_docs = count — the sidecar exists for
+    *     this);
+    *   - df decrements per term by the dropped (tok, doc) postings;
+    *     terms with no surviving df leave the vocab; idf recomputes
+    *     for every survivor under the new (dfq, n_docs);
+    *   - every surviving posting RESCORES under the new statistics
+    *     and re-truncates at the stored cap.
+    * Exact ≡ refit-on-survivors whenever every posting list fit the
+    * cap (spec-pinned, term-for-term). Above the cap, two documented
+    * staleness classes survive until a full refit: df of (term, doc)
+    * pairs the BUILD truncated away never decrements, and capped-out
+    * postings cannot re-enter a list deletion shortened. Tombstones
+    * clear only AFTER the new generation commits — a crash between
+    * commit and clear replays the tombstones against a layout that no
+    * longer contains them: a no-op (idempotent, the c27 crash
+    * doctrine). */
+  def compactLexIndex(spark: SparkSession, lexDir: String): Unit = {
+    val tomb = lexTombstones(spark, lexDir).getOrElse(return)
+    val g = IndexMeta.requireLive(spark, lexDir, "lex")
+    require(spark.read.parquet(s"$g/postings").columns.contains("tf"),
+      s"lex generation $g predates the raw-fact postings layout — " +
+        "compaction cannot rescore it; refit with fitLexIndex first")
+    val cap = lexStoredCap(spark, g)
+    val tombIds = broadcast(tomb.select(col("doc_id")).distinct())
+    val keptLens = spark.read.parquet(s"$g/doclens")
+      .join(tombIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // feeds the scalar aggregate AND the commit
+    val sc = keptLens.agg(
+      coalesce(sum(col("dl").cast("long")), lit(0L)).as("s_total"),
+      count(lit(1)).as("n_docs")).head()
+    val (s2, n2) = (sc.getLong(0), sc.getLong(1))
+    val stored = spark.read.parquet(s"$g/postings")
+    // per-term df decrement = dropped stored (tok, doc) pairs; pairs
+    // the build truncated away are the documented above-cap staleness
+    val drops = stored.join(tombIds, Seq("doc_id"), "left_semi")
+      .groupBy(col("tok")).agg(count(lit(1)).as("ndrop"))
+    val merged = spark.read.parquet(s"$g/terms")
+      .select(col("tok"), col("dfq"))
+      .join(drops, Seq("tok"), "left_outer")
+      .select(col("tok"), (col("dfq") - coalesce(col("ndrop"), lit(0L))).as("dfq"))
+      .filter(col("dfq") > 0)
+      .withColumn("n_docs", lit(n2))
+      .withColumn("idf_micro", expr(bm25IdfExpr))
+      .select(col("tok"), col("dfq"), col("idf_micro"))
+    val postings = truncatePostings(
+      stored.join(tombIds, Seq("doc_id"), "left_anti")
+        .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
+        .join(merged.select(col("tok"), col("idf_micro")), "tok")
+        .withColumn("s_total", lit(s2)).withColumn("n_docs", lit(n2))
+        .withColumn("score_micro", expr(bm25RationalExpr)), cap)
+    commitLexGen(spark, lexDir,
+      terms = merged,
+      scalars = spark.range(1).select(lit(s2).as("s_total"), lit(n2).as("n_docs"),
+        lit(cap.toLong).as("posting_cap")),
+      postings = postings,
+      doclens = keptLens)
+    IndexMeta.delete(spark, s"$lexDir/tombstones")
+  }
+
+  /** Fraction of a query batch's DISTINCT terms absent from the stored
+    * vocabulary — the lexical analogue of [[Similarity.quantizerDrift]]
+    * (round-13 verdict): [[hybridScoreIndexed]]'s inner join correctly
+    * drops never-seen terms (no stats, no postings), but a RISING OOV
+    * fraction means the query distribution has drifted off the fitted
+    * corpus and the sparse leg is going quietly blind — the signal an
+    * operator refits on. Cost: one distinct over the batch-bounded
+    * query tokens + one map-only semi-join streaming the vocab table
+    * once. An all-known-terms batch reads exactly 0.0 (spec-pinned). */
+  private[graft] def lexOovFraction(spark: SparkSession, lexDir: String,
+                                    queryDocs: DataFrame): Double = {
+    val g = IndexMeta.requireLive(spark, lexDir, "lex")
+    val qDistinct = queryDocs
+      .select(explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .distinct().localCheckpoint()
+    val nq = qDistinct.count()
+    if (nq == 0L) 0.0
+    else {
+      val known = spark.read.parquet(s"$g/terms").select(col("tok"))
+        .join(broadcast(qDistinct), Seq("tok"), "left_semi").count()
+      (nq - known).toDouble / nq
+    }
+  }
+
   def hybridScoreIndexed(spark: SparkSession, lexDir: String, annDir: String,
                          queryDocs: DataFrame, queryVecs: DataFrame): DataFrame = {
+    val sparse = sparseScoreIndexed(spark, lexDir, queryDocs)
+    val dense = Similarity.annIvfBatch(spark, annDir, queryVecs, k = rrfDepth)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rnk").as("rank_dense"))
+    fuseRrfBatch(sparse, dense)
+  }
+
+  /** The sparse (lexical) leg of [[hybridScoreIndexed]], shared with
+    * the takedown path (c43e scores sparse-only): batch BM25 from the
+    * persisted index alone, returning (query_id, doc_id, rank_sparse).
+    * Pending tombstones anti-join the postings scan — broadcast,
+    * bounded by compaction cadence (the [[Similarity.
+    * liveIndexVectors]] shape) — so a takedown is visible to the next
+    * batch without waiting for [[compactLexIndex]]. */
+  private[graft] def sparseScoreIndexed(spark: SparkSession, lexDir: String,
+                                        queryDocs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
     val g = IndexMeta.requireLive(spark, lexDir, "lex")
     val terms = spark.read.parquet(s"$g/terms")
-    val postings = spark.read.parquet(s"$g/postings")
+    val stored = spark.read.parquet(s"$g/postings")
+    val postings = lexTombstones(spark, lexDir) match {
+      case Some(t) => stored.join(broadcast(t.select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+      case None => stored
+    }
+    // query-drift telemetry (see [[lexOovFraction]]) — logged, never
+    // acted on here: the refit decision is the operator's, as with
+    // quantizer drift
+    System.err.println(
+      f"[lex-oov] $lexDir oov_frac=${lexOovFraction(spark, lexDir, queryDocs)}%.4f")
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("dfq").asc, col("tok").asc)
     // rare-term selection against the STORED df: the exploded query
@@ -722,7 +1026,7 @@ object Pipeline {
     // stored postings ⋈ query terms: the same term-sharded retrieval
     // join as c43b, but the left side is the ≤cap×vocab index table —
     // no tokenize, no tf aggregate, no corpus scan
-    val sparse = postings
+    postings
       .join(queryTerms, Seq("tok"))
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("doc_id"))
@@ -730,10 +1034,6 @@ object Pipeline {
       .withColumn("rank_sparse", row_number().over(ws))
       .filter(col("rank_sparse") <= rrfDepth)
       .select(col("query_id"), col("doc_id"), col("rank_sparse"))
-    val dense = Similarity.annIvfBatch(spark, annDir, queryVecs, k = rrfDepth)
-      .select(col("query_id"), col("vec_id").as("doc_id"),
-        col("rnk").as("rank_dense"))
-    fuseRrfBatch(sparse, dense)
   }
 
   /** Registry wrapper: the lex index is fingerprint-cached per corpus
@@ -746,8 +1046,12 @@ object Pipeline {
     val qmod = spark.conf.getOption("graft.ann.batchQueryMod")
       .map(_.toLong).getOrElse(17L)
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    // the cap is BAKED INTO the persisted postings at fit time, so it
+    // belongs in the cache key: a capsweep through this wrapper must
+    // rebuild per cap value, not silently reuse an index built at the
+    // old cap (round-13 advice — freshScratch test dirs masked this)
     val lexDir = IndexMeta.ensureDerived(spark, s"$dir/documents.parquet",
-      s"graft_lex_index_${key}_")(
+      s"graft_lex_index_${key}_cap${postingCap(spark)}_")(
       p => IndexMeta.liveGen(spark, p, "lex").isDefined)(
       fitLexIndex(Relational.table(spark, dir, "documents"), _))
     val qIds = batchQueryIds(spark, dir, qmod)
@@ -759,6 +1063,58 @@ object Pipeline {
       .select(col("vec_id"), col("embedding"))
     hybridScoreIndexed(spark, lexDir, Similarity.ensureIndex(spark, dir),
       queryDocs, queryVecs)
+  }
+
+  /** C43d registry wrapper — the standing-deployment arrival path:
+    * fit the lexical index on 90% of the corpus (doc_id % 10 ≠ 7, the
+    * c41c split), APPEND the held-out 10% as an arrival batch
+    * (batchId-idempotent), then score c43b's query batch from the
+    * merged index. Every query can now retrieve arrival documents
+    * through the sparse leg without any corpus refit having run —
+    * the spec pins append ≡ full refit term-for-term at the same cap
+    * (below-cap regime), batchId replay as a no-op, and the live-id
+    * guard; approximate overall (IVF dense leg + cap) → rows-only in
+    * the driver gate, the c43c convention. */
+  def hybridIngestQuery(spark: SparkSession, dir: String): DataFrame = {
+    val qmod = spark.conf.getOption("graft.ann.batchQueryMod")
+      .map(_.toLong).getOrElse(17L)
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val lexDir = Similarity.freshScratch(spark, s"graft_c43d_lex_${key}_")
+    val docs = Relational.table(spark, dir, "documents")
+    fitLexIndex(docs.filter(col("doc_id") % 10 =!= 7), lexDir)
+    appendLexIndex(spark, lexDir, docs.filter(col("doc_id") % 10 === 7),
+      Some("c43d_arrival"))
+    val qIds = batchQueryIds(spark, dir, qmod)
+    hybridScoreIndexed(spark, lexDir, Similarity.ensureIndex(spark, dir),
+      docs.join(qIds, Seq("doc_id"), "left_semi").select(col("doc_id"), col("text")),
+      Relational.table(spark, dir, "embeddings")
+        .join(qIds.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), col("embedding")))
+  }
+
+  /** C43e registry wrapper — the takedown path: fit the lexical index
+    * on the full corpus, TOMBSTONE the doc_id % 10 = 7 slice
+    * ([[deleteLexDocs]] — O(deletes), no layout rewrite), then score
+    * c43b's query batch SPARSE-ONLY through the tombstone-aware read:
+    * no deleted document appears in any result, immediately, with
+    * compaction not yet run. The spec additionally pins re-delete
+    * idempotence and compaction ≡ refit-on-survivors (exact stats
+    * restored). Sparse-only because takedown is the lexical leg's
+    * property — the dense twin is `c3_ann_index_delete`. Deterministic
+    * but cap-truncated → rows-only (the c43b convention). */
+  def lexTakedownQuery(spark: SparkSession, dir: String): DataFrame = {
+    val qmod = spark.conf.getOption("graft.ann.batchQueryMod")
+      .map(_.toLong).getOrElse(17L)
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val lexDir = Similarity.freshScratch(spark, s"graft_c43e_lex_${key}_")
+    val docs = Relational.table(spark, dir, "documents")
+    fitLexIndex(docs, lexDir)
+    deleteLexDocs(spark, lexDir, docs.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id")))
+    val qIds = batchQueryIds(spark, dir, qmod)
+    sparseScoreIndexed(spark, lexDir,
+      docs.join(qIds, Seq("doc_id"), "left_semi").select(col("doc_id"), col("text")))
+      .orderBy(col("query_id"), col("rank_sparse"))
   }
 
   def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
@@ -1065,6 +1421,8 @@ object Pipeline {
     "c43_hybrid_rrf" -> (hybridRrf _),
     "c43b_hybrid_rrf_batch" -> (hybridRrfBatch _),
     "c43c_hybrid_batch_indexed" -> (hybridRrfBatchIndexed _),
+    "c43d_hybrid_ingest" -> (hybridIngestQuery _),
+    "c43e_lex_takedown" -> (lexTakedownQuery _),
     "c5_multimodal" -> (multimodalStruct _))
 
   /** The c31 curation oracle's CTE chain (quality floor, exact/near

@@ -505,13 +505,23 @@ object Relational {
     *     yields to the stats.
     * Returns `/*+ BROADCAST(…) */ ` or the empty string; boundaries
     * now live in conf + code, not comments. */
+  /** `graft.io.compressionFactor` — raw-bytes-per-compressed-byte of
+    * the source parquet (default 8, the measured zstd ratio on this
+    * data, BASELINE.md). A RATIO, so fractional settings (7.5) are
+    * valid — parsed as Double (round-13 advice: the old `_.toLong`
+    * parse killed the query on a legal value). The ONE accessor for
+    * both consumers ([[dimHint]]'s broadcast-estimate and SparkEntry's
+    * write-parallelism sizing) so the parse cannot diverge again. */
+  private[graft] def compressionFactor(spark: SparkSession): Double =
+    spark.conf.getOption("graft.io.compressionFactor")
+      .map(_.toDouble).getOrElse(8.0)
+
   private[ops] def dimHint(spark: SparkSession, dir: String,
       dims: Seq[(String, Double, Double, Boolean)]): String = {
     val maxBytes = spark.conf.getOption("graft.hints.maxBroadcastBytes")
       .map(_.toLong).getOrElse(1L << 30).toDouble
     val cbo = spark.conf.getOption("spark.sql.cbo.enabled").exists(_.toBoolean)
-    val cf = spark.conf.getOption("graft.io.compressionFactor")
-      .map(_.toLong).getOrElse(8L).toDouble
+    val cf = compressionFactor(spark)
     val keep = dims.filter { case (t, sel, widthFrac, estimable) =>
       !(cbo && estimable) && {
         val fileBytes = table(spark, dir, t)

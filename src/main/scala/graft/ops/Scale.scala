@@ -23,6 +23,20 @@ import org.apache.spark.sql.functions._
  */
 object Scale {
 
+  /** Pin a frame's lineage: reliable `checkpoint()` onto
+    * `graft.checkpoint.dir` when the conf names a cluster-visible path,
+    * `localCheckpoint()` otherwise. localCheckpoint stores blocks on
+    * executors — fine on local[n], unrecoverable on a real cluster if
+    * an executor dies mid-job (truncated lineage cannot recompute) —
+    * so every production-sized intermediate pin routes through here
+    * (c14 cluster iteration, the c43c lexical fit) and the knob flips
+    * them all to durable storage at once. */
+  private[graft] def pin(df: DataFrame): DataFrame = {
+    val reliableDir = df.sparkSession.conf.getOption("graft.checkpoint.dir")
+    reliableDir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
+    if (reliableDir.isDefined) df.checkpoint() else df.localCheckpoint()
+  }
+
   /** Size a compute-heavy scan for parallelism WITHOUT a gratuitous
     * shuffle: repartition up to core parallelism ONLY when the source
     * arrives under-partitioned (the local single-file testdata shape —

@@ -2305,13 +2305,18 @@ object Similarity {
       .select(col("cell").cast("int").as("cell"), col("embedding"))
       .join(broadcast(cents), "cell")
       .agg(avg(assignSqDistCol).as("m"), count(lit(1)).as("n")).head()
-    if (!row.isNullAt(0)) {
-      val (g, old) = IndexMeta.nextGen(spark, indexDir, "quantstats")
-      spark.range(1)
-        .select(lit(row.getDouble(0)).as("mean_sq_dist"), lit(row.getLong(1)).as("n_build"))
-        .coalesce(1).write.mode("overwrite").parquet(g)
-      old.foreach(IndexMeta.delete(spark, _))
-    }
+    // an empty layout has no baseline to write — error HERE rather than
+    // skipping: a silent skip surfaces later as requireLive's
+    // misleading "build crashed" when the drift probe goes looking for
+    // the quantstats generation (round-13 advice)
+    if (row.isNullAt(0)) sys.error(
+      s"cannot write quantizer stats for $indexDir: the live vector " +
+        "layout is empty — build the index on a non-empty corpus first")
+    val (g, old) = IndexMeta.nextGen(spark, indexDir, "quantstats")
+    spark.range(1)
+      .select(lit(row.getDouble(0)).as("mean_sq_dist"), lit(row.getLong(1)).as("n_build"))
+      .coalesce(1).write.mode("overwrite").parquet(g)
+    old.foreach(IndexMeta.delete(spark, _))
   }
 
   /** Mean squared assignment distance of a (vec_id, embedding) batch to
@@ -2323,10 +2328,18 @@ object Similarity {
     val (flat, dim) = indexCentroidsFlat(spark, indexDir)
     val cents = spark.read.parquet(s"$indexDir/centroids")
       .select(col("cell"), col("centroid"))
-    vecs.select(col("embedding"))
+    val row = vecs.select(col("embedding"))
       .withColumn("cell", element_at(indexCellsCol(spark, indexDir, flat, dim, 1), 1))
       .join(broadcast(cents), "cell")
-      .agg(avg(assignSqDistCol)).head().getDouble(0)
+      .agg(avg(assignSqDistCol)).head()
+    // an empty batch has no assignment distance: averaging nothing is
+    // a null aggregate, which would surface as an opaque NPE two
+    // frames up in quantizerDrift (round-13 advice) — name the
+    // contract violation instead
+    if (row.isNullAt(0)) throw new IllegalArgumentException(
+      "quantizer drift is undefined for an empty arrival batch — " +
+        "skip the probe when the batch has no vectors")
+    row.getDouble(0)
   }
 
   /** C3b5 — QUANTIZER-DRIFT metric (round-12 verdict item 5: drift was

@@ -594,6 +594,47 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       s"score-time plan re-reads the corpus:\n$p")
   }
 
+  test("C43d: the append merge plans read the pinned batch + stored index, never the old corpus") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    val lexDir = java.nio.file.Files.createTempDirectory("graft_c43d_plan_").toString
+    val docs = Relational.table(spark, dir, "documents")
+    Pipeline.fitLexIndex(docs.filter(col("doc_id") % 10 =!= 7), lexDir)
+    val g = IndexMeta.requireLive(spark, lexDir, "lex")
+    // the production call pins the batch FIRST (Scale.pin cuts its
+    // lineage), so even a batch that arrived as a corpus filter leaves
+    // no corpus scan in any downstream merge plan — the structural
+    // form of "an append never re-reads old-corpus text"
+    val d = Scale.pin(docs.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("dl", size(col("toks"))))
+    val (terms, postings, doclens) = Pipeline.mergedLexFrames(spark, g, d, 1L, 1L, 1000)
+    Seq("terms" -> terms, "postings" -> postings, "doclens" -> doclens).foreach {
+      case (name, f) =>
+        val p = plan(f)
+        assert(!p.contains("documents.parquet"),
+          s"append $name plan re-reads the corpus:\n$p")
+    }
+  }
+
+  test("C43e: the tombstone-aware sparse read anti-joins broadcast tombstones, no corpus scan") {
+    import org.apache.spark.sql.functions.col
+    val lexDir = java.nio.file.Files.createTempDirectory("graft_c43e_plan_").toString
+    val docs = Relational.table(spark, dir, "documents")
+    Pipeline.fitLexIndex(docs, lexDir)
+    Pipeline.deleteLexDocs(spark, lexDir,
+      docs.filter(col("doc_id") % 10 === 7).select(col("doc_id")))
+    val batch = docs.select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 17 === 0).limit(4).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    import spark.implicits._
+    val p = plan(Pipeline.sparseScoreIndexed(spark, lexDir,
+      batch.toDF("doc_id", "text")))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"tombstones not applied as a broadcast anti-join:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"takedown read plan re-reads the corpus:\n$p")
+  }
+
   test("C26: the per-source cap ranks salted first — the hot-domain exchange carries salt") {
     val p = plan(Curation.queries("c26_cap_per_source")(spark, dir))
     // phase 1 must hash-partition on (source, salt): a plan whose only

@@ -34,15 +34,22 @@ for q in $QUERIES; do
   # stack trace when a query died
   QLOG="${OUT%.jsonl}_${q}.log"
   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+  # error marker uses the same "q" key as data rows (round-13 advice:
+  # the old "query" key complicated downstream parsing)
   java -Xmx96g $ADDOPENS -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
     graft.tools.TpchSuite "$SF_DIR" "$q" > "$QLOG" 2>&1 \
-    || echo "{\"query\":\"$q\",\"err\":true}" >> "$OUT"
+    || echo "{\"q\":\"$q\",\"err\":true}" >> "$OUT"
   grep -E '^\{"q":' "$QLOG" >> "$OUT" || true
 done
 python3 - "$OUT" <<'EOF'
 import json, sys
 rows = [json.loads(l) for l in open(sys.argv[1])]
-total = sum(r.get("min_sec", 0) for r in rows)
-print(json.dumps({"metric": "tpch_suite_isolated",
-                  "n_queries": len(rows), "total_min_sec": round(total, 1)}))
+# a crashed query must not be COUNTED as covered while contributing 0s
+# (round-13 advice: the old summary silently understated the total)
+ok = [r for r in rows if not r.get("err")]
+err = [r for r in rows if r.get("err")]
+total = sum(r.get("min_sec", 0) for r in ok)
+print(json.dumps({"metric": "tpch_suite_isolated", "n_queries": len(ok),
+                  "n_err": len(err), "errs": [r["q"] for r in err],
+                  "total_min_sec": round(total, 1)}))
 EOF
