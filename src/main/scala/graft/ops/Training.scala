@@ -773,6 +773,254 @@ object Training {
       .orderBy("shard", "part")
   }
 
+  // ------------------------- C33b incremental pretrain composition
+
+  // The capstone arrival path (round-13 verdict item 4): every c33
+  // stage has an arrival leg (c27 store probe, gram-store decontam,
+  // c34 monotone gate, frozen-BPE encode, per-slice shard write), but
+  // nothing composed them — a new crawl slice still meant re-running
+  // batch c33 over the union. c33b is that composition: a PERSISTED
+  // pipeline state under one dir, a build phase that creates it, and
+  // an ingest op that flows an arrival slice through the stores and
+  // APPENDS shards — no old-corpus re-read anywhere (per-slice cost
+  // tracks the slice; batch c33 tracks the corpus).
+  //
+  // The chain is the MONOTONE curation chain: quality floor → exact
+  // dedup (seen-text-hash store) → near-dup removal (c27 signature
+  // store) → eval-gram decontamination (persisted gram store) → c34
+  // Lehmer gate against a FROZEN rate table → frozen-BPE encode →
+  // per-slice shard write. Monotone means an arrival can never evict
+  // an earlier selection, which is what makes incremental ≡ batch
+  // possible at all; the two deliberate departures from batch c33 are
+  // therefore PRINCIPLED, not omissions:
+  //   - the c26 per-source cap is replaced by the c34 gate — a cap
+  //     ranks WITHIN the pool (an arrival with a smaller md5 evicts a
+  //     shipped selection: non-monotone by construction), while the
+  //     gate is per-doc and monotone-in-rate (SURVEY c34);
+  //   - the rate table and BPE model are FROZEN at build (the shipped
+  //     mixture plan / tokenizer artifacts); re-planning rates or
+  //     refitting the tokenizer are separate batch ops, exactly as
+  //     production versions them.
+  // Arrival slices must carry ids ABOVE everything seen (guarded
+  // loudly) — the crawl-time model that makes first-seen ≡ lowest-id,
+  // so exact/near-dup canonicalization agrees with the batch rule.
+  //
+  // Union-equivalence (spec-pinned): build(90%) + ingest(two 5%
+  // slices) keeps EXACTLY the docs the same chain keeps batch-run
+  // over 100% with the same frozen rates, MODULO one documented class
+  // — build-phase selections contaminated only by eval docs that
+  // ARRIVED LATER (the build could not have known; batch-over-union
+  // drops them). The spec computes that class explicitly and asserts
+  // the set difference equals it exactly. Late eval contamination on
+  // shipped data is handled by the c35 span tooling / takedown, not
+  // by churning selections.
+  //
+  // Crash contract: a slice's appends (seen_th, eval grams, near-dup
+  // store, shards, meta) are not atomic; the slice marker lands LAST,
+  // so a completed slice replays into a no-op while a crashed slice
+  // is repaired by rebuilding the state (the appendToNearDupIndex
+  // contract, stated there for the same reason).
+
+  /** Quality floor + exact-dup keepers + near-dup losers + decontam +
+    * frozen-rate gate over a TRAIN frame, with the cross-corpus state
+    * supplied by the caller — the one pool body shared by the build
+    * phase, the ingest phase, and the spec's batch twin, so the three
+    * can never drift. `keepers` are the exact-dup canonical ids,
+    * `losers` the near-dup pair db sides, `evalGrams` the eval suite's
+    * distinct gram hashes, `rates` the (lang, source, sample_rate)
+    * mixture plan. */
+  private def monotonePool(train: DataFrame, keepers: DataFrame,
+      losers: DataFrame, evalGrams: DataFrame, rates: DataFrame): DataFrame = {
+    val spark = train.sparkSession
+    val contaminated = Curation.gramHashes(spark, train)
+      .join(broadcast(evalGrams), Seq("gram_h"))
+      .select(col("doc_id")).distinct()
+    Pipeline.qualityOn(train).filter(col("quality") >= 0.7)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(losers, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(broadcast(rates), Seq("lang", "source"))
+      .where(Curation.lehmerHash(col("doc_id")) <
+        expr("cast(floor(sample_rate * cast(1000003 as double)) as bigint)"))
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+  }
+
+  /** Encode a kept frame with the state's frozen BPE model and write
+    * it as one shard slice under `shards/slice_<tag>` — the c25b
+    * writer, slice-scoped: shard assignment is per-doc deterministic
+    * (md5), so a doc lands in the same shard whichever slice carries
+    * it; pos/part are slice-local (a training loader streams the
+    * slice tree — the crawl-dated layout). */
+  private def writeSliceShards(spark: SparkSession, stateDir: String,
+      kept: DataFrame, tag: String): Unit = {
+    if (kept.isEmpty) return
+    val enc = kept.withColumn("bpe_tokens",
+      size(bpeTokensCol(spark, s"$stateDir/bpe")).cast("long"))
+    writeShardsOn(spark,
+      enc.select(col("doc_id"), col("text"), col("n_chars"), col("bpe_tokens")),
+      s"$stateDir/shards/slice_$tag")
+  }
+
+  private def writePretrainMeta(spark: SparkSession, stateDir: String,
+      maxId: Long): Unit = {
+    val (g, old) = IndexMeta.nextGen(spark, stateDir, "meta")
+    spark.range(1).select(lit(maxId).as("max_doc_id"))
+      .coalesce(1).write.mode("overwrite").parquet(g)
+    IndexMeta.createMarker(spark, s"$g/_SUCCESS")
+    old.foreach(IndexMeta.delete(spark, _))
+  }
+
+  /** Build the persisted pipeline state on the initial corpus:
+    * seen-text-hash store, near-dup signature store over the unique-
+    * text representatives, eval-gram store, frozen rate table (from
+    * the curated pool unless `ratesOverride` supplies a shipped plan —
+    * the spec's parity hook), frozen BPE model fit on the kept pool,
+    * and the build's own shard slice. One corpus text pass per store
+    * projection; every cross-slice structure is hashes, never text. */
+  def buildPretrainState(spark: SparkSession, docs: DataFrame, stateDir: String,
+                         ratesOverride: Option[DataFrame] = None): Unit = {
+    val d = Scale.pin(docs.select(col("doc_id"), col("text"), col("lang"),
+      col("source"), col("n_chars")))
+    val th = d.select(col("doc_id"), xxhash64(col("text")).as("th"))
+    th.select(col("th")).distinct()
+      .write.mode("overwrite").parquet(s"$stateDir/seen_th")
+    // exact-dup canonicals double as the unique-text representatives
+    // the near-dup store indexes (both are min-id-per-text)
+    val keepers = th.groupBy(col("th")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id")).localCheckpoint()
+    Similarity.buildNearDupIndex(spark,
+      d.join(keepers, Seq("doc_id"), "left_semi").select(col("doc_id"), col("text")),
+      s"$stateDir/neardup")
+    val losers = Similarity.nearDupIndexPairs(spark, s"$stateDir/neardup")
+      .select(col("db").as("doc_id"))
+    Curation.gramHashes(spark, d.filter(col("doc_id") % 20 === 0))
+      .select(col("gram_h")).distinct()
+      .write.mode("overwrite").parquet(s"$stateDir/evalgrams")
+    val evalGrams = spark.read.parquet(s"$stateDir/evalgrams")
+    val train = d.filter(col("doc_id") % 20 =!= 0)
+    // the pre-gate curated pool — the mixture plan freezes over it
+    // (rates are pool statistics: c18 feeding c34); this is
+    // monotonePool WITHOUT the gate, kept inline because the gate-free
+    // form exists only here
+    val curated = Pipeline.qualityOn(train).filter(col("quality") >= 0.7)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(losers, Seq("doc_id"), "left_anti")
+      .join(Curation.gramHashes(spark, train)
+        .join(broadcast(evalGrams), Seq("gram_h"))
+        .select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val rates = ratesOverride.getOrElse(
+      Curation.mixWeightsOn(curated).select(col("lang"), col("source"), col("sample_rate")))
+    rates.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/rates")
+    val kept = curated
+      .join(broadcast(spark.read.parquet(s"$stateDir/rates")), Seq("lang", "source"))
+      .where(Curation.lehmerHash(col("doc_id")) <
+        expr("cast(floor(sample_rate * cast(1000003 as double)) as bigint)"))
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .localCheckpoint()
+    fitBpe(spark, kept, s"$stateDir/bpe", bpeMerges(spark), bpeMaxWords(spark))
+    writeSliceShards(spark, stateDir, kept, "00000_build")
+    writePretrainMeta(spark, stateDir,
+      d.agg(max(col("doc_id"))).head().getLong(0))
+    IndexMeta.createMarker(spark, s"$stateDir/_built")
+  }
+
+  /** Flow one arrival slice through the persisted state: probe the
+    * seen-text and near-dup stores, append the slice's eval grams,
+    * curate + gate against the FROZEN rates, encode with the FROZEN
+    * BPE model, append a shard slice, advance the id watermark —
+    * Θ(slice + store-probe) work, the old corpus' text never read.
+    * Idempotent under `sliceId` replay (marker written last). */
+  def ingestPretrainSlice(spark: SparkSession, stateDir: String,
+                          slice: DataFrame, sliceId: String): Unit = {
+    val tag = sliceId.replaceAll("[^A-Za-z0-9._-]", "_")
+    val marker = s"$stateDir/_slice_$tag"
+    if (IndexMeta.exists(spark, marker)) return
+    val d = Scale.pin(slice.select(col("doc_id"), col("text"), col("lang"),
+      col("source"), col("n_chars")))
+    val mm = d.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    if (mm.isNullAt(0)) { IndexMeta.createMarker(spark, marker); return }
+    val prevMax = spark.read.parquet(
+      IndexMeta.requireLive(spark, stateDir, "meta")).head().getLong(0)
+    require(mm.getLong(0) > prevMax,
+      s"arrival slice carries doc_id ${mm.getLong(0)} ≤ the state's id " +
+        s"watermark $prevMax — slices must arrive in id order (the " +
+        "crawl-time model that makes first-seen ≡ lowest-id; an " +
+        "out-of-order slice would break exact/near-dup canonicalization)")
+    // exact-dup against the store: slice hashes broadcast, the store
+    // scan is map-only (the c12/c27 probe doctrine) — seenHit is the
+    // slice-bounded intersection, then keepers are min-id per NEW text
+    val th = d.select(col("doc_id"), xxhash64(col("text")).as("th"))
+    val seenHit = spark.read.parquet(s"$stateDir/seen_th")
+      .join(broadcast(th.select(col("th")).distinct()), Seq("th"), "left_semi")
+      .distinct().localCheckpoint()
+    val newTh = th.join(broadcast(seenHit), Seq("th"), "left_anti")
+    val keepers = newTh.groupBy(col("th")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id")).localCheckpoint()
+    // near-dup: append the slice's representatives to the c27 store
+    // (probes build + earlier slices + itself; pairs/ stays complete),
+    // then losers are simply every pair's higher-id side
+    Similarity.appendToNearDupIndex(spark, s"$stateDir/neardup",
+      d.join(keepers, Seq("doc_id"), "left_semi").select(col("doc_id"), col("text")),
+      Some(s"c33b_$tag"))
+    val losers = Similarity.nearDupIndexPairs(spark, s"$stateDir/neardup")
+      .select(col("db").as("doc_id"))
+    // eval docs in the slice extend the benchmark suite for THIS and
+    // future slices (build-phase selections are already shipped — the
+    // documented late-contamination class)
+    Curation.gramHashes(spark, d.filter(col("doc_id") % 20 === 0))
+      .select(col("gram_h")).distinct()
+      .write.mode("append").parquet(s"$stateDir/evalgrams")
+    val kept = monotonePool(d.filter(col("doc_id") % 20 =!= 0), keepers, losers,
+      spark.read.parquet(s"$stateDir/evalgrams"),
+      spark.read.parquet(s"$stateDir/rates"))
+      .localCheckpoint()
+    writeSliceShards(spark, stateDir, kept, tag)
+    newTh.select(col("th")).distinct()
+      .write.mode("append").parquet(s"$stateDir/seen_th")
+    writePretrainMeta(spark, stateDir, mm.getLong(1))
+    IndexMeta.createMarker(spark, marker)
+  }
+
+  /** Per-shard census of every shard slice the state has written —
+    * doc counts, kept chars, and an order-insensitive md5 over the
+    * sorted doc_id list (slices are unordered by design; within-slice
+    * file order is c25b's pinned pos order). The registry answer. */
+  def readPretrainShards(spark: SparkSession, stateDir: String): DataFrame = {
+    val sliceDirs = IndexMeta.list(spark, s"$stateDir/shards")
+      .filter(_.isDirectory).map(_.getPath.toString).sorted
+    require(sliceDirs.nonEmpty, s"no shard slices under $stateDir")
+    sliceDirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars"),
+        md5(concat_ws(",", expr(
+          "transform(array_sort(collect_list(doc_id)), i -> cast(i as string))")))
+          .as("doc_md5"))
+      .orderBy("shard")
+  }
+
+  /** C33b registry wrapper: build on the first 90% of the id range,
+    * ingest two consecutive 5% slices (the second probes state the
+    * first appended — the multi-slice proof), answer from the re-read
+    * shard slices. Chain output is BPE-dependent (frozen-model encode)
+    * and store-dependent → rows-only in the driver gate; the spec
+    * carries union-equivalence vs the batch twin. */
+  def pretrainIncrementalQuery(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val st = Similarity.freshScratch(spark, s"graft_c33b_${key}_")
+    val docs = Relational.table(spark, dir, "documents")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val (t1, t2) = (maxId * 90 / 100, maxId * 95 / 100)
+    buildPretrainState(spark, docs.filter(col("doc_id") <= t1), st)
+    ingestPretrainSlice(spark, st,
+      docs.filter(col("doc_id") > t1 && col("doc_id") <= t2), "s1")
+    ingestPretrainSlice(spark, st, docs.filter(col("doc_id") > t2), "s2")
+    readPretrainShards(spark, st)
+  }
+
   // ------------------------------ C35 span-level decontamination
 
   /** C35 — span-level decontamination: locate every maximal region of
@@ -896,6 +1144,7 @@ object Training {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c33_pretrain_e2e" -> (pretrainE2E _),
+    "c33b_pretrain_incremental" -> (pretrainIncrementalQuery _),
     "c36_chunk_overlap" -> (chunkOverlap _),
     "c23_dedup_passage" -> (dedupPassage _),
     "c23b_dedup_span" -> (dedupSpan _),

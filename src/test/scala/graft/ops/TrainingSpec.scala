@@ -462,4 +462,79 @@ class TrainingSpec extends AnyFunSuite with SparkTestSession {
       }, s"doc $id: stride gap")
     }
   }
+
+  // ------------------------- C33b incremental pretrain composition
+
+  /** The kept-doc id set of a c33b state — union of every shard
+    * slice's doc_ids. */
+  private def keptIds(st: String): Set[Long] = {
+    val dirs = IndexMeta.list(spark, s"$st/shards")
+      .filter(_.isDirectory).map(_.getPath.toString).sorted
+    dirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+  }
+
+  test("C33b: build(90%) + two slices ≡ batch twin over 100% modulo the late-eval class, exactly") {
+    // the sf0.001 corpus keeps the whole chain fast while still
+    // carrying exact-dup cliques, near-dup pairs, eval overlap, and
+    // multiple (lang, source) strata
+    val dir = "/root/testdata/sf0.001"
+    val docs = Relational.table(spark, dir, "documents")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val (t1, t2) = (maxId * 90 / 100, maxId * 95 / 100)
+    val stA = Similarity.freshScratch(spark, "graft_c33b_par_a_")
+    Training.buildPretrainState(spark, docs.filter(col("doc_id") <= t1), stA)
+    Training.ingestPretrainSlice(spark, stA,
+      docs.filter(col("doc_id") > t1 && col("doc_id") <= t2), "s1")
+    Training.ingestPretrainSlice(spark, stA, docs.filter(col("doc_id") > t2), "s2")
+    // batch twin: the SAME chain one-shot over 100%, gated by the
+    // build's FROZEN rate table (the shipped mixture plan — rate
+    // re-planning is a separate versioned op)
+    val ratesA = spark.read.parquet(s"$stA/rates")
+    val stB = Similarity.freshScratch(spark, "graft_c33b_par_b_")
+    Training.buildPretrainState(spark, docs, stB, Some(ratesA))
+    val a = keptIds(stA)
+    val b = keptIds(stB)
+    assert(a.exists(_ > t1), "no arrival doc was kept — the ingest leg is vacuous")
+    assert(a.exists(_ <= t1), "no build doc was kept — the build leg is vacuous")
+    // the batch twin can only DROP relative to incremental, and only
+    // through the one documented class: build-phase selections whose
+    // grams hit eval docs that ARRIVED LATER
+    assert(b.subsetOf(a),
+      s"batch kept docs incremental missed: ${(b -- a).take(5)} — an undocumented divergence")
+    val arrivalEvalGrams = Curation.gramHashes(spark,
+        docs.filter(col("doc_id") > t1 && col("doc_id") % 20 === 0))
+      .select(col("gram_h")).distinct()
+    val predicted = Curation.gramHashes(spark,
+        docs.filter(col("doc_id") <= t1 && col("doc_id") % 20 =!= 0))
+      .join(broadcast(arrivalEvalGrams), Seq("gram_h"))
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert((a -- b) == predicted.intersect(a),
+      s"divergence ≠ the documented late-eval class: extra=${((a -- b) -- predicted).take(5)} " +
+        s"missing=${(predicted.intersect(a) -- (a -- b)).take(5)}")
+  }
+
+  test("C33b: slice replay is a no-op; an out-of-order slice throws the watermark guard") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Relational.table(spark, dir, "documents")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val t1 = maxId * 90 / 100
+    val st = Similarity.freshScratch(spark, "graft_c33b_replay_")
+    Training.buildPretrainState(spark, docs.filter(col("doc_id") <= t1), st)
+    val slice = docs.filter(col("doc_id") > t1)
+    Training.ingestPretrainSlice(spark, st, slice, "s1")
+    val before = keptIds(st)
+    val metaBefore = IndexMeta.requireLive(spark, st, "meta")
+    Training.ingestPretrainSlice(spark, st, slice, "s1") // replay
+    assert(keptIds(st) == before, "slice replay changed the shard contents")
+    assert(IndexMeta.requireLive(spark, st, "meta") == metaBefore,
+      "slice replay advanced the id watermark")
+    // a slice at-or-below the watermark is rejected loudly, not
+    // silently double-curated
+    val e = intercept[IllegalArgumentException] {
+      Training.ingestPretrainSlice(spark, st, slice, "s1_again")
+    }
+    assert(e.getMessage.contains("watermark"), e.getMessage)
+  }
 }
