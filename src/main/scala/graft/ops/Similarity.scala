@@ -2629,6 +2629,49 @@ object Similarity {
       .orderBy("query_doc", "rnk")
   }
 
+  /** Dense-leg recall of the c42 chunk index for NON-TWIN queries
+    * (round-13 verdict item 7 — the c42 spec proved exact-twin rank-1
+    * only; this measures what the dense leg retrieves when the answer
+    * is NOT a planted copy): build the chunk index on the TRAIN split,
+    * query with the EVAL split's first chunks (embedded by the same
+    * featurizer, no self in the index), and report mean overlap@k vs
+    * the exact brute-force cosine top-k per swept `graft.ann.nprobe`.
+    * The brute-force reference is the oracle path (one cross join) —
+    * sweep-only, never a production plan. Shared by the TierCSpec
+    * monotonicity pin and the BASELINE sweep tool. */
+  private[graft] def ragDenseRecall(spark: SparkSession, docs: DataFrame,
+      idxDir: String, nprobes: Seq[Int], k: Int = 5): Seq[(Int, Double)] = {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+    val evalD = docs.filter(col("doc_id") % 20 === 0)
+    buildIvfIndexFrom(spark, ragChunkVecs(train), idxDir)
+    val queries = ragChunks(evalD).filter(col("chunk_ix") === 0)
+      .select((col("doc_id") + ragQueryIdOffset).as("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val chunks = ragChunkVecs(train).localCheckpoint()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val ref = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(chunks)
+      .select(col("query_id"), col("vec_id"),
+        round(cosineExpr("embedding", "qv"), 4).as("sim"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    nprobes.map { np =>
+      spark.conf.set("graft.ann.nprobe", np.toString)
+      try {
+        val got = annIvfBatch(spark, idxDir, queries, k)
+          .collect().groupBy(_.getLong(0))
+          .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        val ov = ref.toSeq.map { case (q, r) =>
+          r.intersect(got.getOrElse(q, Set.empty[Long])).size.toDouble / r.size }
+        np -> ov.sum / ov.size
+      } finally spark.conf.unset("graft.ann.nprobe")
+    }
+  }
+
   def ragE2E(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val docs = Relational.table(spark, dir, "documents")
