@@ -906,7 +906,9 @@ object Pipeline {
     * longer contains them: a no-op (idempotent, the c27 crash
     * doctrine). */
   def compactLexIndex(spark: SparkSession, lexDir: String): Unit = {
-    val tomb = lexTombstones(spark, lexDir).getOrElse(return)
+    val tombOpt = lexTombstones(spark, lexDir)
+    if (tombOpt.isEmpty) return // nothing pending — compaction is a no-op
+    val tomb = tombOpt.get
     val g = IndexMeta.requireLive(spark, lexDir, "lex")
     require(spark.read.parquet(s"$g/postings").columns.contains("tf"),
       s"lex generation $g predates the raw-fact postings layout — " +
