@@ -1094,6 +1094,67 @@ object Pipeline {
         .select(col("vec_id"), col("embedding")))
   }
 
+  /** C43f — STREAMING lexical ingest (the c42c/c22d foreachBatch
+    * doctrine on the lexical store): replay `arrivals` one file per
+    * trigger; each micro-batch makes ONE idempotent [[appendLexIndex]]
+    * call keyed by the engine's batchId, so a crashed batch replays
+    * into a no-op (exactly-once through the append marker, which
+    * commits only after the new `lex.gN` generation does). Single
+    * writer by construction — foreachBatch batches are sequential,
+    * and the generation protocol means a reader mid-stream always
+    * sees a complete consistent snapshot. */
+  private[graft] def lexIngestStreamOn(spark: SparkSession, lexDir: String,
+      arrivals: DataFrame, name: String,
+      nSlices: Int = Relational.replaySlices): Unit = {
+    import org.apache.spark.sql.{Dataset, Row}
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val src = arrivals.select(col("doc_id"), col("text"))
+    val stage = Relational.stageSlices(spark, src, col("doc_id"), s"${name}_stage", nSlices)
+    val base = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"sink_${spark.sparkContext.applicationId}_$name")
+    if (Files.exists(base)) {
+      Files.walk(base).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+    val q = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .writeStream.queryName(name)
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        val t0 = System.nanoTime()
+        appendLexIndex(spark, lexDir, batch, Some(s"stream_$bid"))
+        System.err.println(f"[stream-batch] $name bid=$bid " +
+          f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+        ()
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** C43f registry wrapper: c43d's exact split and query batch, but
+    * the 10% arrival slice enters through micro-batch replay instead
+    * of one append — the spec pins the streamed index row-identical to
+    * the one-shot append's (both are ≡ refit below the cap, so the
+    * stream inherits c43d's exactness contract transitively). */
+  def hybridStreamIngestQuery(spark: SparkSession, dir: String): DataFrame = {
+    val qmod = spark.conf.getOption("graft.ann.batchQueryMod")
+      .map(_.toLong).getOrElse(17L)
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val lexDir = Similarity.freshScratch(spark, s"graft_c43f_lex_${key}_")
+    val docs = Relational.table(spark, dir, "documents")
+    fitLexIndex(docs.filter(col("doc_id") % 10 =!= 7), lexDir)
+    lexIngestStreamOn(spark, lexDir, docs.filter(col("doc_id") % 10 === 7),
+      s"graft_c43f_$key")
+    val qIds = batchQueryIds(spark, dir, qmod)
+    hybridScoreIndexed(spark, lexDir, Similarity.ensureIndex(spark, dir),
+      docs.join(qIds, Seq("doc_id"), "left_semi").select(col("doc_id"), col("text")),
+      Relational.table(spark, dir, "embeddings")
+        .join(qIds.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), col("embedding")))
+  }
+
   /** C43e registry wrapper — the takedown path: fit the lexical index
     * on the full corpus, TOMBSTONE the doc_id % 10 = 7 slice
     * ([[deleteLexDocs]] — O(deletes), no layout rewrite), then score
@@ -1425,6 +1486,7 @@ object Pipeline {
     "c43c_hybrid_batch_indexed" -> (hybridRrfBatchIndexed _),
     "c43d_hybrid_ingest" -> (hybridIngestQuery _),
     "c43e_lex_takedown" -> (lexTakedownQuery _),
+    "c43f_lex_stream" -> (hybridStreamIngestQuery _),
     "c5_multimodal" -> (multimodalStruct _))
 
   /** The c31 curation oracle's CTE chain (quality floor, exact/near

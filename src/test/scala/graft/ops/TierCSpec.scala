@@ -2278,6 +2278,27 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     } finally spark.conf.unset("graft.retrieval.postingCap")
   }
 
+  test("C43f: streamed lexical ingest ≡ the one-shot append, table for table (below-cap)") {
+    // micro-batch replay through foreachBatch must land the identical
+    // index: each append recomputes idf/scores from merged GLOBAL
+    // stats, so below the cap the composition is associative —
+    // stream ≡ one-shot ≡ refit, transitively
+    spark.conf.set("graft.retrieval.postingCap", "1000000")
+    try {
+      val docs = Relational.table(spark, dir, "documents")
+      val a = Similarity.freshScratch(spark, "graft_c43f_one_")
+      Pipeline.fitLexIndex(docs.filter(col("doc_id") % 10 =!= 7), a)
+      Pipeline.appendLexIndex(spark, a, docs.filter(col("doc_id") % 10 === 7),
+        Some("oneshot"))
+      val b = Similarity.freshScratch(spark, "graft_c43f_str_")
+      Pipeline.fitLexIndex(docs.filter(col("doc_id") % 10 =!= 7), b)
+      Pipeline.lexIngestStreamOn(spark, b, docs.filter(col("doc_id") % 10 === 7),
+        "graft_c43f_spec")
+      assert(lexTables(a) == lexTables(b),
+        "streamed ingest diverges from the one-shot append")
+    } finally spark.conf.unset("graft.retrieval.postingCap")
+  }
+
   test("C43c OOV telemetry: all-known batch reads 0.0; an unseen-vocab batch reads 1.0") {
     val docs = Relational.table(spark, dir, "documents")
     val idx = Similarity.freshScratch(spark, "graft_c43_oov_")
