@@ -628,24 +628,28 @@ object Pipeline {
   /** C43c fit — build the lexical retrieval index: one `lex.gN`
     * generation (single root marker, the [[commitBm25Stats]] atomicity
     * doctrine) holding
-    *   - `terms/`    (tok, dfq, idf_micro) — the c41b vocab table; the
-    *     stored df is what rare-term selection ranks by at query time,
+    *   - `terms/`    (tok, dfq) — the c41b vocab table; the stored df
+    *     is what rare-term selection ranks by at query time,
     *   - `scalars/`  (s_total, n_docs, posting_cap) — the cap is an
     *     INDEX property, baked into the stored postings, so it rides
-    *     the generation: [[appendLexIndex]]/[[compactLexIndex]]
-    *     re-truncate at the cap the index was BUILT at, never at
-    *     whatever the session conf happens to say (round-13 advice),
-    *   - `postings/` (tok, doc_id, tf, dl, score_micro) — per term,
-    *     the top-[[postingCap]] postings by the term's FULL BM25
-    *     contribution, impact-ordered (WAND family). The cap is
+    *     the generation: [[appendLexIndex]] re-truncates at the cap
+    *     the index was BUILT at, never at whatever the session conf
+    *     happens to say (round-13 advice),
+    *   - `postings/` (tok, doc_id, tf, dl) — per term, the top-
+    *     [[postingCap]] postings by the term's FULL BM25 contribution
+    *     at build time, impact-ordered (WAND family). The cap is
     *     applied AT BUILD, so query-time sparse work is ≤ terms × cap
     *     regardless of posting density, and the index is ~cap×vocab
     *     narrow rows — a small fraction of corpus bytes (the c27 shape
-    *     on the lexical side). The raw (tf, dl) facts ride each row
-    *     (two extra longs; score reads prune them away) because every
-    *     global statistic moves on append/delete (n_docs and s_total
-    *     enter every score) — maintenance RESCORES the stored rows
-    *     from the raw facts instead of refitting the corpus,
+    *     on the lexical side). RAW FACTS ONLY — no precomputed score:
+    *     every global statistic (n_docs, s_total) moves on append and
+    *     delete, so a stored score is stale the moment the index
+    *     changes; scoring instead happens at QUERY TIME from
+    *     (tf, dl, dfq) + the current scalars (two multiplies per
+    *     candidate row — the round-14 redesign that makes
+    *     [[appendLexIndex]] Θ(batch + touched-vocab) compute instead
+    *     of a full-index rescore, and keeps served scores exactly
+    *     current after every maintenance op),
     *   - `doclens/`  (doc_id, dl) — one narrow row per indexed
     *     document (the IVF ids-sidecar doctrine): the append path's
     *     loud live-id guard and the delete path's exact
@@ -681,21 +685,26 @@ object Pipeline {
         .withColumn("idf_micro", expr(bm25IdfExpr))
         .select(col("tok"), col("dfq"), col("idf_micro"), col("s_total"), col("n_docs")))
     val cap = postingCap(spark)
+    // scores are computed HERE only to drive the impact-ordered
+    // truncation — the persisted rows are the raw facts
     val postings = truncatePostings(
       tf.join(terms, "tok")
         .withColumn("score_micro", expr(bm25RationalExpr)), cap)
-    commitLexGen(spark, indexDir,
-      terms = terms.select(col("tok"), col("dfq"), col("idf_micro")),
+    val (genDir, oldGens) = IndexMeta.nextGen(spark, indexDir, "lex")
+    val seg = writeLexSegment(spark, indexDir, genDir, postings,
+      tf.select(col("doc_id"), col("dl")).distinct())
+    commitLexGen(spark, genDir, oldGens,
+      terms = terms.select(col("tok"), col("dfq")),
       scalars = scalars.withColumn("posting_cap", lit(cap.toLong)),
-      postings = postings,
-      doclens = tf.select(col("doc_id"), col("dl")).distinct())
+      segments = Seq(seg))
   }
 
-  /** Impact-ordered truncation shared by fit, append, and compaction:
-    * per term, keep the cap's highest-impact postings (score desc,
-    * doc_id tiebreak — deterministic; WindowGroupLimit bounds
-    * per-group state at the cap). Input needs (tok, doc_id, tf, dl,
-    * score_micro) in scope. */
+  /** Impact-ordered truncation shared by the fit and the append's
+    * touched-term path: per term, keep the cap's highest-impact
+    * postings (score desc, doc_id tiebreak — deterministic;
+    * WindowGroupLimit bounds per-group state at the cap), then DROP
+    * the score — the stored rows are raw facts (see [[fitLexIndex]]).
+    * Input needs (tok, doc_id, tf, dl, score_micro) in scope. */
   private def truncatePostings(scored: DataFrame, cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wp = Window.partitionBy(col("tok"))
@@ -704,23 +713,72 @@ object Pipeline {
       .select(col("tok"), col("doc_id"), col("tf"), col("dl"), col("score_micro"))
       .withColumn("prk", row_number().over(wp))
       .filter(col("prk") <= cap)
-      .select(col("tok"), col("doc_id"), col("tf"), col("dl"), col("score_micro"))
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
   }
 
-  /** Commit the four lex tables as the next `lex.gN` — single root
-    * marker AFTER all four land (the [[commitBm25Stats]] atomicity
-    * doctrine: a reader can never pair tables from different fits);
-    * superseded generations GC'd only after the commit. */
-  private def commitLexGen(spark: SparkSession, indexDir: String,
-      terms: DataFrame, scalars: DataFrame, postings: DataFrame,
-      doclens: DataFrame): Unit = {
-    val (genDir, oldGens) = IndexMeta.nextGen(spark, indexDir, "lex")
+  // SEGMENTED layout (round-14, the Lucene model on the generation
+  // protocol): postings/doclens live in IMMUTABLE `seg_*` dirs at the
+  // index root; each `lex.gN` generation holds the vocab-bounded
+  // `terms`/`scalars` tables plus a `manifest` naming the live
+  // segments. An append therefore writes ONE batch-sized segment and
+  // one vocab-sized stats snapshot — never the accumulated postings
+  // (measured before this change: a 1000-doc append into the 500k-doc
+  // index paid 13.3 s, all generation-rewrite I/O; after: flat with
+  // the batch). Readers resolve the max committed generation and
+  // union exactly its manifest's segments — full snapshot atomicity is
+  // kept (a crash mid-append leaves an orphan segment no manifest
+  // references; compaction sweeps it). Query cost grows with the
+  // segment count, so compaction cadence bounds it — the IVF
+  // file-census doctrine, here at segment granularity.
+
+  /** Write one immutable segment (postings + doclens) named for the
+    * generation that will reference it; returns the segment name. */
+  private def writeLexSegment(spark: SparkSession, indexDir: String,
+      genDir: String, postings: DataFrame, doclens: DataFrame): String = {
+    val seg = "seg_" + new org.apache.hadoop.fs.Path(genDir).getName
+    postings.write.mode("overwrite").parquet(s"$indexDir/$seg/postings")
+    doclens.write.mode("overwrite").parquet(s"$indexDir/$seg/doclens")
+    seg
+  }
+
+  /** Commit stats + manifest as the next `lex.gN` — single root marker
+    * AFTER everything lands (the [[commitBm25Stats]] atomicity
+    * doctrine: a reader can never pair tables from different fits, nor
+    * see a segment no stats describe); superseded GENERATIONS are GC'd
+    * after the commit — segments are shared across generations and
+    * only compaction deletes them. */
+  private def commitLexGen(spark: SparkSession, genDir: String,
+      oldGens: Seq[String], terms: DataFrame, scalars: DataFrame,
+      segments: Seq[String]): Unit = {
     terms.write.mode("overwrite").parquet(s"$genDir/terms")
     scalars.coalesce(1).write.mode("overwrite").parquet(s"$genDir/scalars")
-    postings.write.mode("overwrite").parquet(s"$genDir/postings")
-    doclens.write.mode("overwrite").parquet(s"$genDir/doclens")
+    spark.createDataset(segments)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("seg").coalesce(1).write.mode("overwrite").parquet(s"$genDir/manifest")
     IndexMeta.createMarker(spark, s"$genDir/_SUCCESS")
     oldGens.foreach(IndexMeta.delete(spark, _))
+  }
+
+  /** The live generation's segment names, in manifest order. */
+  private def lexSegments(spark: SparkSession, g: String): Seq[String] =
+    spark.read.parquet(s"$g/manifest").collect().map(_.getString(0)).toSeq.sorted
+
+  /** Union read of one table across the live generation's segments. */
+  private def lexSegTable(spark: SparkSession, lexDir: String, g: String,
+      table: String): DataFrame = {
+    val paths = lexSegments(spark, g).map(s => s"$lexDir/$s/$table")
+    require(paths.nonEmpty, s"empty manifest under $g")
+    spark.read.parquet(paths: _*)
+  }
+
+  /** The four live lex tables of an index — (terms, scalars, postings,
+    * doclens), postings/doclens unioned across segments. Spec surface
+    * and the one reader seam. */
+  private[graft] def lexLiveTables(spark: SparkSession, lexDir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val g = IndexMeta.requireLive(spark, lexDir, "lex")
+    (spark.read.parquet(s"$g/terms"), spark.read.parquet(s"$g/scalars"),
+      lexSegTable(spark, lexDir, g, "postings"),
+      lexSegTable(spark, lexDir, g, "doclens"))
   }
 
   /** The build-time posting cap of a live lex generation (scalars'
@@ -759,18 +817,17 @@ object Pipeline {
     *   1. df and the (s_total, n_docs) scalars are additive over
     *      disjoint corpora — the [[appendBm25Stats]] merge verbatim
     *      (batch-vocab aggregate full-outer-joined onto the stored
-    *      terms table);
-    *   2. idf recomputes for EVERY term from the merged (dfq, n_docs)
-    *      — n_docs changed globally, so every idf moves (vocab-bounded
-    *      map work);
-    *   3. postings RESCORE from the stored raw (tf, dl) facts union
-    *      the batch's, under the merged statistics — s_total and
-    *      n_docs enter every score, so the rescore touches the whole
-    *      ≤cap×vocab index table (index-bounded, one tok-keyed join)
-    *      — then re-truncate at the STORED build cap. Exact ≡ refit
-    *      whenever every posting list fits the cap (spec-pinned,
-    *      term-for-term, bit-identical scores: same tf/dl/dfq/S/N
-    *      through the same [[bm25IdfExpr]]/[[bm25RationalExpr]]);
+    *      terms table); idf/scores are NOT stored (see [[fitLexIndex]])
+    *      so nothing global needs recomputing — the query path derives
+    *      them from (dfq, n_docs, s_total) at score time;
+    *   2. postings of UNTOUCHED terms ride into the next generation
+    *      verbatim (raw facts are stats-independent); TOUCHED terms
+    *      union the batch's rows and re-truncate at the STORED build
+    *      cap by current-stats impact — one window over ≤
+    *      touched-vocab × (cap + batch) rows. Exact ≡ refit whenever
+    *      every posting list fits the cap (spec-pinned, term-for-term
+    *      raw-fact parity; served scores are then identical because
+    *      both paths derive them from the same merged statistics);
     *      above the cap, a batch posting can only displace a stored
     *      one through the same impact order a refit would apply, but
     *      postings the BUILD already truncated away cannot re-enter —
@@ -789,18 +846,17 @@ object Pipeline {
       s"$lexDir/_appended_${b.replaceAll("[^A-Za-z0-9._-]", "_")}")
     if (marker.exists(IndexMeta.exists(spark, _))) return
     val g = IndexMeta.requireLive(spark, lexDir, "lex")
-    require(spark.read.parquet(s"$g/postings").columns.contains("tf"),
-      s"lex generation $g predates the raw-fact postings layout " +
-        "(no tf/dl columns) — appends cannot rescore it; refit with " +
-        "fitLexIndex first")
+    require(IndexMeta.exists(spark, s"$g/manifest"),
+      s"lex generation $g predates the segmented raw-fact layout — " +
+        "appends cannot maintain it; refit with fitLexIndex first")
     val cap = lexStoredCap(spark, g)
     // pin the batch: it feeds four consumers (id guard, scalars delta,
-    // df delta, postings union) — and pinning is what makes the
+    // df delta, the segment write) — and pinning is what makes the
     // no-old-corpus-read property STRUCTURAL rather than incidental
     val d = Scale.pin(batch
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("dl", size(col("toks"))))
-    val doclens = spark.read.parquet(s"$g/doclens")
+    val doclens = lexSegTable(spark, lexDir, g, "doclens")
     val tombIds = lexTombstones(spark, lexDir)
       .map(_.select(col("doc_id")))
       .getOrElse(spark.range(0).select(col("id").as("doc_id")))
@@ -816,49 +872,67 @@ object Pipeline {
     val delta = d.agg(sum(col("dl").cast("long")), count(lit(1))).head()
     val prev = spark.read.parquet(s"$g/scalars").select("s_total", "n_docs").head()
     val (s2, n2) = (prev.getLong(0) + delta.getLong(0), prev.getLong(1) + delta.getLong(1))
-    val (merged, postings, newLens) = mergedLexFrames(spark, g, d, s2, n2, cap)
-    commitLexGen(spark, lexDir,
+    val (merged, segPostings, segLens) = mergedLexFrames(spark, g, d, s2, n2, cap)
+    val (genDir, oldGens) = IndexMeta.nextGen(spark, lexDir, "lex")
+    val seg = writeLexSegment(spark, lexDir, genDir, segPostings, segLens)
+    commitLexGen(spark, genDir, oldGens,
       terms = merged,
       scalars = spark.range(1).select(lit(s2).as("s_total"), lit(n2).as("n_docs"),
         lit(cap.toLong).as("posting_cap")),
-      postings = postings,
-      doclens = newLens)
+      segments = lexSegments(spark, g) :+ seg)
     marker.foreach(IndexMeta.createMarker(spark, _))
   }
 
-  /** The append merge's three output frames — (terms, postings,
-    * doclens) — from the stored generation `g` and the PINNED batch
-    * `d` (doc_id, toks, dl). A separate seam so PlanSpec can pin the
-    * no-old-corpus-read property on the production plans themselves:
-    * every input here is the pinned batch or a stored index table, so
-    * no plan may contain a corpus file scan. */
+  /** The append merge's three output frames — (merged terms, the new
+    * SEGMENT's postings, the new segment's doclens) — from the stored
+    * generation `g` and the PINNED batch `d` (doc_id, toks, dl). A
+    * separate seam so PlanSpec can pin the no-old-corpus-read property
+    * on the production plans themselves: every input here is the
+    * pinned batch or the stored terms table, so no plan may contain a
+    * corpus file scan — stored POSTINGS are not even read (segments
+    * are immutable; the batch lands as its own).
+    *
+    * Compute shape: df merges additively onto the vocab table (the
+    * c41c path — the vocab-bounded cost every stats append pays);
+    * the batch's posting rows truncate at the stored cap by
+    * merged-stats impact — a window over batch rows only. The GLOBAL
+    * per-term cap across segments is re-established at compaction
+    * (Lucene merge-time pruning); between compactions a term's
+    * query-time candidate rows are bounded by cap × live segments,
+    * which compaction cadence bounds in turn. */
   private[graft] def mergedLexFrames(spark: SparkSession, g: String, d: DataFrame,
       s2: Long, n2: Long, cap: Int): (DataFrame, DataFrame, DataFrame) = {
-    // 2. additive df, idf recomputed for every term under merged stats
     val deltaDf = d.select(explode(array_distinct(col("toks"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("ddf"))
-    val merged = spark.read.parquet(s"$g/terms")
+      .localCheckpoint() // batch-bounded; feeds three probes below
+    val storedTerms = spark.read.parquet(s"$g/terms")
       .select(col("tok"), col("dfq"))
-      .join(deltaDf, Seq("tok"), "full_outer")
-      .select(col("tok"),
-        (coalesce(col("dfq"), lit(0L)) + coalesce(col("ddf"), lit(0L))).as("dfq"))
-      .withColumn("n_docs", lit(n2))
-      .withColumn("idf_micro", expr(bm25IdfExpr))
-      .select(col("tok"), col("dfq"), col("idf_micro"))
-    // 3. rescore stored + batch raw facts under the merged statistics,
-    //    re-truncate at the stored cap
+    // the batch's merged per-term df, built without ever materializing
+    // the vocab: two MAP-ONLY vocab scans (semi for the seen terms,
+    // anti for the untouched remainder) with broadcast batch-vocab
+    // probes — a full_outer merge here pinned a vocab-sized frame per
+    // append, which on a junk-heavy vocab approached corpus cost
+    val seen = storedTerms
+      .join(broadcast(deltaDf.select(col("tok"))), Seq("tok"), "left_semi")
+      .localCheckpoint() // batch-bounded (tok, dfq)
+    val batchTerms = seen.join(broadcast(deltaDf), Seq("tok"))
+      .select(col("tok"), (col("dfq") + col("ddf")).as("dfq"))
+      .unionByName(
+        deltaDf.join(broadcast(seen.select(col("tok"))), Seq("tok"), "left_anti")
+          .select(col("tok"), col("ddf").as("dfq")))
+      .localCheckpoint() // batch-bounded; feeds the scoring AND the commit
+    val merged = storedTerms
+      .join(broadcast(deltaDf.select(col("tok"))), Seq("tok"), "left_anti")
+      .unionByName(batchTerms)
     val batchTf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
       .groupBy(col("doc_id"), col("dl"), col("tok")).agg(count(lit(1)).as("tf"))
-    val allFacts = spark.read.parquet(s"$g/postings")
       .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
-      .unionByName(batchTf.select(col("tok"), col("doc_id"), col("tf"), col("dl")))
-    val postings = truncatePostings(
-      allFacts.join(merged.select(col("tok"), col("idf_micro")), "tok")
+    val segPostings = truncatePostings(
+      batchTf.join(broadcast(batchTerms), "tok")
         .withColumn("s_total", lit(s2)).withColumn("n_docs", lit(n2))
+        .withColumn("idf_micro", expr(bm25IdfExpr))
         .withColumn("score_micro", expr(bm25RationalExpr)), cap)
-    val newLens = spark.read.parquet(s"$g/doclens")
-      .unionByName(d.select(col("doc_id"), col("dl")))
-    (merged, postings, newLens)
+    (merged, segPostings, d.select(col("doc_id"), col("dl")))
   }
 
   /** The lex index's tombstone table, if any deletes are pending. */
@@ -887,15 +961,14 @@ object Pipeline {
   /** C43e compaction — make lexical deletes physical and the
     * statistics exact again: one new `lex.gN` rebuilt from the STORED
     * tables only (index-bounded, never a corpus read):
-    *   - doclens/postings drop tombstoned ids (anti-join);
+    *   - doclens/postings drop tombstoned ids (anti-join — raw facts
+    *     need no rescoring, see [[fitLexIndex]]: deletion only SHRINKS
+    *     lists, so no truncation either);
     *   - scalars recompute EXACTLY from the surviving doclens
     *     (s_total = Σ dl, n_docs = count — the sidecar exists for
     *     this);
     *   - df decrements per term by the dropped (tok, doc) postings;
-    *     terms with no surviving df leave the vocab; idf recomputes
-    *     for every survivor under the new (dfq, n_docs);
-    *   - every surviving posting RESCORES under the new statistics
-    *     and re-truncates at the stored cap.
+    *     terms with no surviving df leave the vocab.
     * Exact ≡ refit-on-survivors whenever every posting list fit the
     * cap (spec-pinned, term-for-term). Above the cap, two documented
     * staleness classes survive until a full refit: df of (term, doc)
@@ -906,23 +979,26 @@ object Pipeline {
     * longer contains them: a no-op (idempotent, the c27 crash
     * doctrine). */
   def compactLexIndex(spark: SparkSession, lexDir: String): Unit = {
-    val tombOpt = lexTombstones(spark, lexDir)
-    if (tombOpt.isEmpty) return // nothing pending — compaction is a no-op
-    val tomb = tombOpt.get
     val g = IndexMeta.requireLive(spark, lexDir, "lex")
-    require(spark.read.parquet(s"$g/postings").columns.contains("tf"),
-      s"lex generation $g predates the raw-fact postings layout — " +
-        "compaction cannot rescore it; refit with fitLexIndex first")
+    require(IndexMeta.exists(spark, s"$g/manifest"),
+      s"lex generation $g predates the segmented raw-fact layout — " +
+        "compaction cannot maintain it; refit with fitLexIndex first")
+    val tombOpt = lexTombstones(spark, lexDir)
+    // a no-op only when there is neither a pending delete nor a
+    // segment pileup to fold — compaction is BOTH maintenance axes
+    if (tombOpt.isEmpty && lexSegments(spark, g).size <= 1) return
     val cap = lexStoredCap(spark, g)
-    val tombIds = broadcast(tomb.select(col("doc_id")).distinct())
-    val keptLens = spark.read.parquet(s"$g/doclens")
+    val tombIds = broadcast(tombOpt.map(_.select(col("doc_id")).distinct())
+      .getOrElse(spark.range(0).select(col("id").as("doc_id"))))
+    val keptLens = lexSegTable(spark, lexDir, g, "doclens")
       .join(tombIds, Seq("doc_id"), "left_anti")
       .localCheckpoint() // feeds the scalar aggregate AND the commit
     val sc = keptLens.agg(
       coalesce(sum(col("dl").cast("long")), lit(0L)).as("s_total"),
       count(lit(1)).as("n_docs")).head()
     val (s2, n2) = (sc.getLong(0), sc.getLong(1))
-    val stored = spark.read.parquet(s"$g/postings")
+    val stored = lexSegTable(spark, lexDir, g, "postings")
+      .localCheckpoint() // feeds the df decrement AND the merge
     // per-term df decrement = dropped stored (tok, doc) pairs; pairs
     // the build truncated away are the documented above-cap staleness
     val drops = stored.join(tombIds, Seq("doc_id"), "left_semi")
@@ -932,22 +1008,33 @@ object Pipeline {
       .join(drops, Seq("tok"), "left_outer")
       .select(col("tok"), (col("dfq") - coalesce(col("ndrop"), lit(0L))).as("dfq"))
       .filter(col("dfq") > 0)
-      .withColumn("n_docs", lit(n2))
-      .withColumn("idf_micro", expr(bm25IdfExpr))
-      .select(col("tok"), col("dfq"), col("idf_micro"))
+      .localCheckpoint() // feeds the global re-truncation AND the commit
+    // merge-time pruning (the Lucene move): survivors across ALL
+    // segments re-truncate GLOBALLY at the stored cap under the
+    // post-delete statistics — the one place an index-sized window
+    // belongs; appends stay batch-bounded because this runs here
     val postings = truncatePostings(
       stored.join(tombIds, Seq("doc_id"), "left_anti")
-        .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
-        .join(merged.select(col("tok"), col("idf_micro")), "tok")
+        .join(merged, "tok")
         .withColumn("s_total", lit(s2)).withColumn("n_docs", lit(n2))
+        .withColumn("idf_micro", expr(bm25IdfExpr))
         .withColumn("score_micro", expr(bm25RationalExpr)), cap)
-    commitLexGen(spark, lexDir,
+    val (genDir, oldGens) = IndexMeta.nextGen(spark, lexDir, "lex")
+    val seg = writeLexSegment(spark, lexDir, genDir, postings, keptLens)
+    commitLexGen(spark, genDir, oldGens,
       terms = merged,
       scalars = spark.range(1).select(lit(s2).as("s_total"), lit(n2).as("n_docs"),
         lit(cap.toLong).as("posting_cap")),
-      postings = postings,
-      doclens = keptLens)
+      segments = Seq(seg))
     IndexMeta.delete(spark, s"$lexDir/tombstones")
+    // GC every segment the new manifest does not reference — the
+    // superseded inputs plus any crash orphans (a segment written by
+    // an append that never committed). Single-writer maintenance op,
+    // like the IVF compaction.
+    IndexMeta.list(spark, lexDir)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg_")
+        && st.getPath.getName != seg)
+      .foreach(st => IndexMeta.delete(spark, st.getPath.toString))
   }
 
   /** Fraction of a query batch's DISTINCT terms absent from the stored
@@ -986,17 +1073,29 @@ object Pipeline {
   /** The sparse (lexical) leg of [[hybridScoreIndexed]], shared with
     * the takedown path (c43e scores sparse-only): batch BM25 from the
     * persisted index alone, returning (query_id, doc_id, rank_sparse).
-    * Pending tombstones anti-join the postings scan — broadcast,
-    * bounded by compaction cadence (the [[Similarity.
-    * liveIndexVectors]] shape) — so a takedown is visible to the next
-    * batch without waiting for [[compactLexIndex]]. */
+    * Scores derive AT QUERY TIME from the stored raw facts — idf from
+    * (dfq, n_docs) on the batch-bounded query-terms frame, the
+    * per-posting rational from (tf, dl) + the scalar literals (two
+    * multiplies per candidate row) — so every maintenance op's stats
+    * update is served immediately and bit-exactly (≡ c43b's inline
+    * computation: same expressions, same inputs). Pending tombstones
+    * anti-join the postings scan — broadcast, bounded by compaction
+    * cadence (the [[Similarity.liveIndexVectors]] shape) — so a
+    * takedown is visible to the next batch without waiting for
+    * [[compactLexIndex]]. */
   private[graft] def sparseScoreIndexed(spark: SparkSession, lexDir: String,
                                         queryDocs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
     val g = IndexMeta.requireLive(spark, lexDir, "lex")
+    require(IndexMeta.exists(spark, s"$g/manifest"),
+      s"lex generation $g predates the segmented raw-fact layout — " +
+        "this reader scores from raw facts; refit with fitLexIndex")
+    val stored = lexSegTable(spark, lexDir, g, "postings")
+    val scRow = spark.read.parquet(s"$g/scalars")
+      .select(col("s_total"), col("n_docs")).head()
+    val (sTotal, nDocs) = (scRow.getLong(0), scRow.getLong(1))
     val terms = spark.read.parquet(s"$g/terms")
-    val stored = spark.read.parquet(s"$g/postings")
     val postings = lexTombstones(spark, lexDir) match {
       case Some(t) => stored.join(broadcast(t.select(col("doc_id"))),
         Seq("doc_id"), "left_anti")
@@ -1013,7 +1112,9 @@ object Pipeline {
     // tokens broadcast (queries × doc-length rows — batch-bounded),
     // the vocab-sized terms table is the streamed probe side; a term
     // the corpus has never seen has no stats and no postings, so the
-    // inner join dropping it is the correct semantics
+    // inner join dropping it is the correct semantics. idf rides the
+    // selected terms (batch-bounded rows) so the posting join needs no
+    // second vocab lookup.
     val qToks = queryDocs
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
@@ -1021,7 +1122,9 @@ object Pipeline {
       .join(broadcast(qToks), Seq("tok"))
       .withColumn("trk", row_number().over(wq))
       .filter(col("trk") <= hybridQueryTerms)
-      .select(col("query_id"), col("tok"))
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("idf_micro", expr(bm25IdfExpr))
+      .select(col("query_id"), col("tok"), col("idf_micro"))
       .localCheckpoint()
     val ws = Window.partitionBy(col("query_id"))
       .orderBy(col("score_micro").desc, col("doc_id"))
@@ -1030,6 +1133,8 @@ object Pipeline {
     // no tokenize, no tf aggregate, no corpus scan
     postings
       .join(queryTerms, Seq("tok"))
+      .withColumn("s_total", lit(sTotal)).withColumn("n_docs", lit(nDocs))
+      .withColumn("score_micro", expr(bm25RationalExpr))
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("score_micro")).as("score_micro"))
@@ -1052,9 +1157,13 @@ object Pipeline {
     // belongs in the cache key: a capsweep through this wrapper must
     // rebuild per cap value, not silently reuse an index built at the
     // old cap (round-13 advice — freshScratch test dirs masked this)
+    // ready = a committed generation OF THE CURRENT LAYOUT (manifest
+    // present) — a cache dir built by an older layout is rebuilt, not
+    // served to a reader that cannot score it
     val lexDir = IndexMeta.ensureDerived(spark, s"$dir/documents.parquet",
       s"graft_lex_index_${key}_cap${postingCap(spark)}_")(
-      p => IndexMeta.liveGen(spark, p, "lex").isDefined)(
+      p => IndexMeta.liveGen(spark, p, "lex")
+        .exists(g => IndexMeta.exists(spark, s"$g/manifest")))(
       fitLexIndex(Relational.table(spark, dir, "documents"), _))
     val qIds = batchQueryIds(spark, dir, qmod)
     val queryDocs = Relational.table(spark, dir, "documents")

@@ -63,10 +63,20 @@ object LexIngestDecade {
         Pipeline.deleteLexDocs(spark, inc, docs.filter(col("doc_id") % 100 === 3)
           .select(col("doc_id"))))
       val (_, tCompact) = timed(Pipeline.compactLexIndex(spark, inc))
+      // fixed-size arrival (the daily-crawl shape): the SAME 1000-doc
+      // batch appended into a 10×-growing index — the flat-cost claim
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      // 1000 docs, or a tenth of a corpus too small to spare them
+      val fixN = math.min(1000L, math.max(1L, maxId / 10))
+      val fix = Similarity.freshScratch(spark, "graft_lexdec_fix_")
+      Pipeline.fitLexIndex(docs.filter(col("doc_id") <= maxId - fixN), fix)
+      val (_, tFixed) = timed(
+        Pipeline.appendLexIndex(spark, fix, docs.filter(col("doc_id") > maxId - fixN),
+          Some("fixed1k")))
       println(f"""{"metric":"lex_ingest_decade","dir":"$dir","docs":$n,""" +
         f""""refit_sec":$tRefit%.1f,"fit90_sec":$tFit90%.1f,""" +
-        f""""append10_sec":$tAppend%.1f,"delete_sec":$tDelete%.2f,""" +
-        f""""compact_sec":$tCompact%.1f,""" +
+        f""""append10_sec":$tAppend%.1f,"append_fixed1k_sec":$tFixed%.1f,""" +
+        f""""delete_sec":$tDelete%.2f,"compact_sec":$tCompact%.1f,""" +
         f""""fit_pinned_mem_mb":${memHw / 1048576}%d,""" +
         f""""fit_pinned_disk_mb":${diskHw / 1048576}%d}""")
     }

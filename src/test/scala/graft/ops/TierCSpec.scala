@@ -2162,18 +2162,18 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     * the parity currency of the append/compact specs (term-for-term,
     * posting-for-posting, bit-identical longs). */
   private def lexTables(lexDir: String) = {
-    val g = IndexMeta.requireLive(spark, lexDir, "lex")
-    val terms = spark.read.parquet(s"$g/terms").collect()
-      .map(r => (r.getAs[String]("tok"), r.getAs[Long]("dfq"),
-        r.getAs[Long]("idf_micro"))).sortBy(_._1).toSeq
-    val scalars = spark.read.parquet(s"$g/scalars").collect()
+    val (t, s, p, dls) = Pipeline.lexLiveTables(spark, lexDir)
+    val terms = t.collect()
+      .map(r => (r.getAs[String]("tok"), r.getAs[Long]("dfq")))
+      .sortBy(_._1).toSeq
+    val scalars = s.collect()
       .map(r => (r.getAs[Long]("s_total"), r.getAs[Long]("n_docs"),
         r.getAs[Long]("posting_cap"))).toSeq
-    val postings = spark.read.parquet(s"$g/postings").collect()
+    val postings = p.collect()
       .map(r => (r.getAs[String]("tok"), r.getAs[Long]("doc_id"),
-        r.getAs[Long]("tf"), r.getAs[Int]("dl").toLong,
-        r.getAs[Long]("score_micro"))).sortBy(t => (t._1, t._2)).toSeq
-    val doclens = spark.read.parquet(s"$g/doclens").collect()
+        r.getAs[Long]("tf"), r.getAs[Int]("dl").toLong))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val doclens = dls.collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("dl").toLong))
       .sortBy(_._1).toSeq
     (terms, scalars, postings, doclens)
