@@ -881,7 +881,30 @@ object Pipeline {
         lit(cap.toLong).as("posting_cap")),
       segments = lexSegments(spark, g) :+ seg)
     marker.foreach(IndexMeta.createMarker(spark, _))
+    // segment-census cadence (the c27/IVF file-census doctrine at
+    // segment granularity): query-time per-term candidates are bounded
+    // by cap × live segments, so the store maintains ITSELF once the
+    // count crosses the bound — one index-bounded merge amortized over
+    // `maxSegments` batch-bounded appends (the LSM trade). Runs AFTER
+    // the replay marker commits: a crash inside the compaction leaves
+    // a replayable no-op append, never a loud live-id clash.
+    lexMaxSegments(spark).foreach { bound =>
+      if (lexSegmentCount(spark, lexDir) > bound) compactLexIndex(spark, lexDir)
+    }
   }
+
+  /** Segment-census bound for the append cadence:
+    * `graft.lex.maxSegments` (default 8 — per-term query candidates
+    * stay ≤ 8 × cap between merges); ≤ 0 disables (the caller owns
+    * the cadence, the c27 convention). */
+  private def lexMaxSegments(spark: SparkSession): Option[Int] = {
+    val n = spark.conf.getOption("graft.lex.maxSegments").map(_.toInt).getOrElse(8)
+    if (n > 0) Some(n) else None
+  }
+
+  /** Live-generation segment census (test + telemetry surface). */
+  private[graft] def lexSegmentCount(spark: SparkSession, lexDir: String): Int =
+    lexSegments(spark, IndexMeta.requireLive(spark, lexDir, "lex")).size
 
   /** The append merge's three output frames — (merged terms, the new
     * SEGMENT's postings, the new segment's doclens) — from the stored
@@ -1233,7 +1256,8 @@ object Pipeline {
         val t0 = System.nanoTime()
         appendLexIndex(spark, lexDir, batch, Some(s"stream_$bid"))
         System.err.println(f"[stream-batch] $name bid=$bid " +
-          f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+          f"sec=${(System.nanoTime() - t0) / 1e9}%.1f " +
+          s"segs=${lexSegmentCount(spark, lexDir)}")
         ()
       }
       .option("checkpointLocation", base.resolve("ckpt").toString)

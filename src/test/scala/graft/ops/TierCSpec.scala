@@ -2299,6 +2299,46 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     } finally spark.conf.unset("graft.retrieval.postingCap")
   }
 
+  test("C43 segment cadence: census bound holds across appends, disabled mode piles up, tables ≡ refit") {
+    // the c27/IVF file-census doctrine at segment granularity:
+    // per-term query candidates are bounded by cap × segments, so the
+    // store must fold itself once the census crosses the bound — and
+    // the fold must not change what any reader sees (below the cap,
+    // compaction's global re-truncation is vacuous on raw facts)
+    spark.conf.set("graft.retrieval.postingCap", "1000000")
+    val docs = Relational.table(spark, dir, "documents")
+    val slice = (k: Int) => docs.filter(col("doc_id") % 5 === k)
+    try {
+      // disabled (≤ 0): the caller owns the cadence — segments pile up
+      spark.conf.set("graft.lex.maxSegments", "0")
+      val off = Similarity.freshScratch(spark, "graft_c43_cad_off_")
+      Pipeline.fitLexIndex(slice(0), off)
+      (1 to 4).foreach(k => Pipeline.appendLexIndex(spark, off, slice(k), Some(s"off_$k")))
+      assert(Pipeline.lexSegmentCount(spark, off) == 5,
+        "disabled cadence must leave one segment per fit/append")
+      // bound 2: every append that lands a third segment triggers the fold
+      spark.conf.set("graft.lex.maxSegments", "2")
+      val idx = Similarity.freshScratch(spark, "graft_c43_cad_")
+      Pipeline.fitLexIndex(slice(0), idx)
+      (1 to 4).foreach { k =>
+        Pipeline.appendLexIndex(spark, idx, slice(k), Some(s"cad_$k"))
+        val n = Pipeline.lexSegmentCount(spark, idx)
+        assert(n <= 2, s"census bound violated after append $k: $n segments live")
+      }
+      // 1,2,3→fold(1),2,3→fold(1): the run ends folded to ONE segment
+      assert(Pipeline.lexSegmentCount(spark, idx) == 1,
+        "final append crossed the bound but the store did not fold")
+      // the folds changed nothing a reader sees: ≡ one-shot refit
+      val full = Similarity.freshScratch(spark, "graft_c43_cad_full_")
+      Pipeline.fitLexIndex(docs, full)
+      assert(lexTables(idx) == lexTables(full),
+        "cadence-maintained store diverges from the one-shot refit")
+    } finally {
+      spark.conf.unset("graft.retrieval.postingCap")
+      spark.conf.unset("graft.lex.maxSegments")
+    }
+  }
+
   test("C43c OOV telemetry: all-known batch reads 0.0; an unseen-vocab batch reads 1.0") {
     val docs = Relational.table(spark, dir, "documents")
     val idx = Similarity.freshScratch(spark, "graft_c43_oov_")
