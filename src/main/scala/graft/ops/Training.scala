@@ -882,6 +882,13 @@ object Training {
                          ratesOverride: Option[DataFrame] = None): Unit = {
     val d = Scale.pin(docs.select(col("doc_id"), col("text"), col("lang"),
       col("source"), col("n_chars")))
+    // loud empty-corpus guard (the quantizerDrift doctrine): without
+    // it the build dies at the meta write's max(doc_id) with an
+    // opaque ROW_VALUE_IS_NULL after writing half a state dir
+    require(!d.isEmpty,
+      s"buildPretrainState called on an empty corpus for $stateDir — " +
+        "a pipeline state needs at least one document (check the " +
+        "build/slice split)")
     val th = d.select(col("doc_id"), xxhash64(col("text")).as("th"))
     th.select(col("th")).distinct()
       .write.mode("overwrite").parquet(s"$stateDir/seen_th")

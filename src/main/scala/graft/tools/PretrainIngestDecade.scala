@@ -39,7 +39,11 @@ object PretrainIngestDecade {
     args.foreach { dir =>
       val docs = Relational.table(spark, dir, "documents")
       val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
-      val cut = maxId - sliceDocs // ids are dense in the fixtures
+      // the requested fixed slice, or a tenth of a corpus too small
+      // to spare it (sf0.1 IS 5000 docs — the default slice would
+      // otherwise swallow the whole build corpus)
+      val effSlice = math.min(sliceDocs, math.max(1L, maxId / 10))
+      val cut = maxId - effSlice // ids are dense in the fixtures
       val st = Similarity.freshScratch(spark, "graft_c33b_decade_")
       val tBuild = timed(
         Training.buildPretrainState(spark, docs.filter(col("doc_id") <= cut), st))
