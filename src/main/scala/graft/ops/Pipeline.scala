@@ -627,14 +627,18 @@ object Pipeline {
 
   /** C43c fit — build the lexical retrieval index: one `lex.gN`
     * generation (single root marker, the [[commitBm25Stats]] atomicity
-    * doctrine) holding
-    *   - `terms/`    (tok, dfq) — the c41b vocab table; the stored df
-    *     is what rare-term selection ranks by at query time,
-    *   - `scalars/`  (s_total, n_docs, posting_cap) — the cap is an
-    *     INDEX property, baked into the stored postings, so it rides
-    *     the generation: [[appendLexIndex]] re-truncates at the cap
-    *     the index was BUILT at, never at whatever the session conf
-    *     happens to say (round-13 advice),
+    * doctrine) holding the one-row `scalars/` table
+    * (s_total, n_docs, posting_cap — the cap is an INDEX property,
+    * baked into the stored postings, so it rides the generation:
+    * [[appendLexIndex]] re-truncates at the cap the index was BUILT
+    * at, never at whatever the session conf happens to say
+    * [round-13 advice]) and a `manifest` naming the generation's live
+    * IMMUTABLE segments. Each `seg_*` dir holds
+    *   - `terms/`    (tok, dfq) — the segment's own per-term df DELTA
+    *     (Lucene's per-segment dictionary); readers assemble global
+    *     df by summing across segments AFTER a batch-bounded
+    *     semi-join on the query's tokens, so no reader and no
+    *     maintenance op ever materializes or rewrites the vocab,
     *   - `postings/` (tok, doc_id, tf, dl) — per term, the top-
     *     [[postingCap]] postings by the term's FULL BM25 contribution
     *     at build time, impact-ordered (WAND family). The cap is
@@ -647,9 +651,9 @@ object Pipeline {
     *     changes; scoring instead happens at QUERY TIME from
     *     (tf, dl, dfq) + the current scalars (two multiplies per
     *     candidate row — the round-14 redesign that makes
-    *     [[appendLexIndex]] Θ(batch + touched-vocab) compute instead
-    *     of a full-index rescore, and keeps served scores exactly
-    *     current after every maintenance op),
+    *     [[appendLexIndex]] Θ(batch) compute instead of a full-index
+    *     rescore, and keeps served scores exactly current after every
+    *     maintenance op),
     *   - `doclens/`  (doc_id, dl) — one narrow row per indexed
     *     document (the IVF ids-sidecar doctrine): the append path's
     *     loud live-id guard and the delete path's exact
@@ -691,10 +695,10 @@ object Pipeline {
       tf.join(terms, "tok")
         .withColumn("score_micro", expr(bm25RationalExpr)), cap)
     val (genDir, oldGens) = IndexMeta.nextGen(spark, indexDir, "lex")
-    val seg = writeLexSegment(spark, indexDir, genDir, postings,
+    val seg = writeLexSegment(spark, indexDir, genDir,
+      terms.select(col("tok"), col("dfq")), postings,
       tf.select(col("doc_id"), col("dl")).distinct())
     commitLexGen(spark, genDir, oldGens,
-      terms = terms.select(col("tok"), col("dfq")),
       scalars = scalars.withColumn("posting_cap", lit(cap.toLong)),
       segments = Seq(seg))
   }
@@ -717,40 +721,49 @@ object Pipeline {
   }
 
   // SEGMENTED layout (round-14, the Lucene model on the generation
-  // protocol): postings/doclens live in IMMUTABLE `seg_*` dirs at the
-  // index root; each `lex.gN` generation holds the vocab-bounded
-  // `terms`/`scalars` tables plus a `manifest` naming the live
-  // segments. An append therefore writes ONE batch-sized segment and
-  // one vocab-sized stats snapshot — never the accumulated postings
-  // (measured before this change: a 1000-doc append into the 500k-doc
-  // index paid 13.3 s, all generation-rewrite I/O; after: flat with
-  // the batch). Readers resolve the max committed generation and
-  // union exactly its manifest's segments — full snapshot atomicity is
-  // kept (a crash mid-append leaves an orphan segment no manifest
-  // references; compaction sweeps it). Query cost grows with the
-  // segment count, so compaction cadence bounds it — the IVF
-  // file-census doctrine, here at segment granularity.
+  // protocol): terms/postings/doclens live in IMMUTABLE `seg_*` dirs
+  // at the index root; each `lex.gN` generation holds only the
+  // one-row `scalars` table plus a `manifest` naming the live
+  // segments. The per-segment `terms` table is a df DELTA (the
+  // segment's own per-term doc counts — Lucene's per-segment term
+  // dictionary): a reader assembles df(tok) by summing across the
+  // manifest's segments, and every query path does that AFTER a
+  // broadcast semi-join on the batch's tokens, so assembly is
+  // batch-bounded. An append therefore writes ONE batch-sized
+  // segment and a one-row scalars snapshot — never the accumulated
+  // postings and never the vocab (measured: a 1000-doc append into
+  // the 500k-doc index paid 13.3 s under generation-rewrite, 7.7 s
+  // under segmented postings with a per-generation vocab snapshot,
+  // and goes flat with the batch once the vocab write goes too).
+  // Readers resolve the max committed generation and union exactly
+  // its manifest's segments — full snapshot atomicity is kept (a
+  // crash mid-append leaves an orphan segment no manifest references;
+  // compaction sweeps it). Query cost grows with the segment count,
+  // so the compaction cadence bounds it — the IVF file-census
+  // doctrine, here at segment granularity.
 
-  /** Write one immutable segment (postings + doclens) named for the
-    * generation that will reference it; returns the segment name. */
+  /** Write one immutable segment (terms delta + postings + doclens)
+    * named for the generation that will reference it; returns the
+    * segment name. */
   private def writeLexSegment(spark: SparkSession, indexDir: String,
-      genDir: String, postings: DataFrame, doclens: DataFrame): String = {
+      genDir: String, terms: DataFrame, postings: DataFrame,
+      doclens: DataFrame): String = {
     val seg = "seg_" + new org.apache.hadoop.fs.Path(genDir).getName
+    terms.write.mode("overwrite").parquet(s"$indexDir/$seg/terms")
     postings.write.mode("overwrite").parquet(s"$indexDir/$seg/postings")
     doclens.write.mode("overwrite").parquet(s"$indexDir/$seg/doclens")
     seg
   }
 
-  /** Commit stats + manifest as the next `lex.gN` — single root marker
-    * AFTER everything lands (the [[commitBm25Stats]] atomicity
+  /** Commit scalars + manifest as the next `lex.gN` — single root
+    * marker AFTER everything lands (the [[commitBm25Stats]] atomicity
     * doctrine: a reader can never pair tables from different fits, nor
     * see a segment no stats describe); superseded GENERATIONS are GC'd
     * after the commit — segments are shared across generations and
     * only compaction deletes them. */
   private def commitLexGen(spark: SparkSession, genDir: String,
-      oldGens: Seq[String], terms: DataFrame, scalars: DataFrame,
+      oldGens: Seq[String], scalars: DataFrame,
       segments: Seq[String]): Unit = {
-    terms.write.mode("overwrite").parquet(s"$genDir/terms")
     scalars.coalesce(1).write.mode("overwrite").parquet(s"$genDir/scalars")
     spark.createDataset(segments)(org.apache.spark.sql.Encoders.STRING)
       .toDF("seg").coalesce(1).write.mode("overwrite").parquet(s"$genDir/manifest")
@@ -762,6 +775,15 @@ object Pipeline {
   private def lexSegments(spark: SparkSession, g: String): Seq[String] =
     spark.read.parquet(s"$g/manifest").collect().map(_.getString(0)).toSeq.sorted
 
+  /** True iff generation `g` is the current layout: a segment
+    * manifest AND segment-resident terms (no generation-level vocab
+    * table — the two earlier round-14 layouts fail one of the two).
+    * Maintenance and readers refuse older layouts loudly; the
+    * derived-index cache rebuilds them. */
+  private def lexLayoutCurrent(spark: SparkSession, g: String): Boolean =
+    IndexMeta.exists(spark, s"$g/manifest") &&
+      !IndexMeta.exists(spark, s"$g/terms")
+
   /** Union read of one table across the live generation's segments. */
   private def lexSegTable(spark: SparkSession, lexDir: String, g: String,
       table: String): DataFrame = {
@@ -771,12 +793,15 @@ object Pipeline {
   }
 
   /** The four live lex tables of an index — (terms, scalars, postings,
-    * doclens), postings/doclens unioned across segments. Spec surface
+    * doclens); postings/doclens unioned across segments, terms
+    * ASSEMBLED (per-segment df deltas summed per tok). Spec surface
     * and the one reader seam. */
   private[graft] def lexLiveTables(spark: SparkSession, lexDir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val g = IndexMeta.requireLive(spark, lexDir, "lex")
-    (spark.read.parquet(s"$g/terms"), spark.read.parquet(s"$g/scalars"),
+    (lexSegTable(spark, lexDir, g, "terms")
+       .groupBy(col("tok")).agg(sum(col("dfq")).as("dfq")),
+      spark.read.parquet(s"$g/scalars"),
       lexSegTable(spark, lexDir, g, "postings"),
       lexSegTable(spark, lexDir, g, "doclens"))
   }
@@ -846,8 +871,8 @@ object Pipeline {
       s"$lexDir/_appended_${b.replaceAll("[^A-Za-z0-9._-]", "_")}")
     if (marker.exists(IndexMeta.exists(spark, _))) return
     val g = IndexMeta.requireLive(spark, lexDir, "lex")
-    require(IndexMeta.exists(spark, s"$g/manifest"),
-      s"lex generation $g predates the segmented raw-fact layout — " +
+    require(lexLayoutCurrent(spark, g),
+      s"lex generation $g predates the segment-resident terms layout — " +
         "appends cannot maintain it; refit with fitLexIndex first")
     val cap = lexStoredCap(spark, g)
     // pin the batch: it feeds four consumers (id guard, scalars delta,
@@ -872,11 +897,11 @@ object Pipeline {
     val delta = d.agg(sum(col("dl").cast("long")), count(lit(1))).head()
     val prev = spark.read.parquet(s"$g/scalars").select("s_total", "n_docs").head()
     val (s2, n2) = (prev.getLong(0) + delta.getLong(0), prev.getLong(1) + delta.getLong(1))
-    val (merged, segPostings, segLens) = mergedLexFrames(spark, g, d, s2, n2, cap)
+    val (segTerms, segPostings, segLens) =
+      mergedLexFrames(spark, lexDir, g, d, s2, n2, cap)
     val (genDir, oldGens) = IndexMeta.nextGen(spark, lexDir, "lex")
-    val seg = writeLexSegment(spark, lexDir, genDir, segPostings, segLens)
+    val seg = writeLexSegment(spark, lexDir, genDir, segTerms, segPostings, segLens)
     commitLexGen(spark, genDir, oldGens,
-      terms = merged,
       scalars = spark.range(1).select(lit(s2).as("s_total"), lit(n2).as("n_docs"),
         lit(cap.toLong).as("posting_cap")),
       segments = lexSegments(spark, g) :+ seg)
@@ -906,47 +931,41 @@ object Pipeline {
   private[graft] def lexSegmentCount(spark: SparkSession, lexDir: String): Int =
     lexSegments(spark, IndexMeta.requireLive(spark, lexDir, "lex")).size
 
-  /** The append merge's three output frames — (merged terms, the new
-    * SEGMENT's postings, the new segment's doclens) — from the stored
-    * generation `g` and the PINNED batch `d` (doc_id, toks, dl). A
-    * separate seam so PlanSpec can pin the no-old-corpus-read property
-    * on the production plans themselves: every input here is the
-    * pinned batch or the stored terms table, so no plan may contain a
-    * corpus file scan — stored POSTINGS are not even read (segments
-    * are immutable; the batch lands as its own).
+  /** The append merge's three output frames — the new SEGMENT's
+    * (terms delta, postings, doclens) — from the stored generation
+    * `g` and the PINNED batch `d` (doc_id, toks, dl). A separate seam
+    * so PlanSpec can pin the no-old-corpus-read property on the
+    * production plans themselves: every input here is the pinned
+    * batch or a stored segment table, so no plan may contain a corpus
+    * file scan — stored POSTINGS are not even read (segments are
+    * immutable; the batch lands as its own).
     *
-    * Compute shape: df merges additively onto the vocab table (the
-    * c41c path — the vocab-bounded cost every stats append pays);
-    * the batch's posting rows truncate at the stored cap by
-    * merged-stats impact — a window over batch rows only. The GLOBAL
+    * Compute shape: the segment's terms delta IS the batch's per-term
+    * df (Lucene's per-segment dictionary — nothing vocab-sized is
+    * read or written; readers assemble global df by summing deltas
+    * AFTER their batch-bounded semi-join). The stored df enters only
+    * to score the batch's own postings for the impact truncation: one
+    * broadcast semi-join of the batch vocab against the segment term
+    * deltas (map-only vocab scan) + a batch-bounded sum. The GLOBAL
     * per-term cap across segments is re-established at compaction
     * (Lucene merge-time pruning); between compactions a term's
     * query-time candidate rows are bounded by cap × live segments,
-    * which compaction cadence bounds in turn. */
-  private[graft] def mergedLexFrames(spark: SparkSession, g: String, d: DataFrame,
+    * which the compaction cadence bounds in turn. */
+  private[graft] def mergedLexFrames(spark: SparkSession, lexDir: String,
+      g: String, d: DataFrame,
       s2: Long, n2: Long, cap: Int): (DataFrame, DataFrame, DataFrame) = {
     val deltaDf = d.select(explode(array_distinct(col("toks"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("ddf"))
-      .localCheckpoint() // batch-bounded; feeds three probes below
-    val storedTerms = spark.read.parquet(s"$g/terms")
-      .select(col("tok"), col("dfq"))
-    // the batch's merged per-term df, built without ever materializing
-    // the vocab: two MAP-ONLY vocab scans (semi for the seen terms,
-    // anti for the untouched remainder) with broadcast batch-vocab
-    // probes — a full_outer merge here pinned a vocab-sized frame per
-    // append, which on a junk-heavy vocab approached corpus cost
-    val seen = storedTerms
+      .localCheckpoint() // batch-bounded; feeds the probe AND the commit
+    // merged df for the BATCH's terms only — what the truncation's
+    // impact scores need; map-only over the stored per-segment deltas
+    val storedDf = lexSegTable(spark, lexDir, g, "terms")
       .join(broadcast(deltaDf.select(col("tok"))), Seq("tok"), "left_semi")
-      .localCheckpoint() // batch-bounded (tok, dfq)
-    val batchTerms = seen.join(broadcast(deltaDf), Seq("tok"))
-      .select(col("tok"), (col("dfq") + col("ddf")).as("dfq"))
-      .unionByName(
-        deltaDf.join(broadcast(seen.select(col("tok"))), Seq("tok"), "left_anti")
-          .select(col("tok"), col("ddf").as("dfq")))
-      .localCheckpoint() // batch-bounded; feeds the scoring AND the commit
-    val merged = storedTerms
-      .join(broadcast(deltaDf.select(col("tok"))), Seq("tok"), "left_anti")
-      .unionByName(batchTerms)
+      .groupBy(col("tok")).agg(sum(col("dfq")).as("sdf"))
+    val batchTerms = deltaDf.join(storedDf, Seq("tok"), "left_outer")
+      .select(col("tok"),
+        (col("ddf") + coalesce(col("sdf"), lit(0L))).as("dfq"))
+      .localCheckpoint() // batch-bounded; drives the scoring idf
     val batchTf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
       .groupBy(col("doc_id"), col("dl"), col("tok")).agg(count(lit(1)).as("tf"))
       .select(col("tok"), col("doc_id"), col("tf"), col("dl"))
@@ -955,7 +974,8 @@ object Pipeline {
         .withColumn("s_total", lit(s2)).withColumn("n_docs", lit(n2))
         .withColumn("idf_micro", expr(bm25IdfExpr))
         .withColumn("score_micro", expr(bm25RationalExpr)), cap)
-    (merged, segPostings, d.select(col("doc_id"), col("dl")))
+    (deltaDf.select(col("tok"), col("ddf").as("dfq")), segPostings,
+      d.select(col("doc_id"), col("dl")))
   }
 
   /** The lex index's tombstone table, if any deletes are pending. */
@@ -1003,8 +1023,8 @@ object Pipeline {
     * doctrine). */
   def compactLexIndex(spark: SparkSession, lexDir: String): Unit = {
     val g = IndexMeta.requireLive(spark, lexDir, "lex")
-    require(IndexMeta.exists(spark, s"$g/manifest"),
-      s"lex generation $g predates the segmented raw-fact layout — " +
+    require(lexLayoutCurrent(spark, g),
+      s"lex generation $g predates the segment-resident terms layout — " +
         "compaction cannot maintain it; refit with fitLexIndex first")
     val tombOpt = lexTombstones(spark, lexDir)
     // a no-op only when there is neither a pending delete nor a
@@ -1026,8 +1046,11 @@ object Pipeline {
     // the build truncated away are the documented above-cap staleness
     val drops = stored.join(tombIds, Seq("doc_id"), "left_semi")
       .groupBy(col("tok")).agg(count(lit(1)).as("ndrop"))
-    val merged = spark.read.parquet(s"$g/terms")
-      .select(col("tok"), col("dfq"))
+    // assemble the global df from the per-segment deltas, then fold
+    // the decrement — the folded table becomes the ONE surviving
+    // segment's terms delta (re-baselining the sums)
+    val merged = lexSegTable(spark, lexDir, g, "terms")
+      .groupBy(col("tok")).agg(sum(col("dfq")).as("dfq"))
       .join(drops, Seq("tok"), "left_outer")
       .select(col("tok"), (col("dfq") - coalesce(col("ndrop"), lit(0L))).as("dfq"))
       .filter(col("dfq") > 0)
@@ -1043,9 +1066,8 @@ object Pipeline {
         .withColumn("idf_micro", expr(bm25IdfExpr))
         .withColumn("score_micro", expr(bm25RationalExpr)), cap)
     val (genDir, oldGens) = IndexMeta.nextGen(spark, lexDir, "lex")
-    val seg = writeLexSegment(spark, lexDir, genDir, postings, keptLens)
+    val seg = writeLexSegment(spark, lexDir, genDir, merged, postings, keptLens)
     commitLexGen(spark, genDir, oldGens,
-      terms = merged,
       scalars = spark.range(1).select(lit(s2).as("s_total"), lit(n2).as("n_docs"),
         lit(cap.toLong).as("posting_cap")),
       segments = Seq(seg))
@@ -1078,8 +1100,11 @@ object Pipeline {
     val nq = qDistinct.count()
     if (nq == 0L) 0.0
     else {
-      val known = spark.read.parquet(s"$g/terms").select(col("tok"))
-        .join(broadcast(qDistinct), Seq("tok"), "left_semi").count()
+      // a tok may appear in several segments' deltas — distinct after
+      // the batch-bounded semi-join, before counting membership
+      val known = lexSegTable(spark, lexDir, g, "terms").select(col("tok"))
+        .join(broadcast(qDistinct), Seq("tok"), "left_semi")
+        .distinct().count()
       (nq - known).toDouble / nq
     }
   }
@@ -1111,14 +1136,13 @@ object Pipeline {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
     val g = IndexMeta.requireLive(spark, lexDir, "lex")
-    require(IndexMeta.exists(spark, s"$g/manifest"),
-      s"lex generation $g predates the segmented raw-fact layout — " +
+    require(lexLayoutCurrent(spark, g),
+      s"lex generation $g predates the segment-resident terms layout — " +
         "this reader scores from raw facts; refit with fitLexIndex")
     val stored = lexSegTable(spark, lexDir, g, "postings")
     val scRow = spark.read.parquet(s"$g/scalars")
       .select(col("s_total"), col("n_docs")).head()
     val (sTotal, nDocs) = (scRow.getLong(0), scRow.getLong(1))
-    val terms = spark.read.parquet(s"$g/terms")
     val postings = lexTombstones(spark, lexDir) match {
       case Some(t) => stored.join(broadcast(t.select(col("doc_id"))),
         Seq("doc_id"), "left_anti")
@@ -1133,15 +1157,21 @@ object Pipeline {
       .orderBy(col("dfq").asc, col("tok").asc)
     // rare-term selection against the STORED df: the exploded query
     // tokens broadcast (queries × doc-length rows — batch-bounded),
-    // the vocab-sized terms table is the streamed probe side; a term
-    // the corpus has never seen has no stats and no postings, so the
-    // inner join dropping it is the correct semantics. idf rides the
-    // selected terms (batch-bounded rows) so the posting join needs no
-    // second vocab lookup.
+    // the per-segment term deltas are the streamed probe side
+    // (map-only vocab scan); the global df assembles as a sum over
+    // the BATCH-BOUNDED semi-join survivors, never over the vocab. A
+    // term the corpus has never seen has no stats and no postings, so
+    // the inner join dropping it is the correct semantics. idf rides
+    // the selected terms (batch-bounded rows) so the posting join
+    // needs no second vocab lookup.
     val qToks = queryDocs
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
-    val queryTerms = terms.select(col("tok"), col("dfq"))
+    val dfToks = lexSegTable(spark, lexDir, g, "terms")
+      .join(broadcast(qToks.select(col("tok")).distinct()), Seq("tok"), "left_semi")
+      .groupBy(col("tok")).agg(sum(col("dfq")).as("dfq"))
+      .localCheckpoint() // batch-bounded (tok, global dfq)
+    val queryTerms = dfToks
       .join(broadcast(qToks), Seq("tok"))
       .withColumn("trk", row_number().over(wq))
       .filter(col("trk") <= hybridQueryTerms)
@@ -1180,13 +1210,13 @@ object Pipeline {
     // belongs in the cache key: a capsweep through this wrapper must
     // rebuild per cap value, not silently reuse an index built at the
     // old cap (round-13 advice — freshScratch test dirs masked this)
-    // ready = a committed generation OF THE CURRENT LAYOUT (manifest
-    // present) — a cache dir built by an older layout is rebuilt, not
-    // served to a reader that cannot score it
+    // ready = a committed generation OF THE CURRENT LAYOUT — a cache
+    // dir built by an older layout is rebuilt, not served to a reader
+    // that cannot score it
     val lexDir = IndexMeta.ensureDerived(spark, s"$dir/documents.parquet",
       s"graft_lex_index_${key}_cap${postingCap(spark)}_")(
       p => IndexMeta.liveGen(spark, p, "lex")
-        .exists(g => IndexMeta.exists(spark, s"$g/manifest")))(
+        .exists(g => lexLayoutCurrent(spark, g.toString)))(
       fitLexIndex(Relational.table(spark, dir, "documents"), _))
     val qIds = batchQueryIds(spark, dir, qmod)
     val queryDocs = Relational.table(spark, dir, "documents")
