@@ -1072,14 +1072,7 @@ object Pipeline {
         lit(cap.toLong).as("posting_cap")),
       segments = Seq(seg))
     IndexMeta.delete(spark, s"$lexDir/tombstones")
-    // GC every segment the new manifest does not reference — the
-    // superseded inputs plus any crash orphans (a segment written by
-    // an append that never committed). Single-writer maintenance op,
-    // like the IVF compaction.
-    IndexMeta.list(spark, lexDir)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg_")
-        && st.getPath.getName != seg)
-      .foreach(st => IndexMeta.delete(spark, st.getPath.toString))
+    gcLexSegments(spark, lexDir)
   }
 
   /** Fraction of a query batch's DISTINCT terms absent from the stored
@@ -1107,6 +1100,59 @@ object Pipeline {
         .distinct().count()
       (nq - known).toDouble / nq
     }
+  }
+
+  /** OOV-drift-triggered REFIT policy — the lexical twin of
+    * [[Similarity.rebuildIvfIfDrifted]], closing the same
+    * measure→policy loop: [[lexOovFraction]] measures the query batch
+    * against the stored vocabulary; above `threshold`, refit the
+    * index over `corpus` (the CURRENT system of record — unlike the
+    * IVF index, which refits from its own live vectors, a lexical
+    * index cannot self-repair OOV: the missing terms are by
+    * definition in documents it has never seen, so the caller names
+    * where today's corpus lives). Below, no-op. Returns whether it
+    * refit, so an operator wires it after query batches the way
+    * [[rebuildIvfIfDrifted]] wires after appends. Threshold 0.5 = the
+    * sparse leg is blind to half the query vocabulary: in-distribution
+    * batches measure ≈ 0 (spec-pinned), so one half is far outside
+    * tokenization noise while firing long before the leg degrades to
+    * dense-only retrieval. */
+  def refitLexIfDrifted(spark: SparkSession, lexDir: String, corpus: DataFrame,
+                        queryBatch: DataFrame, threshold: Double = 0.5): Boolean = {
+    val oov = lexOovFraction(spark, lexDir, queryBatch)
+    System.err.println(f"[lex-drift] $lexDir oov=$oov%.3f threshold=$threshold%.3f")
+    if (oov > threshold) { refitLexIndex(spark, corpus, lexDir); true } else false
+  }
+
+  /** Full REFIT of a standing lex index in place: fit the next
+    * generation over `corpus` (the system of record), then reset the
+    * maintenance side-state a bare [[fitLexIndex]] would leave
+    * dangling — pending tombstones (they reference the SUPERSEDED
+    * index's view; the refit corpus decides what exists now, and a
+    * stale tombstone would silently hide a re-indexed doc), append
+    * batch markers (refit resets ingest history — replaying an old
+    * batchId against the new index must append, not no-op), and
+    * orphaned segments the new manifest no longer references. */
+  def refitLexIndex(spark: SparkSession, corpus: DataFrame, lexDir: String): Unit = {
+    fitLexIndex(corpus, lexDir)
+    IndexMeta.delete(spark, s"$lexDir/tombstones")
+    IndexMeta.list(spark, lexDir)
+      .filter(_.getPath.getName.startsWith("_appended_"))
+      .foreach(st => IndexMeta.delete(spark, st.getPath.toString))
+    gcLexSegments(spark, lexDir)
+  }
+
+  /** Delete every `seg_*` dir the LIVE manifest does not reference —
+    * superseded inputs plus crash orphans (a segment written by an
+    * append/fit that never committed). Single-writer maintenance,
+    * like the IVF compaction's file GC. */
+  private def gcLexSegments(spark: SparkSession, lexDir: String): Unit = {
+    val live = lexSegments(spark,
+      IndexMeta.requireLive(spark, lexDir, "lex")).toSet
+    IndexMeta.list(spark, lexDir)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg_")
+        && !live(st.getPath.getName))
+      .foreach(st => IndexMeta.delete(spark, st.getPath.toString))
   }
 
   def hybridScoreIndexed(spark: SparkSession, lexDir: String, annDir: String,

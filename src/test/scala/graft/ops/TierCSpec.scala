@@ -2339,6 +2339,49 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("C43 OOV drift policy: in-distribution no-op; drifted batch refits and the sparse leg sees the new vocab") {
+    // the rebuildIvfIfDrifted rehearsal on the lexical side: blind →
+    // drift fires → refit over the current corpus → retrieval works,
+    // and the refit resets the maintenance side-state (tombstones,
+    // batch markers, orphan segments) a bare fit would leave dangling
+    import spark.implicits._
+    val docs = Relational.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val alien = (0 until 50)
+      .map(i => (900000L + i, s"zzdrift$i zzcommon zzdrift${i % 7}"))
+      .toDF("doc_id", "text")
+    val idx = Similarity.freshScratch(spark, "graft_c43_drift_")
+    Pipeline.fitLexIndex(docs, idx)
+    Pipeline.deleteLexDocs(spark, idx,
+      docs.limit(1).select(col("doc_id"))) // pending tombstone at refit time
+    val gen0 = IndexMeta.requireLive(spark, idx, "lex")
+    // in-distribution batch: measure ≈ 0, policy is a no-op
+    assert(!Pipeline.refitLexIfDrifted(spark, idx, docs, docs.limit(4)),
+      "in-distribution batch triggered a refit")
+    assert(IndexMeta.requireLive(spark, idx, "lex") == gen0,
+      "no-op path committed a new generation")
+    // drifted batch (alien vocabulary): the sparse leg is blind to it
+    val queries = alien.limit(3)
+    assert(Pipeline.sparseScoreIndexed(spark, idx, queries).count() == 0,
+      "alien-vocab queries retrieved documents from the stale index")
+    // policy fires; the refit corpus is the current system of record
+    assert(Pipeline.refitLexIfDrifted(spark, idx, docs.unionByName(alien), queries),
+      "fully-OOV batch did not trigger the refit")
+    val after = Pipeline.sparseScoreIndexed(spark, idx, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(after.nonEmpty, "refit index is still blind to the new vocabulary")
+    assert(after.forall { case (q, d) => q != d && d >= 900000L },
+      s"alien queries must retrieve alien twins only: ${after.take(5).mkString(", ")}")
+    // side-state reset: tombstones cleared, exactly the live segment
+    // remains, and the old index's segments are GC'd
+    assert(!IndexMeta.exists(spark, s"$idx/tombstones"),
+      "refit left the superseded index's tombstones pending")
+    assert(Pipeline.lexSegmentCount(spark, idx) == 1)
+    val segDirs = IndexMeta.list(spark, idx)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg_"))
+    assert(segDirs.size == 1, s"orphan segments not GC'd: ${segDirs.map(_.getPath.getName)}")
+  }
+
   test("C43c OOV telemetry: all-known batch reads 0.0; an unseen-vocab batch reads 1.0") {
     val docs = Relational.table(spark, dir, "documents")
     val idx = Similarity.freshScratch(spark, "graft_c43_oov_")
