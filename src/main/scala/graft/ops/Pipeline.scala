@@ -1027,9 +1027,14 @@ object Pipeline {
       s"lex generation $g predates the segment-resident terms layout — " +
         "compaction cannot maintain it; refit with fitLexIndex first")
     val tombOpt = lexTombstones(spark, lexDir)
-    // a no-op only when there is neither a pending delete nor a
-    // segment pileup to fold — compaction is BOTH maintenance axes
-    if (tombOpt.isEmpty && lexSegments(spark, g).size <= 1) return
+    // a fold happens only when there is a pending delete or a segment
+    // pileup — but crash ORPHANS (segments written by an append that
+    // never committed) are swept unconditionally: nothing else ever
+    // lists them, so without this the no-op path would let them
+    // accumulate forever
+    if (tombOpt.isEmpty && lexSegments(spark, g).size <= 1) {
+      gcLexSegments(spark, lexDir); return
+    }
     val cap = lexStoredCap(spark, g)
     val tombIds = broadcast(tombOpt.map(_.select(col("doc_id")).distinct())
       .getOrElse(spark.range(0).select(col("id").as("doc_id"))))

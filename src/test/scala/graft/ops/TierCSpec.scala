@@ -2339,6 +2339,35 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("C43 crash orphan: an uncommitted segment is invisible to readers and swept by compaction") {
+    // the snapshot-atomicity claim, pinned: a crash between the
+    // segment write and the manifest commit leaves a seg_* dir no
+    // manifest references — readers must not see it (they resolve the
+    // manifest, never list the disk) and compaction must sweep it
+    // even on its no-op path (nothing else ever lists orphans)
+    val docs = Relational.table(spark, dir, "documents")
+    val idx = Similarity.freshScratch(spark, "graft_c43_orph_")
+    Pipeline.fitLexIndex(docs, idx)
+    val gen0 = IndexMeta.requireLive(spark, idx, "lex")
+    val before = lexTables(idx)
+    // simulate the crashed append's leftovers
+    spark.range(1).selectExpr("'zzorphan' as tok", "99L as dfq")
+      .write.parquet(s"$idx/seg_crashed/terms")
+    spark.range(1).selectExpr(
+        "'zzorphan' as tok", "900001L as doc_id", "1L as tf", "1 as dl")
+      .write.parquet(s"$idx/seg_crashed/postings")
+    spark.range(1).selectExpr("900001L as doc_id", "1 as dl")
+      .write.parquet(s"$idx/seg_crashed/doclens")
+    assert(lexTables(idx) == before,
+      "an unreferenced segment leaked into the reader's view")
+    Pipeline.compactLexIndex(spark, idx) // no tombstones, one live segment
+    assert(IndexMeta.requireLive(spark, idx, "lex") == gen0,
+      "orphan sweep committed a new generation")
+    assert(!IndexMeta.exists(spark, s"$idx/seg_crashed"),
+      "compaction's no-op path left the crash orphan on disk")
+    assert(lexTables(idx) == before, "the sweep changed the live tables")
+  }
+
   test("C43 OOV drift policy: in-distribution no-op; drifted batch refits and the sparse leg sees the new vocab") {
     // the rebuildIvfIfDrifted rehearsal on the lexical side: blind →
     // drift fires → refit over the current corpus → retrieval works,
