@@ -73,6 +73,7 @@ object Bench {
     val cp = System.getProperty("java.class.path")
     val xmx = s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"
     val startLoad = awaitIdle(maxLoad)
+    var fallbacks = List.empty[String]
     val results = querySet.map { name =>
       val childOut = java.nio.file.Files.createTempFile("graft_bench_", ".json")
       awaitIdle(maxLoad)
@@ -102,11 +103,17 @@ object Bench {
           // back to an in-process run rather than fabricating a number
           System.err.println(s"[bench] isolated child for $name failed " +
             s"(exit $code) — falling back to in-process")
+          fallbacks ::= name
           name -> runInProcess(Seq(name), sfDir).head._2
       }
     }
+    // the artifact must not claim fresh-JVM numbers for queries that
+    // actually ran warm in-process — name the fallbacks in the JSON
+    val fb = if (fallbacks.isEmpty) ""
+      else fallbacks.reverse.map(q => s""""$q"""")
+        .mkString(""","in_process_fallback":[""", ",", "]")
     emit(results, sfDir,
-      f""","method":"isolated_jvm","load_at_start":$startLoad%.2f""")
+      f""","method":"isolated_jvm","load_at_start":$startLoad%.2f""" + fb)
   }
 
   // ------------------------------------------ in-process (children)

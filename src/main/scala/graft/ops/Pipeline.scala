@@ -509,6 +509,28 @@ object Pipeline {
       .join(Relational.table(spark, dir, "documents").select(col("doc_id")),
         Seq("doc_id"), "left_semi")
 
+  /** The session's batch-query modulus (`graft.ann.batchQueryMod`,
+    * default 17 — the c43b convention every indexed retrieval wrapper
+    * shares). */
+  private def batchQueryMod(spark: SparkSession): Long =
+    spark.conf.getOption("graft.ann.batchQueryMod").map(_.toLong).getOrElse(17L)
+
+  /** The (queryDocs, queryVecs) pair of the shared retrieval query
+    * batch — c43b's verbatim selection ([[batchQueryIds]] semi-joined
+    * into both tables), extracted ONCE so the five registry wrappers
+    * that pose the same question through different deployment shapes
+    * cannot drift in how they derive the batch. */
+  private def batchQueryFrames(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val qIds = batchQueryIds(spark, dir, batchQueryMod(spark))
+    (Relational.table(spark, dir, "documents")
+       .join(qIds, Seq("doc_id"), "left_semi")
+       .select(col("doc_id"), col("text")),
+     Relational.table(spark, dir, "embeddings")
+       .join(qIds.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+       .select(col("vec_id"), col("embedding")))
+  }
+
   /** Per-query RRF fusion of a (query_id, doc_id, rank_sparse) leg and
     * a (query_id, doc_id, rank_dense) leg — the c43 floor-quantized
     * weights, full outer join per (query, doc), per-query top-10 via a
@@ -533,8 +555,7 @@ object Pipeline {
   def hybridRrfBatch(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
-    val qmod = spark.conf.getOption("graft.ann.batchQueryMod")
-      .map(_.toLong).getOrElse(17L)
+    val qmod = batchQueryMod(spark)
 
     val docs = Relational.table(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -698,8 +719,17 @@ object Pipeline {
     val seg = writeLexSegment(spark, indexDir, genDir,
       terms.select(col("tok"), col("dfq")), postings,
       tf.select(col("doc_id"), col("dl")).distinct())
+    // lineage = the name of the generation THIS FIT commits; appends
+    // and compactions carry it forward unchanged. All maintenance
+    // side-state (tombstones, append batch markers) is keyed by it,
+    // so a refit RETIRES the old index's side-state atomically with
+    // the generation commit — no crash window where stale tombstones
+    // hide (and compaction then physically deletes) re-indexed docs,
+    // or stale batch markers turn legitimate appends into no-ops.
     commitLexGen(spark, genDir, oldGens,
-      scalars = scalars.withColumn("posting_cap", lit(cap.toLong)),
+      scalars = scalars.withColumn("posting_cap", lit(cap.toLong))
+        .withColumn("lineage",
+          lit(new org.apache.hadoop.fs.Path(genDir).getName)),
       segments = Seq(seg))
   }
 
@@ -776,13 +806,21 @@ object Pipeline {
     spark.read.parquet(s"$g/manifest").collect().map(_.getString(0)).toSeq.sorted
 
   /** True iff generation `g` is the current layout: a segment
-    * manifest AND segment-resident terms (no generation-level vocab
-    * table — the two earlier round-14 layouts fail one of the two).
-    * Maintenance and readers refuse older layouts loudly; the
-    * derived-index cache rebuilds them. */
+    * manifest, segment-resident terms (no generation-level vocab
+    * table), and lineage-keyed side-state (scalars carry `lineage`)
+    * — the three earlier round-14 layouts each fail one. Maintenance
+    * and readers refuse older layouts loudly; the derived-index cache
+    * rebuilds them. */
   private def lexLayoutCurrent(spark: SparkSession, g: String): Boolean =
     IndexMeta.exists(spark, s"$g/manifest") &&
-      !IndexMeta.exists(spark, s"$g/terms")
+      !IndexMeta.exists(spark, s"$g/terms") &&
+      spark.read.parquet(s"$g/scalars").columns.contains("lineage")
+
+  /** The lineage id of a live generation — set by the fit that
+    * started this index's current life, carried forward verbatim by
+    * append and compaction. Side-state paths embed it. */
+  private def lexLineage(spark: SparkSession, g: String): String =
+    spark.read.parquet(s"$g/scalars").select(col("lineage")).head().getString(0)
 
   /** Union read of one table across the live generation's segments. */
   private def lexSegTable(spark: SparkSession, lexDir: String, g: String,
@@ -867,13 +905,18 @@ object Pipeline {
     * stats the next compaction then corrupts. */
   def appendLexIndex(spark: SparkSession, lexDir: String, batch: DataFrame,
                      batchId: Option[String] = None): Unit = {
-    val marker = batchId.map(b =>
-      s"$lexDir/_appended_${b.replaceAll("[^A-Za-z0-9._-]", "_")}")
-    if (marker.exists(IndexMeta.exists(spark, _))) return
     val g = IndexMeta.requireLive(spark, lexDir, "lex")
     require(lexLayoutCurrent(spark, g),
       s"lex generation $g predates the segment-resident terms layout — " +
         "appends cannot maintain it; refit with fitLexIndex first")
+    val lineage = lexLineage(spark, g)
+    // lineage-keyed replay marker: a refit retires ingest history
+    // atomically with its commit, so replaying an old batchId against
+    // the NEW index life appends (correct — the refit corpus decided
+    // what exists; the arrival is new data to it), never a silent no-op
+    val marker = batchId.map(b =>
+      s"$lexDir/_appended_${lineage}_${b.replaceAll("[^A-Za-z0-9._-]", "_")}")
+    if (marker.exists(IndexMeta.exists(spark, _))) return
     val cap = lexStoredCap(spark, g)
     // pin the batch: it feeds four consumers (id guard, scalars delta,
     // df delta, the segment write) — and pinning is what makes the
@@ -882,7 +925,7 @@ object Pipeline {
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("dl", size(col("toks"))))
     val doclens = lexSegTable(spark, lexDir, g, "doclens")
-    val tombIds = lexTombstones(spark, lexDir)
+    val tombIds = lexTombstones(spark, lexDir, g)
       .map(_.select(col("doc_id")))
       .getOrElse(spark.range(0).select(col("id").as("doc_id")))
     val clash = doclens.select(col("doc_id")).unionByName(tombIds)
@@ -893,8 +936,12 @@ object Pipeline {
         s"(or tombstoned and awaiting compaction) in $lexDir — a " +
         "double-insert double-counts df and serves duplicate postings; " +
         "dedup the batch (or compact first) and retry")
-    // 1. additive scalars
+    // 1. additive scalars. An EMPTY batch is a marker-only no-op (the
+    // ingestPretrainSlice guard): streaming replay can deliver empty
+    // micro-batches (stageSlices pads the id range), and sum(dl) over
+    // zero rows is a null that would otherwise NPE here
     val delta = d.agg(sum(col("dl").cast("long")), count(lit(1))).head()
+    if (delta.isNullAt(0)) { marker.foreach(IndexMeta.createMarker(spark, _)); return }
     val prev = spark.read.parquet(s"$g/scalars").select("s_total", "n_docs").head()
     val (s2, n2) = (prev.getLong(0) + delta.getLong(0), prev.getLong(1) + delta.getLong(1))
     val (segTerms, segPostings, segLens) =
@@ -903,7 +950,7 @@ object Pipeline {
     val seg = writeLexSegment(spark, lexDir, genDir, segTerms, segPostings, segLens)
     commitLexGen(spark, genDir, oldGens,
       scalars = spark.range(1).select(lit(s2).as("s_total"), lit(n2).as("n_docs"),
-        lit(cap.toLong).as("posting_cap")),
+        lit(cap.toLong).as("posting_cap"), lit(lineage).as("lineage")),
       segments = lexSegments(spark, g) :+ seg)
     marker.foreach(IndexMeta.createMarker(spark, _))
     // segment-census cadence (the c27/IVF file-census doctrine at
@@ -978,9 +1025,13 @@ object Pipeline {
       d.select(col("doc_id"), col("dl")))
   }
 
-  /** The lex index's tombstone table, if any deletes are pending. */
-  private def lexTombstones(spark: SparkSession, lexDir: String): Option[DataFrame] = {
-    val t = s"$lexDir/tombstones"
+  /** The live lineage's tombstone table, if any deletes are pending.
+    * Lineage-keyed: a tombstone file left behind by a superseded
+    * index life (crash between a refit's commit and its GC) resolves
+    * to a DIFFERENT path and is structurally invisible here. */
+  private def lexTombstones(spark: SparkSession, lexDir: String,
+                            g: String): Option[DataFrame] = {
+    val t = s"$lexDir/tombstones_${lexLineage(spark, g)}"
     if (IndexMeta.exists(spark, t)) Some(spark.read.parquet(t)) else None
   }
 
@@ -997,9 +1048,14 @@ object Pipeline {
     * STALE until [[compactLexIndex]] — the documented bound: staleness
     * is at most the tombstone window, and compaction cadence bounds
     * the window exactly as the IVF family's does. */
-  def deleteLexDocs(spark: SparkSession, lexDir: String, ids: DataFrame): Unit =
+  def deleteLexDocs(spark: SparkSession, lexDir: String, ids: DataFrame): Unit = {
+    val g = IndexMeta.requireLive(spark, lexDir, "lex")
+    require(lexLayoutCurrent(spark, g),
+      s"lex generation $g predates the segment-resident terms layout — " +
+        "deletes cannot target it; refit with fitLexIndex first")
     ids.select(col("doc_id")).coalesce(1)
-      .write.mode("append").parquet(s"$lexDir/tombstones")
+      .write.mode("append").parquet(s"$lexDir/tombstones_${lexLineage(spark, g)}")
+  }
 
   /** C43e compaction — make lexical deletes physical and the
     * statistics exact again: one new `lex.gN` rebuilt from the STORED
@@ -1026,14 +1082,15 @@ object Pipeline {
     require(lexLayoutCurrent(spark, g),
       s"lex generation $g predates the segment-resident terms layout — " +
         "compaction cannot maintain it; refit with fitLexIndex first")
-    val tombOpt = lexTombstones(spark, lexDir)
+    val lineage = lexLineage(spark, g)
+    val tombOpt = lexTombstones(spark, lexDir, g)
     // a fold happens only when there is a pending delete or a segment
     // pileup — but crash ORPHANS (segments written by an append that
-    // never committed) are swept unconditionally: nothing else ever
-    // lists them, so without this the no-op path would let them
-    // accumulate forever
+    // never committed, side-state of a retired lineage) are swept
+    // unconditionally: nothing else ever lists them, so without this
+    // the no-op path would let them accumulate forever
     if (tombOpt.isEmpty && lexSegments(spark, g).size <= 1) {
-      gcLexSegments(spark, lexDir); return
+      gcLexIndex(spark, lexDir); return
     }
     val cap = lexStoredCap(spark, g)
     val tombIds = broadcast(tombOpt.map(_.select(col("doc_id")).distinct())
@@ -1074,10 +1131,10 @@ object Pipeline {
     val seg = writeLexSegment(spark, lexDir, genDir, merged, postings, keptLens)
     commitLexGen(spark, genDir, oldGens,
       scalars = spark.range(1).select(lit(s2).as("s_total"), lit(n2).as("n_docs"),
-        lit(cap.toLong).as("posting_cap")),
+        lit(cap.toLong).as("posting_cap"), lit(lineage).as("lineage")),
       segments = Seq(seg))
-    IndexMeta.delete(spark, s"$lexDir/tombstones")
-    gcLexSegments(spark, lexDir)
+    IndexMeta.delete(spark, s"$lexDir/tombstones_$lineage")
+    gcLexIndex(spark, lexDir)
   }
 
   /** Fraction of a query batch's DISTINCT terms absent from the stored
@@ -1130,34 +1187,41 @@ object Pipeline {
   }
 
   /** Full REFIT of a standing lex index in place: fit the next
-    * generation over `corpus` (the system of record), then reset the
-    * maintenance side-state a bare [[fitLexIndex]] would leave
-    * dangling — pending tombstones (they reference the SUPERSEDED
-    * index's view; the refit corpus decides what exists now, and a
-    * stale tombstone would silently hide a re-indexed doc), append
-    * batch markers (refit resets ingest history — replaying an old
-    * batchId against the new index must append, not no-op), and
-    * orphaned segments the new manifest no longer references. */
+    * generation over `corpus` (the system of record). The maintenance
+    * side-state of the superseded life — pending tombstones (they
+    * reference the OLD index's view; the refit corpus decides what
+    * exists now, and a stale tombstone would silently hide a
+    * re-indexed doc) and append batch markers (refit resets ingest
+    * history — replaying an old batchId against the new index must
+    * append, not no-op) — is retired ATOMICALLY by the commit itself:
+    * both are keyed by the lineage id the fit rotates, so there is no
+    * crash window where the new generation pairs with the old life's
+    * side-state. The trailing GC only reclaims the now-unreferenced
+    * files; a crash before it costs disk, never correctness. */
   def refitLexIndex(spark: SparkSession, corpus: DataFrame, lexDir: String): Unit = {
     fitLexIndex(corpus, lexDir)
-    IndexMeta.delete(spark, s"$lexDir/tombstones")
-    IndexMeta.list(spark, lexDir)
-      .filter(_.getPath.getName.startsWith("_appended_"))
-      .foreach(st => IndexMeta.delete(spark, st.getPath.toString))
-    gcLexSegments(spark, lexDir)
+    gcLexIndex(spark, lexDir)
   }
 
-  /** Delete every `seg_*` dir the LIVE manifest does not reference —
-    * superseded inputs plus crash orphans (a segment written by an
-    * append/fit that never committed). Single-writer maintenance,
-    * like the IVF compaction's file GC. */
-  private def gcLexSegments(spark: SparkSession, lexDir: String): Unit = {
-    val live = lexSegments(spark,
-      IndexMeta.requireLive(spark, lexDir, "lex")).toSet
-    IndexMeta.list(spark, lexDir)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg_")
-        && !live(st.getPath.getName))
-      .foreach(st => IndexMeta.delete(spark, st.getPath.toString))
+  /** Reclaim everything the LIVE generation does not reference:
+    * `seg_*` dirs off the manifest (superseded inputs, crash orphans)
+    * and side-state of retired lineages (tombstone tables, append
+    * markers whose embedded lineage is not the live one). Purely a
+    * disk-space concern — readers resolve the manifest and the live
+    * lineage, so unreferenced files are structurally invisible.
+    * Single-writer maintenance, like the IVF compaction's file GC. */
+  private def gcLexIndex(spark: SparkSession, lexDir: String): Unit = {
+    val g = IndexMeta.requireLive(spark, lexDir, "lex")
+    val live = lexSegments(spark, g).toSet
+    val lineage = lexLineage(spark, g)
+    IndexMeta.list(spark, lexDir).foreach { st =>
+      val n = st.getPath.getName
+      val stale =
+        (st.isDirectory && n.startsWith("seg_") && !live(n)) ||
+        (n.startsWith("tombstones_") && n != s"tombstones_$lineage") ||
+        (n.startsWith("_appended_") && !n.startsWith(s"_appended_${lineage}_"))
+      if (stale) IndexMeta.delete(spark, st.getPath.toString)
+    }
   }
 
   def hybridScoreIndexed(spark: SparkSession, lexDir: String, annDir: String,
@@ -1194,16 +1258,11 @@ object Pipeline {
     val scRow = spark.read.parquet(s"$g/scalars")
       .select(col("s_total"), col("n_docs")).head()
     val (sTotal, nDocs) = (scRow.getLong(0), scRow.getLong(1))
-    val postings = lexTombstones(spark, lexDir) match {
+    val postings = lexTombstones(spark, lexDir, g) match {
       case Some(t) => stored.join(broadcast(t.select(col("doc_id"))),
         Seq("doc_id"), "left_anti")
       case None => stored
     }
-    // query-drift telemetry (see [[lexOovFraction]]) — logged, never
-    // acted on here: the refit decision is the operator's, as with
-    // quantizer drift
-    System.err.println(
-      f"[lex-oov] $lexDir oov_frac=${lexOovFraction(spark, lexDir, queryDocs)}%.4f")
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("dfq").asc, col("tok").asc)
     // rare-term selection against the STORED df: the exploded query
@@ -1218,10 +1277,19 @@ object Pipeline {
     val qToks = queryDocs
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val qDistinct = qToks.select(col("tok")).distinct().localCheckpoint()
     val dfToks = lexSegTable(spark, lexDir, g, "terms")
-      .join(broadcast(qToks.select(col("tok")).distinct()), Seq("tok"), "left_semi")
+      .join(broadcast(qDistinct), Seq("tok"), "left_semi")
       .groupBy(col("tok")).agg(sum(col("dfq")).as("dfq"))
       .localCheckpoint() // batch-bounded (tok, global dfq)
+    // query-drift telemetry (see [[lexOovFraction]]) — logged, never
+    // acted on here (the refit decision is the operator's, as with
+    // quantizer drift), and derived from the two frames the score
+    // plan needs anyway: two counts on pinned batch-bounded tables,
+    // not a second tokenize + vocab scan
+    val nq = qDistinct.count()
+    val oov = if (nq == 0L) 0.0 else (nq - dfToks.count()).toDouble / nq
+    System.err.println(f"[lex-oov] $lexDir oov_frac=$oov%.4f")
     val queryTerms = dfToks
       .join(broadcast(qToks), Seq("tok"))
       .withColumn("trk", row_number().over(wq))
@@ -1254,8 +1322,6 @@ object Pipeline {
     * (every qmod-th doc-backed embedding id) so the two keys answer
     * the same question through different deployment shapes. */
   def hybridRrfBatchIndexed(spark: SparkSession, dir: String): DataFrame = {
-    val qmod = spark.conf.getOption("graft.ann.batchQueryMod")
-      .map(_.toLong).getOrElse(17L)
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     // the cap is BAKED INTO the persisted postings at fit time, so it
     // belongs in the cache key: a capsweep through this wrapper must
@@ -1269,13 +1335,7 @@ object Pipeline {
       p => IndexMeta.liveGen(spark, p, "lex")
         .exists(g => lexLayoutCurrent(spark, g.toString)))(
       fitLexIndex(Relational.table(spark, dir, "documents"), _))
-    val qIds = batchQueryIds(spark, dir, qmod)
-    val queryDocs = Relational.table(spark, dir, "documents")
-      .join(qIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("text"))
-    val queryVecs = Relational.table(spark, dir, "embeddings")
-      .join(qIds.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
-      .select(col("vec_id"), col("embedding"))
+    val (queryDocs, queryVecs) = batchQueryFrames(spark, dir)
     hybridScoreIndexed(spark, lexDir, Similarity.ensureIndex(spark, dir),
       queryDocs, queryVecs)
   }
@@ -1291,20 +1351,15 @@ object Pipeline {
     * guard; approximate overall (IVF dense leg + cap) → rows-only in
     * the driver gate, the c43c convention. */
   def hybridIngestQuery(spark: SparkSession, dir: String): DataFrame = {
-    val qmod = spark.conf.getOption("graft.ann.batchQueryMod")
-      .map(_.toLong).getOrElse(17L)
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val lexDir = Similarity.freshScratch(spark, s"graft_c43d_lex_${key}_")
     val docs = Relational.table(spark, dir, "documents")
     fitLexIndex(docs.filter(col("doc_id") % 10 =!= 7), lexDir)
     appendLexIndex(spark, lexDir, docs.filter(col("doc_id") % 10 === 7),
       Some("c43d_arrival"))
-    val qIds = batchQueryIds(spark, dir, qmod)
+    val (queryDocs, queryVecs) = batchQueryFrames(spark, dir)
     hybridScoreIndexed(spark, lexDir, Similarity.ensureIndex(spark, dir),
-      docs.join(qIds, Seq("doc_id"), "left_semi").select(col("doc_id"), col("text")),
-      Relational.table(spark, dir, "embeddings")
-        .join(qIds.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
-        .select(col("vec_id"), col("embedding")))
+      queryDocs, queryVecs)
   }
 
   /** C43f — STREAMING lexical ingest (the c42c/c22d foreachBatch
@@ -1353,20 +1408,15 @@ object Pipeline {
     * the one-shot append's (both are ≡ refit below the cap, so the
     * stream inherits c43d's exactness contract transitively). */
   def hybridStreamIngestQuery(spark: SparkSession, dir: String): DataFrame = {
-    val qmod = spark.conf.getOption("graft.ann.batchQueryMod")
-      .map(_.toLong).getOrElse(17L)
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val lexDir = Similarity.freshScratch(spark, s"graft_c43f_lex_${key}_")
     val docs = Relational.table(spark, dir, "documents")
     fitLexIndex(docs.filter(col("doc_id") % 10 =!= 7), lexDir)
     lexIngestStreamOn(spark, lexDir, docs.filter(col("doc_id") % 10 === 7),
       s"graft_c43f_$key")
-    val qIds = batchQueryIds(spark, dir, qmod)
+    val (queryDocs, queryVecs) = batchQueryFrames(spark, dir)
     hybridScoreIndexed(spark, lexDir, Similarity.ensureIndex(spark, dir),
-      docs.join(qIds, Seq("doc_id"), "left_semi").select(col("doc_id"), col("text")),
-      Relational.table(spark, dir, "embeddings")
-        .join(qIds.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
-        .select(col("vec_id"), col("embedding")))
+      queryDocs, queryVecs)
   }
 
   /** C43e registry wrapper — the takedown path: fit the lexical index
@@ -1380,17 +1430,13 @@ object Pipeline {
     * property — the dense twin is `c3_ann_index_delete`. Deterministic
     * but cap-truncated → rows-only (the c43b convention). */
   def lexTakedownQuery(spark: SparkSession, dir: String): DataFrame = {
-    val qmod = spark.conf.getOption("graft.ann.batchQueryMod")
-      .map(_.toLong).getOrElse(17L)
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val lexDir = Similarity.freshScratch(spark, s"graft_c43e_lex_${key}_")
     val docs = Relational.table(spark, dir, "documents")
     fitLexIndex(docs, lexDir)
     deleteLexDocs(spark, lexDir, docs.filter(col("doc_id") % 10 === 7)
       .select(col("doc_id")))
-    val qIds = batchQueryIds(spark, dir, qmod)
-    sparseScoreIndexed(spark, lexDir,
-      docs.join(qIds, Seq("doc_id"), "left_semi").select(col("doc_id"), col("text")))
+    sparseScoreIndexed(spark, lexDir, batchQueryFrames(spark, dir)._1)
       .orderBy(col("query_id"), col("rank_sparse"))
   }
 

@@ -34,7 +34,18 @@ object Scale {
   private[graft] def pin(df: DataFrame): DataFrame = {
     val reliableDir = df.sparkSession.conf.getOption("graft.checkpoint.dir")
     reliableDir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
-    if (reliableDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    if (reliableDir.isDefined) {
+      // persist BEFORE the reliable checkpoint: Dataset.checkpoint()'s
+      // eager count and ReliableRDDCheckpointData's file-write job are
+      // two separate jobs — without a persisted intermediate the full
+      // lineage (for the lex fit: the corpus explode + tf shuffle)
+      // recomputes for the write, exactly the double corpus pass the
+      // pin exists to prevent (Spark's own RDD.checkpoint guidance)
+      df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val pinned = df.checkpoint()
+      df.unpersist()
+      pinned
+    } else df.localCheckpoint()
   }
 
   /** Size a compute-heavy scan for parallelism WITHOUT a gratuitous

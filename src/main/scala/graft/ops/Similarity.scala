@@ -2659,16 +2659,22 @@ object Similarity {
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .collect().groupBy(_.getLong(0))
       .view.mapValues(_.map(_.getLong(1)).toSet).toMap
-    nprobes.map { np =>
-      spark.conf.set("graft.ann.nprobe", np.toString)
-      try {
+    // restore the CALLER's operating point, not the default — a
+    // session that tuned nprobe must measure at its setting afterwards
+    val prior = spark.conf.getOption("graft.ann.nprobe")
+    try {
+      nprobes.map { np =>
+        spark.conf.set("graft.ann.nprobe", np.toString)
         val got = annIvfBatch(spark, idxDir, queries, k)
           .collect().groupBy(_.getLong(0))
           .view.mapValues(_.map(_.getLong(1)).toSet).toMap
         val ov = ref.toSeq.map { case (q, r) =>
           r.intersect(got.getOrElse(q, Set.empty[Long])).size.toDouble / r.size }
         np -> ov.sum / ov.size
-      } finally spark.conf.unset("graft.ann.nprobe")
+      }
+    } finally prior match {
+      case Some(v) => spark.conf.set("graft.ann.nprobe", v)
+      case None => spark.conf.unset("graft.ann.nprobe")
     }
   }
 

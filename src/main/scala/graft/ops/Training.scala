@@ -987,8 +987,14 @@ object Training {
     writeSliceShards(spark, stateDir, kept, tag)
     newTh.select(col("th")).distinct()
       .write.mode("append").parquet(s"$stateDir/seen_th")
-    writePretrainMeta(spark, stateDir, mm.getLong(1))
+    // marker BEFORE the watermark: a crash between the two leaves a
+    // fully-applied slice whose replay is the documented no-op, and
+    // the next in-order slice still passes the (now one-slice-stale)
+    // watermark guard. The old order — watermark first — made a
+    // replay of the crashed slice throw the out-of-order guard
+    // against its OWN max id, a misleading error for applied data.
     IndexMeta.createMarker(spark, marker)
+    writePretrainMeta(spark, stateDir, mm.getLong(1))
   }
 
   /** Per-shard census of every shard slice the state has written —

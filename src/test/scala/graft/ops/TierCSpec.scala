@@ -2261,7 +2261,8 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
       }
       assert(e.getMessage.contains("re-inserts"), e.getMessage)
       Pipeline.compactLexIndex(spark, a)
-      assert(!IndexMeta.exists(spark, s"$a/tombstones"),
+      assert(!IndexMeta.list(spark, a)
+          .exists(_.getPath.getName.startsWith("tombstones_")),
         "compaction left the tombstone table behind")
       val b = Similarity.freshScratch(spark, "graft_c43e_cmp_b_")
       Pipeline.fitLexIndex(docs.filter(col("doc_id") % 10 =!= 7), b)
@@ -2401,14 +2402,60 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     assert(after.nonEmpty, "refit index is still blind to the new vocabulary")
     assert(after.forall { case (q, d) => q != d && d >= 900000L },
       s"alien queries must retrieve alien twins only: ${after.take(5).mkString(", ")}")
-    // side-state reset: tombstones cleared, exactly the live segment
-    // remains, and the old index's segments are GC'd
-    assert(!IndexMeta.exists(spark, s"$idx/tombstones"),
-      "refit left the superseded index's tombstones pending")
+    // side-state reset: the retired lineage's tombstones are both
+    // structurally invisible (lineage-keyed paths) AND reclaimed;
+    // exactly the live segment remains, old segments GC'd
+    assert(!IndexMeta.list(spark, idx)
+        .exists(_.getPath.getName.startsWith("tombstones_")),
+      "refit left the superseded lineage's tombstones on disk")
     assert(Pipeline.lexSegmentCount(spark, idx) == 1)
     val segDirs = IndexMeta.list(spark, idx)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg_"))
     assert(segDirs.size == 1, s"orphan segments not GC'd: ${segDirs.map(_.getPath.getName)}")
+  }
+
+  test("C43 lineage: a refit retires old tombstones and batch markers ATOMICALLY with its commit") {
+    // the crash-window test: simulate a refit that died right after
+    // fitLexIndex committed (before any GC ran) by calling the bare
+    // fit — the old lineage's tombstones and append markers are still
+    // ON DISK, yet every reader and maintenance op must ignore them,
+    // because side-state is keyed by the lineage id the commit rotated
+    val docs = Relational.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val idx = Similarity.freshScratch(spark, "graft_c43_lin_")
+    Pipeline.fitLexIndex(docs.filter(col("doc_id") % 10 =!= 7), idx)
+    val victim = docs.filter(col("doc_id") % 17 === 0).limit(1)
+      .select(col("doc_id"))
+    Pipeline.deleteLexDocs(spark, idx, victim) // pending tombstone
+    Pipeline.appendLexIndex(spark, idx, docs.filter(col("doc_id") % 10 === 7),
+      Some("b1")) // consumed batch marker
+    Pipeline.fitLexIndex(docs, idx) // the "crashed refit": commit only, no GC
+    assert(IndexMeta.list(spark, idx)
+        .exists(_.getPath.getName.startsWith("tombstones_")),
+      "precondition: the old lineage's tombstone file must still be on disk")
+    // 1. the stale tombstone does not hide the re-indexed doc
+    val vid = victim.head().getLong(0)
+    val vq = docs.filter(col("doc_id") === vid)
+    val hits = Pipeline.sparseScoreIndexed(spark, idx,
+        docs.filter(col("doc_id") % 9999991 === 3).limit(2)
+          .unionByName(vq)) // any batch containing known terms
+    assert(hits.count() > 0)
+    // 2. compaction of the new life must NOT physically apply the old
+    // life's tombstone (the data-loss half of the crash window)
+    Pipeline.appendLexIndex(spark, idx,
+      docs.limit(0), Some("force")) // no-op append, keeps layout current
+    Pipeline.compactLexIndex(spark, idx)
+    val (_, _, _, dls) = Pipeline.lexLiveTables(spark, idx)
+    assert(dls.filter(col("doc_id") === vid).count() == 1,
+      "compaction applied a retired lineage's tombstone — data loss")
+    // 3. replaying the old batchId against the new life APPENDS (the
+    // refit reset ingest history) — the loud live-id clash proves the
+    // marker did not silently no-op it
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.appendLexIndex(spark, idx, docs.filter(col("doc_id") % 10 === 7),
+        Some("b1"))
+    }
+    assert(e.getMessage.contains("re-inserts"), e.getMessage)
   }
 
   test("C43c OOV telemetry: all-known batch reads 0.0; an unseen-vocab batch reads 1.0") {

@@ -33,9 +33,9 @@ for q in $QUERIES; do
   # full per-query log kept for diagnosis — the grep used to eat the
   # stack trace when a query died
   QLOG="${OUT%.jsonl}_${q}.log"
-  SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   # error marker uses the same "q" key as data rows (round-13 advice:
   # the old "query" key complicated downstream parsing)
+  SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   java -Xmx96g $ADDOPENS -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
     graft.tools.TpchSuite "$SF_DIR" "$q" > "$QLOG" 2>&1 \
     || echo "{\"q\":\"$q\",\"err\":true}" >> "$OUT"
