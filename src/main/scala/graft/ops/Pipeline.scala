@@ -664,9 +664,14 @@ object Pipeline {
     *     [[postingCap]] postings by the term's FULL BM25 contribution
     *     at build time, impact-ordered (WAND family). The cap is
     *     applied AT BUILD, so query-time sparse work is ≤ terms × cap
-    *     regardless of posting density, and the index is ~cap×vocab
-    *     narrow rows — a small fraction of corpus bytes (the c27 shape
-    *     on the lexical side). RAW FACTS ONLY — no precomputed score:
+    *     regardless of posting density, and posting rows are ≤
+    *     min(corpus (doc,term) pairs, vocab × cap) — on a Heaps-law
+    *     corpus that is the familiar 10–30% of corpus bytes; on a
+    *     junk-vocab corpus where most terms have df=1 the cap never
+    *     binds and the index is corpus-pair-sized (measured at sf10,
+    *     BASELINE "byte census" — the cap bounds WORK always, BYTES
+    *     only where lists exceed it). RAW FACTS ONLY — no precomputed
+    *     score:
     *     every global statistic (n_docs, s_total) moves on append and
     *     delete, so a stored score is stale the moment the index
     *     changes; scoring instead happens at QUERY TIME from
