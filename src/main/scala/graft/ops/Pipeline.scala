@@ -821,6 +821,19 @@ object Pipeline {
       !IndexMeta.exists(spark, s"$g/terms") &&
       spark.read.parquet(s"$g/scalars").columns.contains("lineage")
 
+  /** The one-row scalars of a CURRENT-layout generation, read ONCE
+    * per op (the review-flagged repeated-I/O seam): guards the layout
+    * loudly, then hands back the row every field reader picks from —
+    * s_total, n_docs, posting_cap, lineage. `what` names the caller
+    * in the refusal message. */
+  private def lexScalarsRow(spark: SparkSession, g: String,
+                            what: String): org.apache.spark.sql.Row = {
+    require(lexLayoutCurrent(spark, g),
+      s"lex generation $g predates the segment-resident terms layout — " +
+        s"$what cannot use it; refit with fitLexIndex first")
+    spark.read.parquet(s"$g/scalars").head()
+  }
+
   /** The lineage id of a live generation — set by the fit that
     * started this index's current life, carried forward verbatim by
     * append and compaction. Side-state paths embed it. */
@@ -847,17 +860,6 @@ object Pipeline {
       spark.read.parquet(s"$g/scalars"),
       lexSegTable(spark, lexDir, g, "postings"),
       lexSegTable(spark, lexDir, g, "doclens"))
-  }
-
-  /** The build-time posting cap of a live lex generation (scalars'
-    * `posting_cap` column); pre-cap-column generations (round 13) fall
-    * back to the session conf, the only cap they could have been
-    * built at. */
-  private def lexStoredCap(spark: SparkSession, genDir: String): Int = {
-    val sc = spark.read.parquet(s"$genDir/scalars")
-    if (sc.columns.contains("posting_cap"))
-      sc.select(col("posting_cap")).head().getLong(0).toInt
-    else postingCap(spark)
   }
 
   /** C43c score — batch hybrid retrieval where the sparse leg reads
@@ -911,10 +913,8 @@ object Pipeline {
   def appendLexIndex(spark: SparkSession, lexDir: String, batch: DataFrame,
                      batchId: Option[String] = None): Unit = {
     val g = IndexMeta.requireLive(spark, lexDir, "lex")
-    require(lexLayoutCurrent(spark, g),
-      s"lex generation $g predates the segment-resident terms layout — " +
-        "appends cannot maintain it; refit with fitLexIndex first")
-    val lineage = lexLineage(spark, g)
+    val sc = lexScalarsRow(spark, g, "appends")
+    val lineage = sc.getAs[String]("lineage")
     // lineage-keyed replay marker: a refit retires ingest history
     // atomically with its commit, so replaying an old batchId against
     // the NEW index life appends (correct — the refit corpus decided
@@ -922,7 +922,7 @@ object Pipeline {
     val marker = batchId.map(b =>
       s"$lexDir/_appended_${lineage}_${b.replaceAll("[^A-Za-z0-9._-]", "_")}")
     if (marker.exists(IndexMeta.exists(spark, _))) return
-    val cap = lexStoredCap(spark, g)
+    val cap = sc.getAs[Long]("posting_cap").toInt
     // pin the batch: it feeds four consumers (id guard, scalars delta,
     // df delta, the segment write) — and pinning is what makes the
     // no-old-corpus-read property STRUCTURAL rather than incidental
@@ -930,7 +930,7 @@ object Pipeline {
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("dl", size(col("toks"))))
     val doclens = lexSegTable(spark, lexDir, g, "doclens")
-    val tombIds = lexTombstones(spark, lexDir, g)
+    val tombIds = lexTombstones(spark, lexDir, lineage)
       .map(_.select(col("doc_id")))
       .getOrElse(spark.range(0).select(col("id").as("doc_id")))
     val clash = doclens.select(col("doc_id")).unionByName(tombIds)
@@ -947,8 +947,8 @@ object Pipeline {
     // zero rows is a null that would otherwise NPE here
     val delta = d.agg(sum(col("dl").cast("long")), count(lit(1))).head()
     if (delta.isNullAt(0)) { marker.foreach(IndexMeta.createMarker(spark, _)); return }
-    val prev = spark.read.parquet(s"$g/scalars").select("s_total", "n_docs").head()
-    val (s2, n2) = (prev.getLong(0) + delta.getLong(0), prev.getLong(1) + delta.getLong(1))
+    val (s2, n2) = (sc.getAs[Long]("s_total") + delta.getLong(0),
+      sc.getAs[Long]("n_docs") + delta.getLong(1))
     val (segTerms, segPostings, segLens) =
       mergedLexFrames(spark, lexDir, g, d, s2, n2, cap)
     val (genDir, oldGens) = IndexMeta.nextGen(spark, lexDir, "lex")
@@ -1035,8 +1035,8 @@ object Pipeline {
     * index life (crash between a refit's commit and its GC) resolves
     * to a DIFFERENT path and is structurally invisible here. */
   private def lexTombstones(spark: SparkSession, lexDir: String,
-                            g: String): Option[DataFrame] = {
-    val t = s"$lexDir/tombstones_${lexLineage(spark, g)}"
+                            lineage: String): Option[DataFrame] = {
+    val t = s"$lexDir/tombstones_$lineage"
     if (IndexMeta.exists(spark, t)) Some(spark.read.parquet(t)) else None
   }
 
@@ -1055,11 +1055,9 @@ object Pipeline {
     * the window exactly as the IVF family's does. */
   def deleteLexDocs(spark: SparkSession, lexDir: String, ids: DataFrame): Unit = {
     val g = IndexMeta.requireLive(spark, lexDir, "lex")
-    require(lexLayoutCurrent(spark, g),
-      s"lex generation $g predates the segment-resident terms layout — " +
-        "deletes cannot target it; refit with fitLexIndex first")
+    val lineage = lexScalarsRow(spark, g, "deletes").getAs[String]("lineage")
     ids.select(col("doc_id")).coalesce(1)
-      .write.mode("append").parquet(s"$lexDir/tombstones_${lexLineage(spark, g)}")
+      .write.mode("append").parquet(s"$lexDir/tombstones_$lineage")
   }
 
   /** C43e compaction — make lexical deletes physical and the
@@ -1084,11 +1082,9 @@ object Pipeline {
     * doctrine). */
   def compactLexIndex(spark: SparkSession, lexDir: String): Unit = {
     val g = IndexMeta.requireLive(spark, lexDir, "lex")
-    require(lexLayoutCurrent(spark, g),
-      s"lex generation $g predates the segment-resident terms layout — " +
-        "compaction cannot maintain it; refit with fitLexIndex first")
-    val lineage = lexLineage(spark, g)
-    val tombOpt = lexTombstones(spark, lexDir, g)
+    val scRow = lexScalarsRow(spark, g, "compaction")
+    val lineage = scRow.getAs[String]("lineage")
+    val tombOpt = lexTombstones(spark, lexDir, lineage)
     // a fold happens only when there is a pending delete or a segment
     // pileup — but crash ORPHANS (segments written by an append that
     // never committed, side-state of a retired lineage) are swept
@@ -1097,7 +1093,7 @@ object Pipeline {
     if (tombOpt.isEmpty && lexSegments(spark, g).size <= 1) {
       gcLexIndex(spark, lexDir); return
     }
-    val cap = lexStoredCap(spark, g)
+    val cap = scRow.getAs[Long]("posting_cap").toInt
     val tombIds = broadcast(tombOpt.map(_.select(col("doc_id")).distinct())
       .getOrElse(spark.range(0).select(col("id").as("doc_id"))))
     val keptLens = lexSegTable(spark, lexDir, g, "doclens")
@@ -1256,14 +1252,10 @@ object Pipeline {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
     val g = IndexMeta.requireLive(spark, lexDir, "lex")
-    require(lexLayoutCurrent(spark, g),
-      s"lex generation $g predates the segment-resident terms layout — " +
-        "this reader scores from raw facts; refit with fitLexIndex")
+    val scRow = lexScalarsRow(spark, g, "this raw-fact reader")
     val stored = lexSegTable(spark, lexDir, g, "postings")
-    val scRow = spark.read.parquet(s"$g/scalars")
-      .select(col("s_total"), col("n_docs")).head()
-    val (sTotal, nDocs) = (scRow.getLong(0), scRow.getLong(1))
-    val postings = lexTombstones(spark, lexDir, g) match {
+    val (sTotal, nDocs) = (scRow.getAs[Long]("s_total"), scRow.getAs[Long]("n_docs"))
+    val postings = lexTombstones(spark, lexDir, scRow.getAs[String]("lineage")) match {
       case Some(t) => stored.join(broadcast(t.select(col("doc_id"))),
         Seq("doc_id"), "left_anti")
       case None => stored

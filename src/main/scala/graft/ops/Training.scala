@@ -816,10 +816,14 @@ object Training {
   // by churning selections.
   //
   // Crash contract: a slice's appends (seen_th, eval grams, near-dup
-  // store, shards, meta) are not atomic; the slice marker lands LAST,
-  // so a completed slice replays into a no-op while a crashed slice
-  // is repaired by rebuilding the state (the appendToNearDupIndex
-  // contract, stated there for the same reason).
+  // store, shards) are not atomic; the slice marker lands after all
+  // of THEM (so a completed slice replays into a no-op while a
+  // crashed slice is repaired by rebuilding the state — the
+  // appendToNearDupIndex contract, stated there for the same reason),
+  // and the id WATERMARK lands after the marker: a crash between the
+  // two leaves a fully-applied, marker-protected slice whose replay
+  // no-ops, and the next in-order slice still passes the (one-slice-
+  // stale) monotone watermark guard.
 
   /** Quality floor + exact-dup keepers + near-dup losers + decontam +
     * frozen-rate gate over a TRAIN frame, with the cross-corpus state
@@ -939,7 +943,9 @@ object Training {
     * curate + gate against the FROZEN rates, encode with the FROZEN
     * BPE model, append a shard slice, advance the id watermark —
     * Θ(slice + store-probe) work, the old corpus' text never read.
-    * Idempotent under `sliceId` replay (marker written last). */
+    * Idempotent under `sliceId` replay (marker written after every
+    * store append; only the advisory watermark lands after it — see
+    * the crash contract above). */
   def ingestPretrainSlice(spark: SparkSession, stateDir: String,
                           slice: DataFrame, sliceId: String): Unit = {
     val tag = sliceId.replaceAll("[^A-Za-z0-9._-]", "_")

@@ -2420,30 +2420,43 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     // fit — the old lineage's tombstones and append markers are still
     // ON DISK, yet every reader and maintenance op must ignore them,
     // because side-state is keyed by the lineage id the commit rotated
+    import spark.implicits._
     val docs = Relational.table(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
     val idx = Similarity.freshScratch(spark, "graft_c43_lin_")
     Pipeline.fitLexIndex(docs.filter(col("doc_id") % 10 =!= 7), idx)
-    val victim = docs.filter(col("doc_id") % 17 === 0).limit(1)
-      .select(col("doc_id"))
-    Pipeline.deleteLexDocs(spark, idx, victim) // pending tombstone
+    // victim with UNIQUE text, so a same-text probe must retrieve the
+    // victim itself — not a duplicate that would mask a hidden vid
+    val vrow = docs.groupBy(col("text"))
+      .agg(count(lit(1)).as("c"), min(col("doc_id")).as("doc_id"))
+      .filter(col("c") === 1 && col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"), col("text")).head()
+    val (vid, vtext) = (vrow.getLong(0), vrow.getString(1))
+    Pipeline.deleteLexDocs(spark, idx,
+      spark.range(1).select(lit(vid).as("doc_id"))) // pending tombstone
     Pipeline.appendLexIndex(spark, idx, docs.filter(col("doc_id") % 10 === 7),
       Some("b1")) // consumed batch marker
     Pipeline.fitLexIndex(docs, idx) // the "crashed refit": commit only, no GC
-    assert(IndexMeta.list(spark, idx)
-        .exists(_.getPath.getName.startsWith("tombstones_")),
+    def staleTomb() = IndexMeta.list(spark, idx)
+      .exists(_.getPath.getName.startsWith("tombstones_"))
+    assert(staleTomb(),
       "precondition: the old lineage's tombstone file must still be on disk")
-    // 1. the stale tombstone does not hide the re-indexed doc
-    val vid = victim.head().getLong(0)
-    val vq = docs.filter(col("doc_id") === vid)
+    // 1. the stale tombstone does not hide the re-indexed doc: a
+    // probe with the victim's own (unique) text must retrieve vid
     val hits = Pipeline.sparseScoreIndexed(spark, idx,
-        docs.filter(col("doc_id") % 9999991 === 3).limit(2)
-          .unionByName(vq)) // any batch containing known terms
-    assert(hits.count() > 0)
+        Seq((-1L, vtext)).toDF("doc_id", "text"))
+      .collect().map(_.getLong(1))
+    assert(hits.contains(vid),
+      s"stale tombstone hid re-indexed doc $vid (got ${hits.take(5).mkString(",")})")
     // 2. compaction of the new life must NOT physically apply the old
-    // life's tombstone (the data-loss half of the crash window)
-    Pipeline.appendLexIndex(spark, idx,
-      docs.limit(0), Some("force")) // no-op append, keeps layout current
+    // life's tombstone (the data-loss half of the crash window). A
+    // REAL append creates the second segment so the fold actually
+    // runs — with the stale tombstone still on disk when it does
+    val alien2 = (0 until 20).map(i => (950000L + i, s"zzlin$i zzlin${i % 5}"))
+      .toDF("doc_id", "text")
+    Pipeline.appendLexIndex(spark, idx, alien2, Some("lin2"))
+    assert(Pipeline.lexSegmentCount(spark, idx) == 2 && staleTomb(),
+      "precondition: fold must run on >1 segments with the stale tombstone present")
     Pipeline.compactLexIndex(spark, idx)
     val (_, _, _, dls) = Pipeline.lexLiveTables(spark, idx)
     assert(dls.filter(col("doc_id") === vid).count() == 1,
