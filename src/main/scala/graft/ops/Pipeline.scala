@@ -1399,6 +1399,27 @@ object Pipeline {
     q.awaitTermination()
   }
 
+  /** Steady-state soak leg for the lexical store (the
+    * [[Similarity.nearDupSteadyState]] shape): fit on the 95% slice,
+    * stream ONLY the held-out 5% in `nBatches` equal micro-batches —
+    * each `[stream-batch]` stderr line prices one arrival batch at
+    * fixed index scale, with the default segment-census cadence
+    * folding the store in-run — then answer the shared query batch
+    * from the soaked index. The census the soak contract asserts is
+    * the live SEGMENT count ([[lexSegmentCount]]), bounded by
+    * `graft.lex.maxSegments`. */
+  def lexSteadyState(spark: SparkSession, dir: String,
+      nBatches: Int): (DataFrame, String) = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val lexDir = Similarity.freshScratch(spark, s"graft_lex_steady_${key}_")
+    val docs = Relational.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    fitLexIndex(docs.filter(col("doc_id") % 20 =!= 7), lexDir)
+    lexIngestStreamOn(spark, lexDir, docs.filter(col("doc_id") % 20 === 7),
+      s"graft_steady_lex_$key", nBatches)
+    (sparseScoreIndexed(spark, lexDir, batchQueryFrames(spark, dir)._1), lexDir)
+  }
+
   /** C43f registry wrapper: c43d's exact split and query batch, but
     * the 10% arrival slice enters through micro-batch replay instead
     * of one append — the spec pins the streamed index row-identical to

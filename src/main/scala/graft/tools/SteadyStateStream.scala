@@ -36,7 +36,8 @@ object SteadyStateStream {
     val (out, idx) = store match {
       case "seminc"  => Similarity.semanticSteadyState(spark, dir, nBatches)
       case "neardup" => Similarity.nearDupSteadyState(spark, dir, nBatches)
-      case other     => sys.error(s"unknown store: $other (seminc|neardup)")
+      case "lex"     => graft.ops.Pipeline.lexSteadyState(spark, dir, nBatches)
+      case other     => sys.error(s"unknown store: $other (seminc|neardup|lex)")
     }
     val rows = out.agg(count(lit(1))).head().getLong(0)
     // the long-soak contract (round-10 verdict item 7): when the
@@ -47,10 +48,20 @@ object SteadyStateStream {
     // batch's append; a store whose compacted steady-state legitimately
     // needs more target-size files than the bound would assert loudly —
     // the signal to raise the conf, not a soak failure.)
-    val census = Similarity.steadyStateCensus(spark, store, idx)
-    spark.conf.getOption("graft.stream.compactMaxFiles").map(_.toLong).foreach { mf =>
+    val census =
+      if (store == "lex") graft.ops.Pipeline.lexSegmentCount(spark, idx).toLong
+      else Similarity.steadyStateCensus(spark, store, idx)
+    // the lex store's cadence is ALWAYS on (default 8) — its census
+    // bound asserts unconditionally; the other stores assert only when
+    // their in-stream cadence conf is set (their cadence default is
+    // caller-owned)
+    val bound =
+      if (store == "lex") Some(spark.conf.getOption("graft.lex.maxSegments")
+        .map(_.toLong).getOrElse(8L)).filter(_ > 0)
+      else spark.conf.getOption("graft.stream.compactMaxFiles").map(_.toLong)
+    bound.foreach { mf =>
       assert(census <= mf,
-        s"file census $census exceeds the compactMaxFiles bound $mf after the soak")
+        s"census $census exceeds the cadence bound $mf after the soak")
     }
     println(f"""{"store":"$store","dir":"$dir","n_batches":$nBatches,""" +
       f""""result_rows":$rows,"files":$census,""" +
