@@ -1842,6 +1842,60 @@ object Pipeline {
        |SELECT doc_id, cast(score_micro AS BIGINT) AS score_micro FROM s
        |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin
 
+  /** The c43e takedown oracle — the ONE indexed-retrieval key that is
+    * exactly SQL-expressible (both hybrid keys carry the approximate
+    * IVF dense leg; the sparse-only takedown is deterministic end to
+    * end): full-corpus quantized BM25 stats (the index serves
+    * BUILD-time statistics until compaction — the documented
+    * staleness, so the oracle scores from the full corpus too),
+    * impact-ordered posting cap applied BEFORE the tombstone
+    * exclusion (the index capped at build; the read anti-joins the
+    * capped lists), per-query rarest-5 term selection, depth-20
+    * ranks. Moves c43e from rows-only to the full three-check gate. */
+  private val lexTakedownOracleSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+       |sc AS (SELECT sum(dl) AS s_total, count(*) AS n_docs FROM dl),
+       |q AS (SELECT e.vec_id AS query_id FROM embeddings e
+       |  JOIN documents dd ON dd.doc_id = e.vec_id WHERE e.vec_id % 17 = 0),
+       |tf AS (SELECT t.doc_id, dl.dl, t.tok, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM d) t
+       |  JOIN dl ON t.doc_id = dl.doc_id GROUP BY 1, 2, 3),
+       |df AS (SELECT tok, count(*) AS dfq FROM tf GROUP BY 1),
+       |idf AS (SELECT tok, dfq,
+       |    cast(round(ln((cast(n_docs - dfq AS DOUBLE) + cast(0.5 AS DOUBLE))
+       |        / (cast(dfq AS DOUBLE) + cast(0.5 AS DOUBLE)) + cast(1 AS DOUBLE))
+       |      * cast(1000000 AS DOUBLE), 0) AS BIGINT) AS idf_micro,
+       |    s_total, n_docs
+       |  FROM df, sc),
+       |post AS (SELECT tok, doc_id, score_micro FROM (
+       |  SELECT tf.tok, tf.doc_id,
+       |    cast(round(cast(idf_micro AS DOUBLE)
+       |      * (cast(22 * s_total * tf AS DOUBLE)
+       |         / cast(10 * s_total * tf + 3 * s_total + 9 * cast(dl AS BIGINT) * n_docs AS DOUBLE)), 0)
+       |      AS BIGINT) AS score_micro,
+       |    row_number() OVER (PARTITION BY tf.tok ORDER BY
+       |      cast(round(cast(idf_micro AS DOUBLE)
+       |        * (cast(22 * s_total * tf AS DOUBLE)
+       |           / cast(10 * s_total * tf + 3 * s_total + 9 * cast(dl AS BIGINT) * n_docs AS DOUBLE)), 0)
+       |        AS BIGINT) DESC, tf.doc_id) AS prk
+       |  FROM tf JOIN idf USING (tok)) WHERE prk <= $hybridPostingCap),
+       |live AS (SELECT * FROM post WHERE doc_id % 10 <> 7),
+       |qt0 AS (SELECT q.query_id, x.tok FROM q
+       |  JOIN (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM d) x
+       |    ON x.doc_id = q.query_id),
+       |qt AS (SELECT query_id, tok FROM (
+       |  SELECT query_id, tok,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dfq ASC, tok ASC) AS trk
+       |  FROM qt0 JOIN df USING (tok)) WHERE trk <= $hybridQueryTerms),
+       |sres AS (SELECT query_id, live.doc_id, sum(score_micro) AS score_micro
+       |  FROM live JOIN qt USING (tok) WHERE live.doc_id <> query_id GROUP BY 1, 2),
+       |r AS (SELECT query_id, doc_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rank_sparse
+       |  FROM sres)
+       |SELECT query_id, doc_id, cast(rank_sparse AS INT) AS rank_sparse
+       |FROM r WHERE rank_sparse <= $rrfDepth ORDER BY query_id, rank_sparse""".stripMargin
+
   /** The c43 hybrid-RRF oracle: both legs re-ranked independently in
     * DuckDB (BM25 from the shared CTEs; dense from
     * list_cosine_similarity — the c3_sim_topk oracle form), fused with
@@ -1988,6 +2042,7 @@ object Pipeline {
     "c41b_bm25_persisted" -> bm25OracleSql,
     "c41c_bm25_incremental" -> bm25OracleSql,
     "c43_hybrid_rrf" -> hybridRrfOracleSql,
+    "c43e_lex_takedown" -> lexTakedownOracleSql,
     "c4_fingerprint" ->
       """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
         |SELECT doc_id,
