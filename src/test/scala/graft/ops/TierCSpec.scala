@@ -2340,6 +2340,24 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("C43d: an empty batch appends as a marker-only no-op, not an NPE") {
+    // streaming replay can deliver empty micro-batches (stageSlices
+    // pads the id range); the append must consume the batchId without
+    // committing a generation or crashing on the null sum aggregate
+    val docs = Relational.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val idx = Similarity.freshScratch(spark, "graft_c43_empty_")
+    Pipeline.fitLexIndex(docs, idx)
+    val gen0 = IndexMeta.requireLive(spark, idx, "lex")
+    Pipeline.appendLexIndex(spark, idx, docs.limit(0), Some("empty1"))
+    assert(IndexMeta.requireLive(spark, idx, "lex") == gen0,
+      "an empty batch committed a new generation")
+    assert(Pipeline.lexSegmentCount(spark, idx) == 1,
+      "an empty batch wrote a segment")
+    Pipeline.appendLexIndex(spark, idx, docs.limit(0), Some("empty1")) // replay no-op
+    assert(IndexMeta.requireLive(spark, idx, "lex") == gen0)
+  }
+
   test("C43 crash orphan: an uncommitted segment is invisible to readers and swept by compaction") {
     // the snapshot-atomicity claim, pinned: a crash between the
     // segment write and the manifest commit leaves a seg_* dir no
