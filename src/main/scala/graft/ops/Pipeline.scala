@@ -521,8 +521,14 @@ object Pipeline {
     * that pose the same question through different deployment shapes
     * cannot drift in how they derive the batch. */
   private def batchQueryFrames(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    batchQueryFrames(spark, dir, batchQueryMod(spark))
+
+  /** Explicit-modulus form, for callers whose downstream check bakes a
+    * specific qmod (the c43e oracle) — immune to the session conf. */
+  private def batchQueryFrames(spark: SparkSession, dir: String, qmod: Long)
       : (DataFrame, DataFrame) = {
-    val qIds = batchQueryIds(spark, dir, batchQueryMod(spark))
+    val qIds = batchQueryIds(spark, dir, qmod)
     (Relational.table(spark, dir, "documents")
        .join(qIds, Seq("doc_id"), "left_semi")
        .select(col("doc_id"), col("text")),
@@ -688,7 +694,8 @@ object Pipeline {
     * truncation window (WindowGroupLimit bounds per-group state at the
     * cap). The idf join is tok-keyed and UNHINTED — at web scale the
     * vocab does not broadcast; AQE picks BHJ when it does. */
-  def fitLexIndex(docs: DataFrame, indexDir: String): Unit = {
+  def fitLexIndex(docs: DataFrame, indexDir: String,
+                  capOverride: Option[Int] = None): Unit = {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     val d = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -714,7 +721,10 @@ object Pipeline {
         .crossJoin(broadcast(scalars))
         .withColumn("idf_micro", expr(bm25IdfExpr))
         .select(col("tok"), col("dfq"), col("idf_micro"), col("s_total"), col("n_docs")))
-    val cap = postingCap(spark)
+    // `capOverride` pins the cap irrespective of the session conf —
+    // for callers whose downstream check bakes a specific cap (the
+    // c43e oracle); everyone else sweeps through the conf knob
+    val cap = capOverride.getOrElse(postingCap(spark))
     // scores are computed HERE only to drive the impact-ordered
     // truncation — the persisted rows are the raw facts
     val postings = truncatePostings(
@@ -790,24 +800,41 @@ object Pipeline {
     seg
   }
 
-  /** Commit scalars + manifest as the next `lex.gN` — single root
-    * marker AFTER everything lands (the [[commitBm25Stats]] atomicity
-    * doctrine: a reader can never pair tables from different fits, nor
-    * see a segment no stats describe); superseded GENERATIONS are GC'd
-    * after the commit — segments are shared across generations and
-    * only compaction deletes them. */
+  /** Commit scalars + manifest (+ the applied-batch replay record) as
+    * the next `lex.gN` — single root marker AFTER everything lands
+    * (the [[commitBm25Stats]] atomicity doctrine: a reader can never
+    * pair tables from different fits, nor see a segment no stats
+    * describe); superseded GENERATIONS are GC'd after the commit —
+    * segments are shared across generations and only compaction
+    * deletes them. `applied` is the full set of batch ids appended in
+    * THIS index life (fit starts it empty, append extends it,
+    * compaction carries it verbatim): because it rides the generation
+    * it is atomic with the commit — no separate marker file, no crash
+    * window between "batch committed" and "batch recorded". One short
+    * string per append since the last fit: KB-scale even for years of
+    * streaming micro-batches. */
   private def commitLexGen(spark: SparkSession, genDir: String,
       oldGens: Seq[String], scalars: DataFrame,
-      segments: Seq[String]): Unit = {
+      segments: Seq[String], applied: Seq[String] = Seq.empty): Unit = {
     scalars.coalesce(1).write.mode("overwrite").parquet(s"$genDir/scalars")
     spark.createDataset(segments)(org.apache.spark.sql.Encoders.STRING)
       .toDF("seg").coalesce(1).write.mode("overwrite").parquet(s"$genDir/manifest")
+    if (applied.nonEmpty)
+      spark.createDataset(applied)(org.apache.spark.sql.Encoders.STRING)
+        .toDF("batch").coalesce(1).write.mode("overwrite").parquet(s"$genDir/applied")
     IndexMeta.createMarker(spark, s"$genDir/_SUCCESS")
     oldGens.foreach(IndexMeta.delete(spark, _))
   }
 
+  /** Batch ids already applied in this index life — the generation's
+    * replay record (absent table = none, e.g. right after a fit). */
+  private def lexApplied(spark: SparkSession, g: String): Seq[String] =
+    if (IndexMeta.exists(spark, s"$g/applied"))
+      spark.read.parquet(s"$g/applied").collect().map(_.getString(0)).toSeq
+    else Seq.empty
+
   /** The live generation's segment names, in manifest order. */
-  private def lexSegments(spark: SparkSession, g: String): Seq[String] =
+  private[graft] def lexSegments(spark: SparkSession, g: String): Seq[String] =
     spark.read.parquet(s"$g/manifest").collect().map(_.getString(0)).toSeq.sorted
 
   /** True iff generation `g` is the current layout: a segment
@@ -824,14 +851,19 @@ object Pipeline {
   /** The one-row scalars of a CURRENT-layout generation, read ONCE
     * per op (the review-flagged repeated-I/O seam): guards the layout
     * loudly, then hands back the row every field reader picks from —
-    * s_total, n_docs, posting_cap, lineage. `what` names the caller
-    * in the refusal message. */
+    * s_total, n_docs, posting_cap, lineage. One parquet open total:
+    * the layout check reuses the same frame's schema rather than
+    * re-reading it the way a [[lexLayoutCurrent]] call would. `what`
+    * names the caller in the refusal message. */
   private def lexScalarsRow(spark: SparkSession, g: String,
                             what: String): org.apache.spark.sql.Row = {
-    require(lexLayoutCurrent(spark, g),
+    val scalars = spark.read.parquet(s"$g/scalars")
+    require(IndexMeta.exists(spark, s"$g/manifest") &&
+        !IndexMeta.exists(spark, s"$g/terms") &&
+        scalars.columns.contains("lineage"),
       s"lex generation $g predates the segment-resident terms layout — " +
         s"$what cannot use it; refit with fitLexIndex first")
-    spark.read.parquet(s"$g/scalars").head()
+    scalars.head()
   }
 
   /** The lineage id of a live generation — set by the fit that
@@ -840,12 +872,14 @@ object Pipeline {
   private def lexLineage(spark: SparkSession, g: String): String =
     spark.read.parquet(s"$g/scalars").select(col("lineage")).head().getString(0)
 
-  /** Union read of one table across the live generation's segments. */
-  private def lexSegTable(spark: SparkSession, lexDir: String, g: String,
-      table: String): DataFrame = {
-    val paths = lexSegments(spark, g).map(s => s"$lexDir/$s/$table")
-    require(paths.nonEmpty, s"empty manifest under $g")
-    spark.read.parquet(paths: _*)
+  /** Union read of one table across the given segments — callers
+    * resolve [[lexSegments]] ONCE per op and reuse the list (manifest
+    * is a driver-side small-file read; repeating it per table is the
+    * review-flagged seam). */
+  private def lexSegTable(spark: SparkSession, lexDir: String,
+      segs: Seq[String], table: String): DataFrame = {
+    require(segs.nonEmpty, s"empty manifest under $lexDir")
+    spark.read.parquet(segs.map(s => s"$lexDir/$s/$table"): _*)
   }
 
   /** The four live lex tables of an index — (terms, scalars, postings,
@@ -855,11 +889,12 @@ object Pipeline {
   private[graft] def lexLiveTables(spark: SparkSession, lexDir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val g = IndexMeta.requireLive(spark, lexDir, "lex")
-    (lexSegTable(spark, lexDir, g, "terms")
+    val segs = lexSegments(spark, g)
+    (lexSegTable(spark, lexDir, segs, "terms")
        .groupBy(col("tok")).agg(sum(col("dfq")).as("dfq")),
       spark.read.parquet(s"$g/scalars"),
-      lexSegTable(spark, lexDir, g, "postings"),
-      lexSegTable(spark, lexDir, g, "doclens"))
+      lexSegTable(spark, lexDir, segs, "postings"),
+      lexSegTable(spark, lexDir, segs, "doclens"))
   }
 
   /** C43c score — batch hybrid retrieval where the sparse leg reads
@@ -880,56 +915,70 @@ object Pipeline {
   /** C43d — INCREMENTAL lexical-index append (round-13 verdict item 1:
     * `fitLexIndex` was the only way postings entered `lex.gN`, so an
     * arrival batch could not join sparse retrieval without a full
-    * corpus refit). The merge is Θ(index + batch), never
+    * corpus refit). The merge is Θ(batch), never index- or
     * corpus-bounded — the old corpus' text is NEVER re-read (the
     * batch is pinned first, so every downstream plan reads only the
-    * pinned batch and the stored tables; PlanSpec):
-    *   1. df and the (s_total, n_docs) scalars are additive over
-    *      disjoint corpora — the [[appendBm25Stats]] merge verbatim
-    *      (batch-vocab aggregate full-outer-joined onto the stored
-    *      terms table); idf/scores are NOT stored (see [[fitLexIndex]])
-    *      so nothing global needs recomputing — the query path derives
-    *      them from (dfq, n_docs, s_total) at score time;
-    *   2. postings of UNTOUCHED terms ride into the next generation
-    *      verbatim (raw facts are stats-independent); TOUCHED terms
-    *      union the batch's rows and re-truncate at the STORED build
-    *      cap by current-stats impact — one window over ≤
-    *      touched-vocab × (cap + batch) rows. Exact ≡ refit whenever
-    *      every posting list fits the cap (spec-pinned, term-for-term
-    *      raw-fact parity; served scores are then identical because
-    *      both paths derive them from the same merged statistics);
-    *      above the cap, a batch posting can only displace a stored
-    *      one through the same impact order a refit would apply, but
-    *      postings the BUILD already truncated away cannot re-enter —
-    *      the documented staleness, repaired by the next full fit.
-    * Idempotent under `batchId` replay (the [[Similarity.
-    * appendToIvfIndex]] marker protocol — created only AFTER the new
-    * generation commits, so a crash mid-append replays into a clean
-    * retry, never a double-count). Ids already indexed, or tombstoned
-    * and not yet compacted, are rejected LOUDLY (the append-id-check
-    * doctrine): a double-insert would double df and serve two posting
-    * rows per (term, doc); a tombstone re-insert would resurrect
-    * stats the next compaction then corrupts. */
+    * pinned batch and the stored tables; PlanSpec) and stored
+    * SEGMENTS are never rewritten (they ride into the next
+    * generation's manifest verbatim):
+    *   1. the (s_total, n_docs) scalars are additive over disjoint
+    *      corpora, and the new segment's `terms` table is the batch's
+    *      OWN per-term df delta (the Lucene per-segment dictionary) —
+    *      readers assemble global df by summing deltas after their
+    *      batch-bounded semi-join, so no vocab-sized table is read or
+    *      written; idf/scores are NOT stored (see [[fitLexIndex]]),
+    *      so nothing global needs recomputing — the query path
+    *      derives them from (dfq, n_docs, s_total) at score time;
+    *   2. the batch's postings land as ONE new immutable segment,
+    *      truncated at the STORED build cap under the MERGED df (the
+    *      only stored read: one broadcast semi-join of the batch
+    *      vocab against the segment term deltas, map-only). Stored
+    *      postings are NOT re-truncated here — between compactions a
+    *      term's served candidates are bounded by cap × live segments
+    *      (the cadence bounds the segment count), and
+    *      [[compactLexIndex]] re-establishes the GLOBAL cap
+    *      (merge-time pruning). Exact ≡ refit whenever every posting
+    *      list fits the cap (spec-pinned, term-for-term raw-fact
+    *      parity; served scores are then identical because both paths
+    *      derive them from the same merged statistics); above the
+    *      cap, a refit would rank batch and stored postings in ONE
+    *      impact order while the segmented store keeps each segment's
+    *      own top-cap until compaction folds them — the documented
+    *      staleness class, repaired at the next compaction or fit.
+    * Idempotent under `batchId` replay: applied batch ids are
+    * recorded in the generation's `applied` table, written BEFORE the
+    * generation's commit marker — the record is atomic with the
+    * commit itself, so there is no crash window between "the batch is
+    * in" and "the batch is marked done" (a file-marker-after-commit
+    * protocol had exactly that window: a crash between the two turned
+    * the replay into a spurious live-id clash). A crash before the
+    * commit replays into a clean retry; a crash after it replays into
+    * a no-op. Ids already indexed, or tombstoned and not yet
+    * compacted, are rejected LOUDLY (the append-id-check doctrine): a
+    * double-insert would double df and serve two posting rows per
+    * (term, doc); a tombstone re-insert would resurrect stats the
+    * next compaction then corrupts. */
   def appendLexIndex(spark: SparkSession, lexDir: String, batch: DataFrame,
                      batchId: Option[String] = None): Unit = {
     val g = IndexMeta.requireLive(spark, lexDir, "lex")
     val sc = lexScalarsRow(spark, g, "appends")
     val lineage = sc.getAs[String]("lineage")
-    // lineage-keyed replay marker: a refit retires ingest history
-    // atomically with its commit, so replaying an old batchId against
-    // the NEW index life appends (correct — the refit corpus decided
+    // generation-resident replay record: the applied table lives IN
+    // the committed generation, so a refit retires ingest history
+    // atomically with its commit — replaying an old batchId against
+    // the NEW index life appends (correct: the refit corpus decided
     // what exists; the arrival is new data to it), never a silent no-op
-    val marker = batchId.map(b =>
-      s"$lexDir/_appended_${lineage}_${b.replaceAll("[^A-Za-z0-9._-]", "_")}")
-    if (marker.exists(IndexMeta.exists(spark, _))) return
+    val applied = lexApplied(spark, g)
+    if (batchId.exists(applied.contains)) return
     val cap = sc.getAs[Long]("posting_cap").toInt
+    val segs = lexSegments(spark, g) // manifest read ONCE per append
     // pin the batch: it feeds four consumers (id guard, scalars delta,
     // df delta, the segment write) — and pinning is what makes the
     // no-old-corpus-read property STRUCTURAL rather than incidental
     val d = Scale.pin(batch
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("dl", size(col("toks"))))
-    val doclens = lexSegTable(spark, lexDir, g, "doclens")
+    val doclens = lexSegTable(spark, lexDir, segs, "doclens")
     val tombIds = lexTombstones(spark, lexDir, lineage)
       .map(_.select(col("doc_id")))
       .getOrElse(spark.range(0).select(col("id").as("doc_id")))
@@ -941,32 +990,36 @@ object Pipeline {
         s"(or tombstoned and awaiting compaction) in $lexDir — a " +
         "double-insert double-counts df and serves duplicate postings; " +
         "dedup the batch (or compact first) and retry")
-    // 1. additive scalars. An EMPTY batch is a marker-only no-op (the
+    // 1. additive scalars. An EMPTY batch is a pure no-op (the
     // ingestPretrainSlice guard): streaming replay can deliver empty
     // micro-batches (stageSlices pads the id range), and sum(dl) over
-    // zero rows is a null that would otherwise NPE here
+    // zero rows is a null that would otherwise NPE here. No replay
+    // record is needed — re-appending nothing is naturally idempotent,
+    // and committing a generation just to record the batchId would
+    // cost a commit per empty trigger
     val delta = d.agg(sum(col("dl").cast("long")), count(lit(1))).head()
-    if (delta.isNullAt(0)) { marker.foreach(IndexMeta.createMarker(spark, _)); return }
+    if (delta.isNullAt(0)) return
     val (s2, n2) = (sc.getAs[Long]("s_total") + delta.getLong(0),
       sc.getAs[Long]("n_docs") + delta.getLong(1))
     val (segTerms, segPostings, segLens) =
-      mergedLexFrames(spark, lexDir, g, d, s2, n2, cap)
+      mergedLexFrames(spark, lexDir, segs, d, s2, n2, cap)
     val (genDir, oldGens) = IndexMeta.nextGen(spark, lexDir, "lex")
     val seg = writeLexSegment(spark, lexDir, genDir, segTerms, segPostings, segLens)
     commitLexGen(spark, genDir, oldGens,
       scalars = spark.range(1).select(lit(s2).as("s_total"), lit(n2).as("n_docs"),
         lit(cap.toLong).as("posting_cap"), lit(lineage).as("lineage")),
-      segments = lexSegments(spark, g) :+ seg)
-    marker.foreach(IndexMeta.createMarker(spark, _))
+      segments = segs :+ seg,
+      applied = applied ++ batchId)
     // segment-census cadence (the c27/IVF file-census doctrine at
     // segment granularity): query-time per-term candidates are bounded
     // by cap × live segments, so the store maintains ITSELF once the
     // count crosses the bound — one index-bounded merge amortized over
     // `maxSegments` batch-bounded appends (the LSM trade). Runs AFTER
-    // the replay marker commits: a crash inside the compaction leaves
-    // a replayable no-op append, never a loud live-id clash.
+    // the generation (and its replay record) commits: a crash inside
+    // the compaction leaves a replayable no-op append, never a loud
+    // live-id clash.
     lexMaxSegments(spark).foreach { bound =>
-      if (lexSegmentCount(spark, lexDir) > bound) compactLexIndex(spark, lexDir)
+      if (segs.size + 1 > bound) compactLexIndex(spark, lexDir)
     }
   }
 
@@ -1004,14 +1057,14 @@ object Pipeline {
     * query-time candidate rows are bounded by cap × live segments,
     * which the compaction cadence bounds in turn. */
   private[graft] def mergedLexFrames(spark: SparkSession, lexDir: String,
-      g: String, d: DataFrame,
+      segs: Seq[String], d: DataFrame,
       s2: Long, n2: Long, cap: Int): (DataFrame, DataFrame, DataFrame) = {
     val deltaDf = d.select(explode(array_distinct(col("toks"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("ddf"))
       .localCheckpoint() // batch-bounded; feeds the probe AND the commit
     // merged df for the BATCH's terms only — what the truncation's
     // impact scores need; map-only over the stored per-segment deltas
-    val storedDf = lexSegTable(spark, lexDir, g, "terms")
+    val storedDf = lexSegTable(spark, lexDir, segs, "terms")
       .join(broadcast(deltaDf.select(col("tok"))), Seq("tok"), "left_semi")
       .groupBy(col("tok")).agg(sum(col("dfq")).as("sdf"))
     val batchTerms = deltaDf.join(storedDf, Seq("tok"), "left_outer")
@@ -1056,8 +1109,20 @@ object Pipeline {
   def deleteLexDocs(spark: SparkSession, lexDir: String, ids: DataFrame): Unit = {
     val g = IndexMeta.requireLive(spark, lexDir, "lex")
     val lineage = lexScalarsRow(spark, g, "deletes").getAs[String]("lineage")
-    ids.select(col("doc_id")).coalesce(1)
-      .write.mode("append").parquet(s"$lexDir/tombstones_$lineage")
+    // append only ids NOT already tombstoned (re-deletes are routine —
+    // takedown automation retries — and must not grow the table), and
+    // never create the table for a delete that matched nothing: an
+    // empty tombstone file would flip every sparse read onto the
+    // anti-join path and compaction off its cheap gc-only path, for
+    // zero deletes. O(deletes) work either way.
+    val t = s"$lexDir/tombstones_$lineage"
+    val novel = (lexTombstones(spark, lexDir, lineage) match {
+      case Some(existing) => ids.select(col("doc_id")).distinct()
+        .join(existing.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      case None => ids.select(col("doc_id")).distinct()
+    }).localCheckpoint() // tiny; one eval for the guard AND the write
+    if (!novel.isEmpty)
+      novel.coalesce(1).write.mode("append").parquet(t)
   }
 
   /** C43e compaction — make lexical deletes physical and the
@@ -1090,21 +1155,29 @@ object Pipeline {
     // never committed, side-state of a retired lineage) are swept
     // unconditionally: nothing else ever lists them, so without this
     // the no-op path would let them accumulate forever
-    if (tombOpt.isEmpty && lexSegments(spark, g).size <= 1) {
+    val segs = lexSegments(spark, g) // manifest read ONCE per compaction
+    if (tombOpt.isEmpty && segs.size <= 1) {
       gcLexIndex(spark, lexDir); return
     }
     val cap = scRow.getAs[Long]("posting_cap").toInt
     val tombIds = broadcast(tombOpt.map(_.select(col("doc_id")).distinct())
       .getOrElse(spark.range(0).select(col("id").as("doc_id"))))
-    val keptLens = lexSegTable(spark, lexDir, g, "doclens")
-      .join(tombIds, Seq("doc_id"), "left_anti")
-      .localCheckpoint() // feeds the scalar aggregate AND the commit
+    // the three multi-consumer intermediates here are INDEX-sized (the
+    // full posting set is the largest frame this store ever pins), so
+    // they route through Scale.pin like the fit's — on a cluster with
+    // `graft.checkpoint.dir` set that is a reliable checkpoint, and
+    // losing an executor mid-fold must not fail the compaction
+    // unrecoverably (a bare localCheckpoint would: truncated lineage
+    // on lost executor-local blocks cannot recompute)
+    val keptLens = Scale.pin(lexSegTable(spark, lexDir, segs, "doclens")
+      .join(tombIds, Seq("doc_id"), "left_anti"))
+      // feeds the scalar aggregate AND the commit
     val sc = keptLens.agg(
       coalesce(sum(col("dl").cast("long")), lit(0L)).as("s_total"),
       count(lit(1)).as("n_docs")).head()
     val (s2, n2) = (sc.getLong(0), sc.getLong(1))
-    val stored = lexSegTable(spark, lexDir, g, "postings")
-      .localCheckpoint() // feeds the df decrement AND the merge
+    val stored = Scale.pin(lexSegTable(spark, lexDir, segs, "postings"))
+      // feeds the df decrement AND the merge
     // per-term df decrement = dropped stored (tok, doc) pairs; pairs
     // the build truncated away are the documented above-cap staleness
     val drops = stored.join(tombIds, Seq("doc_id"), "left_semi")
@@ -1112,12 +1185,12 @@ object Pipeline {
     // assemble the global df from the per-segment deltas, then fold
     // the decrement — the folded table becomes the ONE surviving
     // segment's terms delta (re-baselining the sums)
-    val merged = lexSegTable(spark, lexDir, g, "terms")
+    val merged = Scale.pin(lexSegTable(spark, lexDir, segs, "terms")
       .groupBy(col("tok")).agg(sum(col("dfq")).as("dfq"))
       .join(drops, Seq("tok"), "left_outer")
       .select(col("tok"), (col("dfq") - coalesce(col("ndrop"), lit(0L))).as("dfq"))
-      .filter(col("dfq") > 0)
-      .localCheckpoint() // feeds the global re-truncation AND the commit
+      .filter(col("dfq") > 0))
+      // feeds the global re-truncation AND the commit
     // merge-time pruning (the Lucene move): survivors across ALL
     // segments re-truncate GLOBALLY at the stored cap under the
     // post-delete statistics — the one place an index-sized window
@@ -1133,7 +1206,10 @@ object Pipeline {
     commitLexGen(spark, genDir, oldGens,
       scalars = spark.range(1).select(lit(s2).as("s_total"), lit(n2).as("n_docs"),
         lit(cap.toLong).as("posting_cap"), lit(lineage).as("lineage")),
-      segments = Seq(seg))
+      segments = Seq(seg),
+      // the replay record survives the fold verbatim: a compaction
+      // changes what is stored, never what was ingested
+      applied = lexApplied(spark, g))
     IndexMeta.delete(spark, s"$lexDir/tombstones_$lineage")
     gcLexIndex(spark, lexDir)
   }
@@ -1158,7 +1234,8 @@ object Pipeline {
     else {
       // a tok may appear in several segments' deltas — distinct after
       // the batch-bounded semi-join, before counting membership
-      val known = lexSegTable(spark, lexDir, g, "terms").select(col("tok"))
+      val known = lexSegTable(spark, lexDir, lexSegments(spark, g), "terms")
+        .select(col("tok"))
         .join(broadcast(qDistinct), Seq("tok"), "left_semi")
         .distinct().count()
       (nq - known).toDouble / nq
@@ -1205,12 +1282,14 @@ object Pipeline {
   }
 
   /** Reclaim everything the LIVE generation does not reference:
-    * `seg_*` dirs off the manifest (superseded inputs, crash orphans)
-    * and side-state of retired lineages (tombstone tables, append
-    * markers whose embedded lineage is not the live one). Purely a
-    * disk-space concern — readers resolve the manifest and the live
-    * lineage, so unreferenced files are structurally invisible.
-    * Single-writer maintenance, like the IVF compaction's file GC. */
+    * `seg_*` dirs off the manifest (superseded inputs, crash orphans),
+    * tombstone tables of retired lineages, and any `_appended_*`
+    * marker files (the pre-applied-table replay protocol — the record
+    * now rides the generation itself, so every marker file is legacy
+    * debris). Purely a disk-space concern — readers resolve the
+    * manifest and the live lineage, so unreferenced files are
+    * structurally invisible. Single-writer maintenance, like the IVF
+    * compaction's file GC. */
   private def gcLexIndex(spark: SparkSession, lexDir: String): Unit = {
     val g = IndexMeta.requireLive(spark, lexDir, "lex")
     val live = lexSegments(spark, g).toSet
@@ -1220,7 +1299,7 @@ object Pipeline {
       val stale =
         (st.isDirectory && n.startsWith("seg_") && !live(n)) ||
         (n.startsWith("tombstones_") && n != s"tombstones_$lineage") ||
-        (n.startsWith("_appended_") && !n.startsWith(s"_appended_${lineage}_"))
+        n.startsWith("_appended_")
       if (stale) IndexMeta.delete(spark, st.getPath.toString)
     }
   }
@@ -1253,7 +1332,8 @@ object Pipeline {
     graft.functions.GraftFunctions.register(spark)
     val g = IndexMeta.requireLive(spark, lexDir, "lex")
     val scRow = lexScalarsRow(spark, g, "this raw-fact reader")
-    val stored = lexSegTable(spark, lexDir, g, "postings")
+    val segs = lexSegments(spark, g) // manifest read ONCE per score batch
+    val stored = lexSegTable(spark, lexDir, segs, "postings")
     val (sTotal, nDocs) = (scRow.getAs[Long]("s_total"), scRow.getAs[Long]("n_docs"))
     val postings = lexTombstones(spark, lexDir, scRow.getAs[String]("lineage")) match {
       case Some(t) => stored.join(broadcast(t.select(col("doc_id"))),
@@ -1275,7 +1355,7 @@ object Pipeline {
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
     val qDistinct = qToks.select(col("tok")).distinct().localCheckpoint()
-    val dfToks = lexSegTable(spark, lexDir, g, "terms")
+    val dfToks = lexSegTable(spark, lexDir, segs, "terms")
       .join(broadcast(qDistinct), Seq("tok"), "left_semi")
       .groupBy(col("tok")).agg(sum(col("dfq")).as("dfq"))
       .localCheckpoint() // batch-bounded (tok, global dfq)
@@ -1332,6 +1412,21 @@ object Pipeline {
       p => IndexMeta.liveGen(spark, p, "lex")
         .exists(g => lexLayoutCurrent(spark, g.toString)))(
       fitLexIndex(Relational.table(spark, dir, "documents"), _))
+    // legacy-cache GC: dirs named before the cap joined the prefix
+    // (`graft_lex_index_<key>_<fp>_<app>`) can never be served again
+    // (the ready check requires the current layout, and every current
+    // name carries `cap<N>_`), and ensureDerived's own stale-GC only
+    // matches the NEW prefix — without this they sit in the index
+    // root forever, a full index's worth of parquet per old cache.
+    // `cap` cannot collide with a fingerprint: fps are hex, 'p' is not.
+    val root = spark.conf.getOption("graft.index.root")
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+    IndexMeta.list(spark, root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(s"graft_lex_index_${key}_") &&
+          !n.stripPrefix(s"graft_lex_index_${key}_").matches("cap\\d+_.*"))
+        IndexMeta.delete(spark, st.getPath.toString)
+    }
     val (queryDocs, queryVecs) = batchQueryFrames(spark, dir)
     hybridScoreIndexed(spark, lexDir, Similarity.ensureIndex(spark, dir),
       queryDocs, queryVecs)
@@ -1446,15 +1541,20 @@ object Pipeline {
     * idempotence and compaction ≡ refit-on-survivors (exact stats
     * restored). Sparse-only because takedown is the lexical leg's
     * property — the dense twin is `c3_ann_index_delete`. Deterministic
-    * but cap-truncated → rows-only (the c43b convention). */
+    * end to end, so it carries a full DuckDB oracle — and because the
+    * oracle SQL bakes the default posting cap and query modulus as
+    * literals, this wrapper PINS both (cap via `capOverride`, qmod via
+    * the explicit [[batchQueryFrames]] form) rather than reading the
+    * session confs: a capsweep or qmod override in the same session
+    * must not turn a correct result into a false gate mismatch. */
   def lexTakedownQuery(spark: SparkSession, dir: String): DataFrame = {
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val lexDir = Similarity.freshScratch(spark, s"graft_c43e_lex_${key}_")
     val docs = Relational.table(spark, dir, "documents")
-    fitLexIndex(docs, lexDir)
+    fitLexIndex(docs, lexDir, capOverride = Some(hybridPostingCap))
     deleteLexDocs(spark, lexDir, docs.filter(col("doc_id") % 10 === 7)
       .select(col("doc_id")))
-    sparseScoreIndexed(spark, lexDir, batchQueryFrames(spark, dir)._1)
+    sparseScoreIndexed(spark, lexDir, batchQueryFrames(spark, dir, 17L)._1)
       .orderBy(col("query_id"), col("rank_sparse"))
   }
 

@@ -2659,6 +2659,13 @@ object Similarity {
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
       .collect().groupBy(_.getLong(0))
       .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // empty-input contract (the quantizerDrift doctrine): no eval
+    // queries means recall is UNDEFINED, not 0/0 = NaN quietly fed
+    // into the BASELINE sweep's JSON
+    require(ref.nonEmpty,
+      "rag recall eval split produced no queries (no doc_id % 20 == 0 " +
+        "documents with a first chunk) — recall is undefined on an " +
+        "empty eval set; use a corpus with eval-modulus coverage")
     // restore the CALLER's operating point, not the default — a
     // session that tuned nprobe must measure at its setting afterwards
     val prior = spark.conf.getOption("graft.ann.nprobe")

@@ -42,23 +42,38 @@ object LexIngestDecade {
       val infos = spark.sparkContext.getRDDStorageInfo
       (infos.map(_.memSize).sum, infos.map(_.diskSize).sum)
     }
+    // Discharge every resident pin (Scale.pin's localCheckpoint blocks
+    // persist until GC) BEFORE each timed/measured phase: without this
+    // the census for dir N includes dir N-1's undischarged blocks, and
+    // a prior phase's resident blocks contend for memory/disk during
+    // the later timed phases — contaminated economics either way.
+    def discharge(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc() // ContextCleaner reclaims checkpoint block refs lazily
+    }
 
     args.foreach { dir =>
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"))
       val n = docs.count()
       // full refit (the pre-c43d cost of every arrival)
+      discharge()
       val full = Similarity.freshScratch(spark, "graft_lexdec_full_")
       val (_, tRefit) = timed(Pipeline.fitLexIndex(docs, full))
+      // read the mark BEFORE discharging — these are the fit's OWN
+      // blocks and nothing else's (the discharge above zeroed the slate)
       val (memHw, diskHw) = pinnedBytes
       // incremental: fit 90%, append the 10% arrival batch
+      discharge()
       val inc = Similarity.freshScratch(spark, "graft_lexdec_inc_")
       val (_, tFit90) = timed(
         Pipeline.fitLexIndex(docs.filter(col("doc_id") % 10 =!= 7), inc))
+      discharge()
       val (_, tAppend) = timed(
         Pipeline.appendLexIndex(spark, inc, docs.filter(col("doc_id") % 10 === 7),
           Some("decade")))
       // takedown: tombstone 1%, compact
+      discharge()
       val (_, tDelete) = timed(
         Pipeline.deleteLexDocs(spark, inc, docs.filter(col("doc_id") % 100 === 3)
           .select(col("doc_id"))))
@@ -69,7 +84,9 @@ object LexIngestDecade {
       // 1000 docs, or a tenth of a corpus too small to spare them
       val fixN = math.min(1000L, math.max(1L, maxId / 10))
       val fix = Similarity.freshScratch(spark, "graft_lexdec_fix_")
+      discharge()
       Pipeline.fitLexIndex(docs.filter(col("doc_id") <= maxId - fixN), fix)
+      discharge()
       val (_, tFixed) = timed(
         Pipeline.appendLexIndex(spark, fix, docs.filter(col("doc_id") > maxId - fixN),
           Some("fixed1k")))

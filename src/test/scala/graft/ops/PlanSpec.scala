@@ -608,7 +608,8 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("dl", size(col("toks"))))
     val (terms, postings, doclens) =
-      Pipeline.mergedLexFrames(spark, lexDir, g, d, 1L, 1L, 1000)
+      Pipeline.mergedLexFrames(spark, lexDir, Pipeline.lexSegments(spark, g),
+        d, 1L, 1L, 1000)
     Seq("terms" -> terms, "postings" -> postings, "doclens" -> doclens).foreach {
       case (name, f) =>
         val p = plan(f)

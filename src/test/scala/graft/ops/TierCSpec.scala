@@ -2209,6 +2209,15 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     val batch = docs.filter(col("doc_id") % 10 === 7)
     Pipeline.appendLexIndex(spark, idx, batch, Some("b1"))
     val gen = IndexMeta.requireLive(spark, idx, "lex")
+    // the replay record rides the generation ITSELF (atomic with the
+    // commit — no marker-file crash window): `applied` under the live
+    // gen dir carries the batch id
+    assert(spark.read.parquet(s"$gen/applied").collect()
+        .map(_.getString(0)).toSeq == Seq("b1"),
+      "applied-batch record missing from the committed generation")
+    assert(!IndexMeta.list(spark, idx)
+        .exists(_.getPath.getName.startsWith("_appended_")),
+      "append still writes a marker file outside the generation")
     Pipeline.appendLexIndex(spark, idx, batch, Some("b1")) // replay
     assert(IndexMeta.requireLive(spark, idx, "lex") == gen,
       "batchId replay committed a new generation")
@@ -2340,10 +2349,11 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
-  test("C43d: an empty batch appends as a marker-only no-op, not an NPE") {
+  test("C43d: an empty batch appends as a pure no-op, not an NPE") {
     // streaming replay can deliver empty micro-batches (stageSlices
-    // pads the id range); the append must consume the batchId without
-    // committing a generation or crashing on the null sum aggregate
+    // pads the id range); the append must return without committing a
+    // generation or crashing on the null sum aggregate — no replay
+    // record needed, re-appending nothing is naturally idempotent
     val docs = Relational.table(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
     val idx = Similarity.freshScratch(spark, "graft_c43_empty_")
