@@ -1040,6 +1040,71 @@ object Training {
     readPretrainShards(spark, st)
   }
 
+  /** C33c — STREAMING pretrain ingest (the c43f/c42c/c22d foreachBatch
+    * doctrine on the capstone chain, closing the family symmetry:
+    * every store-backed deployment now has an exactly-once streaming
+    * leg). Arrivals replay one id-range slice per trigger; each
+    * micro-batch makes ONE sliceId-idempotent [[ingestPretrainSlice]]
+    * call keyed by the engine's batchId, so a crashed batch replays
+    * into the documented no-op. Slice order is the stager's id order —
+    * exactly the in-id-order arrival model the watermark guard
+    * enforces (a real deployment's crawl feed has the same property:
+    * ids are assigned at crawl time). Single writer by construction —
+    * foreachBatch batches are sequential, and every store the slice
+    * touches (seen-hash, near-dup, eval grams, shard slices) commits
+    * through its own append protocol, so a reader mid-stream sees
+    * consistent store snapshots. */
+  private[graft] def pretrainIngestStreamOn(spark: SparkSession, stateDir: String,
+      arrivals: DataFrame, name: String,
+      nSlices: Int = Relational.replaySlices): Unit = {
+    import org.apache.spark.sql.{Dataset, Row}
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val src = arrivals.select(col("doc_id"), col("text"), col("lang"),
+      col("source"), col("n_chars"))
+    val stage = Relational.stageSlices(spark, src, col("doc_id"),
+      s"${name}_stage", nSlices)
+    val base = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"sink_${spark.sparkContext.applicationId}_$name")
+    if (Files.exists(base)) {
+      Files.walk(base).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+    val q = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .writeStream.queryName(name)
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        val t0 = System.nanoTime()
+        ingestPretrainSlice(spark, stateDir, batch, s"stream_$bid")
+        System.err.println(f"[stream-batch] $name bid=$bid " +
+          f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+        ()
+      }
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** C33c registry wrapper — build the pipeline state on the first 90%
+    * of the id range, STREAM the last 10% through the persisted
+    * curation state in micro-batches, answer from the re-read shard
+    * census. Spec pins the streamed state ≡ the slice-wise one-shot
+    * ingest at the same slice boundaries, kept-id for kept-id and
+    * shard for shard. Rows-only in the driver gate (BPE- and
+    * store-dependent, the c33b convention). */
+  def pretrainStreamQuery(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val st = Similarity.freshScratch(spark, s"graft_c33c_${key}_")
+    val docs = Relational.table(spark, dir, "documents")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val t1 = maxId * 90 / 100
+    buildPretrainState(spark, docs.filter(col("doc_id") <= t1), st)
+    pretrainIngestStreamOn(spark, st, docs.filter(col("doc_id") > t1),
+      s"graft_c33c_$key")
+    readPretrainShards(spark, st)
+  }
+
   // ------------------------------ C35 span-level decontamination
 
   /** C35 — span-level decontamination: locate every maximal region of
@@ -1164,6 +1229,7 @@ object Training {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c33_pretrain_e2e" -> (pretrainE2E _),
     "c33b_pretrain_incremental" -> (pretrainIncrementalQuery _),
+    "c33c_pretrain_stream" -> (pretrainStreamQuery _),
     "c36_chunk_overlap" -> (chunkOverlap _),
     "c23_dedup_passage" -> (dedupPassage _),
     "c23b_dedup_span" -> (dedupSpan _),

@@ -537,4 +537,43 @@ class TrainingSpec extends AnyFunSuite with SparkTestSession {
     }
     assert(e.getMessage.contains("watermark"), e.getMessage)
   }
+
+  test("C33c: streamed pretrain ingest ≡ slice-wise one-shot at the same boundaries") {
+    // the c43f stream≡append pin on the capstone chain: foreachBatch
+    // replay through the staged id-range slices must land the IDENTICAL
+    // state — same kept ids, same shard census — as calling
+    // ingestPretrainSlice by hand over the same slice boundaries
+    // (slice order and boundaries both matter: near-dup canonical-
+    // ization is first-seen-wins and eval grams accumulate per slice,
+    // so the comparison holds them fixed and pins only the transport)
+    val dir = "/root/testdata/sf0.001"
+    val docs = Relational.table(spark, dir, "documents")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val t1 = maxId * 90 / 100
+    val build = docs.filter(col("doc_id") <= t1)
+    val arrival = docs.filter(col("doc_id") > t1)
+    val stS = Similarity.freshScratch(spark, "graft_c33c_str_")
+    Training.buildPretrainState(spark, build, stS)
+    Training.pretrainIngestStreamOn(spark, stS, arrival, "graft_c33c_spec")
+    // manual twin over the stager's own slice math, frozen rates copied
+    // by construction (both builds see the same 90%)
+    val b = arrival.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val n = Relational.replaySlices
+    val step = Relational.sliceStep(lo, hi, n)
+    val stM = Similarity.freshScratch(spark, "graft_c33c_man_")
+    Training.buildPretrainState(spark, build, stM)
+    (0 until n).foreach { i =>
+      val hiBound = if (i == n - 1) hi + 1 else lo + (i + 1) * step
+      Training.ingestPretrainSlice(spark, stM,
+        arrival.filter(col("doc_id") >= lo + i * step && col("doc_id") < hiBound),
+        s"manual_$i")
+    }
+    assert(keptIds(stS) == keptIds(stM),
+      "streamed state's kept ids diverge from the slice-wise one-shot")
+    def census(st: String) = Training.readPretrainShards(spark, st)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(census(stS) == census(stM),
+      "streamed state's shard census diverges from the slice-wise one-shot")
+  }
 }
