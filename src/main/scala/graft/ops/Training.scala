@@ -855,15 +855,55 @@ object Training {
     * writer, slice-scoped: shard assignment is per-doc deterministic
     * (md5), so a doc lands in the same shard whichever slice carries
     * it; pos/part are slice-local (a training loader streams the
-    * slice tree — the crawl-dated layout). */
+    * slice tree — the crawl-dated layout). The slice joins the live
+    * tree only when the `shardman` manifest generation naming it
+    * COMMITS (the lex segment protocol on the shard tree): a crash
+    * between the dir write and the commit leaves an orphan dir no
+    * reader resolves, overwritten by the slice replay and swept by
+    * the next compaction. */
   private def writeSliceShards(spark: SparkSession, stateDir: String,
       kept: DataFrame, tag: String): Unit = {
     if (kept.isEmpty) return
     val enc = kept.withColumn("bpe_tokens",
       size(bpeTokensCol(spark, s"$stateDir/bpe")).cast("long"))
+    val name = s"slice_$tag"
     writeShardsOn(spark,
       enc.select(col("doc_id"), col("text"), col("n_chars"), col("bpe_tokens")),
-      s"$stateDir/shards/slice_$tag")
+      s"$stateDir/shards/$name")
+    val live = IndexMeta.liveGen(spark, s"$stateDir/shards", "shardman")
+      .map(_ => liveSlices(spark, stateDir)).getOrElse(Seq.empty)
+    // idempotent under slice replay: a crashed run that committed the
+    // manifest but not the slice marker re-enters here with the name
+    // already live — re-committing would double-list it
+    if (!live.contains(name)) commitShardMan(spark, stateDir, live :+ name)
+  }
+
+  /** Commit the slice-name manifest as the next `shardman.gN` under
+    * the shards root — single `_SUCCESS` marker after the manifest
+    * lands (the IndexMeta generation doctrine), superseded
+    * generations deleted after. Readers resolve slices through the
+    * manifest, never by listing the disk, so an uncommitted slice dir
+    * is structurally invisible. */
+  private def commitShardMan(spark: SparkSession, stateDir: String,
+      slices: Seq[String]): Unit = {
+    val (g, old) = IndexMeta.nextGen(spark, s"$stateDir/shards", "shardman")
+    spark.createDataset(slices)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("slice").coalesce(1).write.mode("overwrite").parquet(s"$g/manifest")
+    IndexMeta.createMarker(spark, s"$g/_SUCCESS")
+    old.foreach(IndexMeta.delete(spark, _))
+  }
+
+  /** The live slice-dir names, in manifest order. */
+  private def liveSlices(spark: SparkSession, stateDir: String): Seq[String] = {
+    val g = IndexMeta.requireLive(spark, s"$stateDir/shards", "shardman")
+    spark.read.parquet(s"$g/manifest").collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** The state's takedown tombstones, if any exist. */
+  private def pretrainTombstones(spark: SparkSession,
+      stateDir: String): Option[DataFrame] = {
+    val t = s"$stateDir/shards/tombstones"
+    if (IndexMeta.exists(spark, t)) Some(spark.read.parquet(t)) else None
   }
 
   private def writePretrainMeta(spark: SparkSession, stateDir: String,
@@ -1003,15 +1043,26 @@ object Training {
     writePretrainMeta(spark, stateDir, mm.getLong(1))
   }
 
-  /** Per-shard census of every shard slice the state has written —
-    * doc counts, kept chars, and an order-insensitive md5 over the
-    * sorted doc_id list (slices are unordered by design; within-slice
-    * file order is c25b's pinned pos order). The registry answer. */
+  /** Per-shard census of every LIVE shard slice — doc counts, kept
+    * chars, and an order-insensitive md5 over the sorted doc_id list
+    * (slices are unordered by design; within-slice file order is
+    * c25b's pinned pos order). Slices resolve through the `shardman`
+    * manifest (never a disk listing — uncommitted dirs are invisible)
+    * and tombstoned docs are anti-joined out, so a takedown is
+    * visible to the next reader immediately, before any compaction
+    * has run (the c43e visibility contract on the shard tree). The
+    * registry answer. */
   def readPretrainShards(spark: SparkSession, stateDir: String): DataFrame = {
-    val sliceDirs = IndexMeta.list(spark, s"$stateDir/shards")
-      .filter(_.isDirectory).map(_.getPath.toString).sorted
-    require(sliceDirs.nonEmpty, s"no shard slices under $stateDir")
-    sliceDirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    val names = liveSlices(spark, stateDir)
+    require(names.nonEmpty, s"no shard slices under $stateDir")
+    val all = names.map(n => spark.read.parquet(s"$stateDir/shards/$n"))
+      .reduce(_.unionByName(_))
+    val live = pretrainTombstones(spark, stateDir) match {
+      case Some(t) => all.join(broadcast(t.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_anti")
+      case None => all
+    }
+    live
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("chars"),
@@ -1019,6 +1070,109 @@ object Training {
           "transform(array_sort(collect_list(doc_id)), i -> cast(i as string))")))
           .as("doc_md5"))
       .orderBy("shard")
+  }
+
+  /** C33d — pretrain-state TAKEDOWN, tombstone half (the
+    * [[Pipeline.deleteLexDocs]] discipline on the shipped training
+    * data): record doc ids O(deletes), no slice rewrite — every
+    * census/read anti-joins the broadcast tombstones, so the doc is
+    * invisible to the next reader immediately; [[
+    * compactPretrainShards]] later removes the BYTES (the compliance
+    * surface — shard files carry raw text). Dedup-and-skip-empty: a
+    * no-match takedown creates no table and repeated deletes cannot
+    * grow it. Deliberately NOT touched: the curation stores. seen_th
+    * keeps the doc's text hash, so an identical re-crawl of taken-down
+    * content stays OUT of future slices (banned content remains
+    * banned — the compliance-correct default, and the opposite of the
+    * lexical store's re-insertable-after-compaction contract, where
+    * the deleted thing is an index entry, not shipped content); the
+    * near-dup and eval-gram stores likewise keep their signatures
+    * (hashes of banned text suppress its near-duplicates — desired). */
+  def tombstonePretrainDocs(spark: SparkSession, stateDir: String,
+      ids: DataFrame): Unit = {
+    liveSlices(spark, stateDir) // loud not-a-state guard
+    val t = s"$stateDir/shards/tombstones"
+    val novel = (pretrainTombstones(spark, stateDir) match {
+      case Some(existing) => ids.select(col("doc_id")).distinct()
+        .join(existing.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      case None => ids.select(col("doc_id")).distinct()
+    }).localCheckpoint() // tiny; one eval for the guard AND the write
+    if (!novel.isEmpty)
+      novel.coalesce(1).write.mode("append").parquet(t)
+  }
+
+  /** C33d — takedown compaction: make tombstones physical. Affected
+    * slices (found with ONE distributed semi-join over the narrow
+    * doc_id projection of the live tree — never a per-slice probe
+    * loop) are rewritten WITHOUT the tombstoned rows to NEW dir names
+    * and the manifest generation swaps them in atomically; untouched
+    * slices ride through verbatim (Θ(affected slices), not
+    * state-bounded). The tombstone table clears and orphan/superseded
+    * slice dirs GC only AFTER the new manifest commits — a crash
+    * anywhere leaves either the old manifest (rewrites orphaned,
+    * swept later) or the new one (delete already durable). The no-op
+    * path (no tombstones) still sweeps orphan dirs, the lex
+    * compaction doctrine. Slice-local pos values keep their original
+    * gaps — pos orders a slice, it does not number it. */
+  def compactPretrainShards(spark: SparkSession, stateDir: String): Unit = {
+    val root = s"$stateDir/shards"
+    val names = liveSlices(spark, stateDir)
+    def gcOrphans(live: Set[String]): Unit =
+      IndexMeta.list(spark, root).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith("slice_") && !live(n))
+          IndexMeta.delete(spark, st.getPath.toString)
+      }
+    val tombOpt = pretrainTombstones(spark, stateDir)
+    if (tombOpt.isEmpty) { gcOrphans(names.toSet); return }
+    val tombIds = broadcast(tombOpt.get.select(col("doc_id")).distinct())
+    val affected = names.map(n =>
+        spark.read.parquet(s"$root/$n").select(col("doc_id"))
+          .withColumn("s", lit(n)))
+      .reduce(_.unionByName(_))
+      .join(tombIds, Seq("doc_id"), "left_semi")
+      .select(col("s")).distinct().collect().map(_.getString(0)).toSet
+    // rewritten dirs are SUFFIXED with the next manifest generation
+    // number — deterministic, unique per compaction, and never equal
+    // to a live name (readers keep resolving the old tree until the
+    // commit below)
+    val genTag = IndexMeta.nextGen(spark, root, "shardman")._1
+      .split('.').last // "gNNNNN"
+    val renamed = names.map { n =>
+      if (!affected(n)) n
+      else {
+        val nn = s"$n.$genTag"
+        spark.read.parquet(s"$root/$n")
+          .join(tombIds, Seq("doc_id"), "left_anti")
+          .repartition(col("shard"), col("part"))
+          .sortWithinPartitions("shard", "part", "pos")
+          .write.mode("overwrite").partitionBy("shard", "part")
+          .parquet(s"$root/$nn")
+        nn
+      }
+    }
+    commitShardMan(spark, stateDir, renamed)
+    IndexMeta.delete(spark, s"$root/tombstones")
+    gcOrphans(renamed.toSet)
+  }
+
+  /** C33d registry wrapper — the takedown path on the capstone state:
+    * build on the full corpus, tombstone the doc_id % 10 = 7 slice of
+    * the SHIPPED docs, compact (bytes physically gone), answer from
+    * the re-read census. Rows-only in the driver gate (BPE- and
+    * store-dependent, the c33b convention); the spec pins immediate
+    * tombstone visibility, physical removal from every live file,
+    * census invariance across the compaction, and the
+    * banned-content-stays-banned ingest interaction. */
+  def pretrainTakedownQuery(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val st = Similarity.freshScratch(spark, s"graft_c33d_${key}_")
+    val docs = Relational.table(spark, dir, "documents")
+    buildPretrainState(spark, docs, st)
+    tombstonePretrainDocs(spark, st,
+      docs.filter(col("doc_id") % 10 === 7).select(col("doc_id")))
+    compactPretrainShards(spark, st)
+    readPretrainShards(spark, st)
   }
 
   /** C33b registry wrapper: build on the first 90% of the id range,
@@ -1230,6 +1384,7 @@ object Training {
     "c33_pretrain_e2e" -> (pretrainE2E _),
     "c33b_pretrain_incremental" -> (pretrainIncrementalQuery _),
     "c33c_pretrain_stream" -> (pretrainStreamQuery _),
+    "c33d_pretrain_takedown" -> (pretrainTakedownQuery _),
     "c36_chunk_overlap" -> (chunkOverlap _),
     "c23_dedup_passage" -> (dedupPassage _),
     "c23b_dedup_span" -> (dedupSpan _),

@@ -465,14 +465,19 @@ class TrainingSpec extends AnyFunSuite with SparkTestSession {
 
   // ------------------------- C33b incremental pretrain composition
 
-  /** The kept-doc id set of a c33b state — union of every shard
-    * slice's doc_ids. */
-  private def keptIds(st: String): Set[Long] = {
-    val dirs = IndexMeta.list(spark, s"$st/shards")
-      .filter(_.isDirectory).map(_.getPath.toString).sorted
-    dirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
-      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+  /** The live slice names of a state, through the shardman manifest
+    * (the reader contract — never a disk listing). */
+  private def manifestSlices(st: String): Seq[String] = {
+    val g = IndexMeta.requireLive(spark, s"$st/shards", "shardman")
+    spark.read.parquet(s"$g/manifest").collect().map(_.getString(0)).toSeq.sorted
   }
+
+  /** The kept-doc id set of a c33b state — union of every LIVE shard
+    * slice's doc_ids. */
+  private def keptIds(st: String): Set[Long] =
+    manifestSlices(st).map(n => spark.read.parquet(s"$st/shards/$n"))
+      .reduce(_.unionByName(_))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
 
   test("C33b: build(90%) + two slices ≡ batch twin over 100% modulo the late-eval class, exactly") {
     // the sf0.001 corpus keeps the whole chain fast while still
@@ -575,5 +580,90 @@ class TrainingSpec extends AnyFunSuite with SparkTestSession {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
     assert(census(stS) == census(stM),
       "streamed state's shard census diverges from the slice-wise one-shot")
+  }
+
+  // ------------------------- C33d pretrain-state takedown
+
+  private def shardCensus(st: String) =
+    Training.readPretrainShards(spark, st)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+
+  test("C33d: tombstone visible immediately; compaction removes the bytes; census invariant") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Relational.table(spark, dir, "documents")
+    val st = Similarity.freshScratch(spark, "graft_c33d_take_")
+    Training.buildPretrainState(spark, docs, st)
+    val victims = keptIds(st).filter(_ % 10 == 7)
+    assert(victims.nonEmpty,
+      "fixture regression: no kept doc_id % 10 == 7 — the takedown check would be vacuous")
+    val before = shardCensus(st)
+    import spark.implicits._
+    Training.tombstonePretrainDocs(spark, st,
+      victims.toSeq.toDF("doc_id"))
+    assert(shardCensus(st) != before,
+      "tombstoning kept docs did not change the census — visibility is broken")
+    // 1. visibility BEFORE compaction: the census excludes the victims
+    //    while the bytes are still on disk
+    val pre = shardCensus(st)
+    assert(keptIds(st).intersect(victims) == victims,
+      "precondition: victim bytes must still be in the live files pre-compaction")
+    Training.compactPretrainShards(spark, st)
+    // 2. physical removal: no live file carries a victim row, the
+    //    tombstone table is gone, and the census is unchanged
+    assert(keptIds(st).intersect(victims).isEmpty,
+      "compaction left tombstoned rows in the live shard files")
+    assert(!IndexMeta.exists(spark, s"$st/shards/tombstones"),
+      "compaction left the tombstone table behind")
+    assert(shardCensus(st) == pre,
+      "compaction changed what the census reader sees")
+    // 3. re-delete of already-removed ids: no table re-created, no-op
+    Training.tombstonePretrainDocs(spark, st, victims.toSeq.toDF("doc_id"))
+    assert(shardCensus(st) == pre, "re-delete changed the census")
+    // (an id never shipped is not re-creatable either — dedup is
+    // against the tombstone table, removal against the live rows)
+  }
+
+  test("C33d: taken-down content stays banned — an identical re-crawl is dropped by ingest") {
+    // the deliberate divergence from the lexical store's
+    // re-insertable-after-compaction contract: seen_th keeps the
+    // victim's text hash, so the SAME text arriving under a new id
+    // after the takedown never re-enters the shipped shards
+    val dir = "/root/testdata/sf0.001"
+    val docs = Relational.table(spark, dir, "documents")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val st = Similarity.freshScratch(spark, "graft_c33d_ban_")
+    Training.buildPretrainState(spark, docs, st)
+    val vid = keptIds(st).filter(_ % 10 == 7).min
+    val vtext = docs.filter(col("doc_id") === vid).head().getAs[String]("text")
+    import spark.implicits._
+    Training.tombstonePretrainDocs(spark, st, Seq(vid).toDF("doc_id"))
+    Training.compactPretrainShards(spark, st)
+    val recrawl = Seq((maxId + 1, vtext, "en", "web", vtext.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Training.ingestPretrainSlice(spark, st, recrawl, "recrawl")
+    val ids = keptIds(st)
+    assert(!ids.contains(vid) && !ids.contains(maxId + 1),
+      "taken-down text re-entered the shipped shards through a re-crawl")
+  }
+
+  test("C33d: an uncommitted slice dir is invisible to readers and swept by compaction") {
+    // the lex crash-orphan pin on the shard tree: a crash between the
+    // slice write and the manifest commit leaves a slice_* dir no
+    // manifest references — readers resolve the manifest, and the
+    // no-op compaction path sweeps the orphan
+    val dir = "/root/testdata/sf0.001"
+    val docs = Relational.table(spark, dir, "documents")
+    val st = Similarity.freshScratch(spark, "graft_c33d_orph_")
+    Training.buildPretrainState(spark, docs, st)
+    val before = shardCensus(st)
+    spark.range(1).selectExpr("0 as shard", "0 as part", "1L as pos",
+        "990001L as doc_id", "9L as n_chars", "'zzorphan' as text", "1L as bpe_tokens")
+      .write.partitionBy("shard", "part").parquet(s"$st/shards/slice_crashed")
+    assert(shardCensus(st) == before,
+      "an unreferenced slice dir leaked into the census")
+    Training.compactPretrainShards(spark, st) // no tombstones: gc-only path
+    assert(!IndexMeta.exists(spark, s"$st/shards/slice_crashed"),
+      "compaction's no-op path left the crash orphan on disk")
+    assert(shardCensus(st) == before, "the sweep changed the census")
   }
 }
