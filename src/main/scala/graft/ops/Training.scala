@@ -455,6 +455,35 @@ object Training {
         md5(concat_ws(" ", col("toks"))).as("fp"))
   }
 
+  /** Tokenizer-drift telemetry (the `lexOovFraction`/`quantizerDrift`
+    * measure on the frozen BPE model — the last store the
+    * measure→policy doctrine did not cover): fraction of the batch's
+    * ENCODED tokens absent from the model's committed vocab table.
+    * Unseen characters encode as single tokens outside the alphabet,
+    * and un-merged char runs of drifted text inflate the same way, so
+    * the fraction reads ≈0 in-distribution and rises as arrivals
+    * leave the fit's character/merge space. One map-only encode pass
+    * + one broadcast anti-membership aggregate — Θ(batch), the vocab
+    * is the bounded plan-side table. Telemetry ONLY, by design:
+    * unlike the lexical index the shipped tokenizer cannot be hot-
+    * refit (already-written shards carry its token economics; a new
+    * tokenizer is a NEW state version an operator cuts deliberately),
+    * so there is no `refitIfDrifted` twin — the measure's consumer is
+    * that versioning decision. An empty batch reads 0.0 (streaming
+    * replay delivers empty micro-batches routinely; "no arrivals" is
+    * the no-drift case, not a contract error). */
+  def bpeOovFraction(spark: SparkSession, modelDir: String,
+      docs: DataFrame): Double = {
+    val vocab = spark.read.parquet(IndexMeta.requireLive(spark, modelDir, "vocab"))
+      .select(col("token"))
+    val row = docs.withColumn("toks", bpeTokensCol(spark, modelDir))
+      .select(explode(col("toks")).as("token"))
+      .join(broadcast(vocab.withColumn("known", lit(1))), Seq("token"), "left_outer")
+      .agg(avg(when(col("known").isNull, 1.0).otherwise(0.0)).as("frac"))
+      .head()
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+  }
+
   /** The persisted model as the plan-shippable (merges, vocab) pair:
     * one bounded driver read of each table (≤numMerges and ≤vocab-size
     * rows — the PQ-books doctrine). */
@@ -1030,6 +1059,11 @@ object Training {
       spark.read.parquet(s"$stateDir/evalgrams"),
       spark.read.parquet(s"$stateDir/rates"))
       .localCheckpoint()
+    // tokenizer-drift telemetry per arrival (the lex-oov line's twin):
+    // measured on the RAW slice, not the survivors — drift is a
+    // property of what arrives, and the quality gate must not mask it
+    System.err.println(f"[bpe-oov] $stateDir slice=$tag " +
+      f"oov_frac=${bpeOovFraction(spark, s"$stateDir/bpe", d)}%.4f")
     writeSliceShards(spark, stateDir, kept, tag)
     newTh.select(col("th")).distinct()
       .write.mode("append").parquet(s"$stateDir/seen_th")

@@ -158,4 +158,26 @@ class BpeSpec extends AnyFunSuite with SparkTestSession {
     val lowIds = out(2).getSeq[Int](2)
     assert(lowIds.toList == List(0, 14), s"' low' ids: $lowIds")
   }
+
+  test("bpe drift telemetry: 0.0 in-vocab, 1.0 fully-alien, exact mixed fraction, 0.0 empty") {
+    // the lexOovFraction twin on the frozen tokenizer — the crafted
+    // model's vocab is {" "} ∪ {d,e,i,l,n,o,r,s,t,w} ∪ {es,est,lo,low},
+    // so the expected fractions are exact token arithmetic (the
+    // encode Column emits word tokens only — spaces are the id
+    // layer's concern — so denominators count word tokens)
+    val modelDir = java.nio.file.Files.createTempDirectory("graft_bpe_drift").toString
+    Training.fitBpe(spark, craftedDocs(spark), modelDir, numMerges = 4, maxWords = 100)
+    import spark.implicits._
+    def frac(texts: String*) = Training.bpeOovFraction(spark, modelDir,
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"))
+    // "low west" → [low, " ", w, es, t] — every token known
+    assert(frac("low west newest") == 0.0, "in-distribution batch must read 0")
+    // "zq" → [z, q] — both outside the alphabet
+    assert(frac("zq") == 1.0, "fully-alien batch must read 1")
+    // "low zz" → [low, z, z] — 2 unknown of 3
+    assert(frac("low zz") == 2.0 / 3.0, "mixed batch must read the exact token fraction")
+    // empty batch: no arrivals is the no-drift case, never a throw
+    // (streaming replay delivers empty micro-batches routinely)
+    assert(frac() == 0.0, "empty batch must read 0, not NaN/throw")
+  }
 }
