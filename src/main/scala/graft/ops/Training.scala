@@ -1293,6 +1293,33 @@ object Training {
     readPretrainShards(spark, st)
   }
 
+  /** Steady-state soak leg for the pretrain chain (the
+    * [[Pipeline.lexSteadyState]] shape): build the state on the FIRST
+    * 95% of the id range — id-ordered, not modulus-split, because the
+    * watermark guard enforces crawl order — then stream ONLY the top
+    * 5% in `nBatches` micro-batches, each `[stream-batch]`/`[bpe-oov]`
+    * stderr line pricing one arrival at fixed state scale; answer the
+    * shard census from the soaked state. */
+  def pretrainSteadyState(spark: SparkSession, dir: String,
+      nBatches: Int): (DataFrame, String) = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val st = Similarity.freshScratch(spark, s"graft_pre_steady_${key}_")
+    val docs = Relational.table(spark, dir, "documents")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val cut = maxId * 95 / 100
+    buildPretrainState(spark, docs.filter(col("doc_id") <= cut), st)
+    pretrainIngestStreamOn(spark, st, docs.filter(col("doc_id") > cut),
+      s"graft_steady_pre_$key", nBatches)
+    (readPretrainShards(spark, st), st)
+  }
+
+  /** Live slice-dir count — the soak census. One dir per build/ingest:
+    * the crawl-dated layout ACCUMULATES by design (a training loader
+    * wants the slice tree; only takedown compaction rewrites dirs), so
+    * this census REPORTS, it does not bound. */
+  def pretrainSliceCount(spark: SparkSession, stateDir: String): Long =
+    liveSlices(spark, stateDir).size.toLong
+
   // ------------------------------ C35 span-level decontamination
 
   /** C35 — span-level decontamination: locate every maximal region of

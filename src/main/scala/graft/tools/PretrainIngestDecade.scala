@@ -50,9 +50,17 @@ object PretrainIngestDecade {
       val slice = docs.filter(col("doc_id") > cut).localCheckpoint()
       val nSlice = slice.count()
       val tIngest = timed(Training.ingestPretrainSlice(spark, st, slice, "decade"))
+      // c33d takedown economics on the soaked state: tombstone a 1%
+      // slice of the shipped ids, then compact — delete should track
+      // the tombstone count, compact the AFFECTED slices (both state
+      // dirs here), never the corpus
+      val tDelete = timed(Training.tombstonePretrainDocs(spark, st,
+        docs.filter(col("doc_id") % 100 === 3).select(col("doc_id"))))
+      val tCompact = timed(Training.compactPretrainShards(spark, st))
       println(f"""{"metric":"pretrain_ingest_decade","dir":"$dir",""" +
         f""""corpus_docs":${maxId - nSlice + 1}%d,"slice_docs":$nSlice%d,""" +
-        f""""build_sec":$tBuild%.1f,"ingest_slice_sec":$tIngest%.1f}""")
+        f""""build_sec":$tBuild%.1f,"ingest_slice_sec":$tIngest%.1f,""" +
+        f""""delete_sec":$tDelete%.2f,"compact_sec":$tCompact%.1f}""")
     }
     spark.stop()
   }

@@ -17,6 +17,7 @@ import graft.ops.Similarity
  *
  * Usage: runMain graft.tools.SteadyStateStream <store> <dir> [nBatches]
  *   store: seminc (c22c shape, embeddings) | neardup (c22d shape, docs)
+ *        | lex (c43f shape) | pretrain (c33c shape, id-ordered split)
  * Telemetry lines land on stderr; the one summary JSON line on stdout.
  */
 object SteadyStateStream {
@@ -34,10 +35,11 @@ object SteadyStateStream {
 
     val t0 = System.nanoTime()
     val (out, idx) = store match {
-      case "seminc"  => Similarity.semanticSteadyState(spark, dir, nBatches)
-      case "neardup" => Similarity.nearDupSteadyState(spark, dir, nBatches)
-      case "lex"     => graft.ops.Pipeline.lexSteadyState(spark, dir, nBatches)
-      case other     => sys.error(s"unknown store: $other (seminc|neardup|lex)")
+      case "seminc"   => Similarity.semanticSteadyState(spark, dir, nBatches)
+      case "neardup"  => Similarity.nearDupSteadyState(spark, dir, nBatches)
+      case "lex"      => graft.ops.Pipeline.lexSteadyState(spark, dir, nBatches)
+      case "pretrain" => graft.ops.Training.pretrainSteadyState(spark, dir, nBatches)
+      case other => sys.error(s"unknown store: $other (seminc|neardup|lex|pretrain)")
     }
     val rows = out.agg(count(lit(1))).head().getLong(0)
     // the long-soak contract (round-10 verdict item 7): when the
@@ -48,17 +50,23 @@ object SteadyStateStream {
     // batch's append; a store whose compacted steady-state legitimately
     // needs more target-size files than the bound would assert loudly —
     // the signal to raise the conf, not a soak failure.)
-    val census =
-      if (store == "lex") graft.ops.Pipeline.lexSegmentCount(spark, idx).toLong
-      else Similarity.steadyStateCensus(spark, store, idx)
+    val census = store match {
+      case "lex"      => graft.ops.Pipeline.lexSegmentCount(spark, idx).toLong
+      case "pretrain" => graft.ops.Training.pretrainSliceCount(spark, idx)
+      case _          => Similarity.steadyStateCensus(spark, store, idx)
+    }
     // the lex store's cadence is ALWAYS on (default 8) — its census
-    // bound asserts unconditionally; the other stores assert only when
+    // bound asserts unconditionally; seminc/neardup assert only when
     // their in-stream cadence conf is set (their cadence default is
-    // caller-owned)
-    val bound =
-      if (store == "lex") Some(spark.conf.getOption("graft.lex.maxSegments")
+    // caller-owned); the pretrain slice tree accumulates BY DESIGN
+    // (crawl-dated layout, one dir per ingest) so its census reports
+    // without a bound
+    val bound = store match {
+      case "lex" => Some(spark.conf.getOption("graft.lex.maxSegments")
         .map(_.toLong).getOrElse(8L)).filter(_ > 0)
-      else spark.conf.getOption("graft.stream.compactMaxFiles").map(_.toLong)
+      case "pretrain" => None
+      case _ => spark.conf.getOption("graft.stream.compactMaxFiles").map(_.toLong)
+    }
     bound.foreach { mf =>
       assert(census <= mf,
         s"census $census exceeds the cadence bound $mf after the soak")
