@@ -1482,7 +1482,12 @@ object Pipeline {
       .writeStream.queryName(name)
       .foreachBatch { (batch: Dataset[Row], bid: Long) =>
         val t0 = System.nanoTime()
-        appendLexIndex(spark, lexDir, batch, Some(s"stream_$bid"))
+        // batch ids carry the STREAM name, not just the engine bid:
+        // bids restart at 0 for every new stream (fresh checkpoint),
+        // so a bare `stream_<bid>` would make a SECOND stream into
+        // the same index silently no-op against the first one's
+        // applied records — idempotence is per (stream, bid)
+        appendLexIndex(spark, lexDir, batch, Some(s"${name}_$bid"))
         System.err.println(f"[stream-batch] $name bid=$bid " +
           f"sec=${(System.nanoTime() - t0) / 1e9}%.1f " +
           s"segs=${lexSegmentCount(spark, lexDir)}")

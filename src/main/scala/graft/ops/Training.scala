@@ -473,10 +473,15 @@ object Training {
     * replay delivers empty micro-batches routinely; "no arrivals" is
     * the no-drift case, not a contract error). */
   def bpeOovFraction(spark: SparkSession, modelDir: String,
-      docs: DataFrame): Double = {
+      docs: DataFrame,
+      toks: Option[org.apache.spark.sql.Column] = None): Double = {
     val vocab = spark.read.parquet(IndexMeta.requireLive(spark, modelDir, "vocab"))
       .select(col("token"))
-    val row = docs.withColumn("toks", bpeTokensCol(spark, modelDir))
+    // `toks` lets a caller that already built the encode Column (one
+    // driver read of the frozen merges per op — the read-ONCE seam)
+    // share it instead of re-deriving the model here
+    val row = docs.withColumn("toks",
+        toks.getOrElse(bpeTokensCol(spark, modelDir)))
       .select(explode(col("toks")).as("token"))
       .join(broadcast(vocab.withColumn("known", lit(1))), Seq("token"), "left_outer")
       .agg(avg(when(col("known").isNull, 1.0).otherwise(0.0)).as("frac"))
@@ -891,10 +896,11 @@ object Training {
     * reader resolves, overwritten by the slice replay and swept by
     * the next compaction. */
   private def writeSliceShards(spark: SparkSession, stateDir: String,
-      kept: DataFrame, tag: String): Unit = {
+      kept: DataFrame, tag: String,
+      toks: Option[org.apache.spark.sql.Column] = None): Unit = {
     if (kept.isEmpty) return
     val enc = kept.withColumn("bpe_tokens",
-      size(bpeTokensCol(spark, s"$stateDir/bpe")).cast("long"))
+      size(toks.getOrElse(bpeTokensCol(spark, s"$stateDir/bpe"))).cast("long"))
     val name = s"slice_$tag"
     writeShardsOn(spark,
       enc.select(col("doc_id"), col("text"), col("n_chars"), col("bpe_tokens")),
@@ -903,8 +909,16 @@ object Training {
       .map(_ => liveSlices(spark, stateDir)).getOrElse(Seq.empty)
     // idempotent under slice replay: a crashed run that committed the
     // manifest but not the slice marker re-enters here with the name
-    // already live — re-committing would double-list it
-    if (!live.contains(name)) commitShardMan(spark, stateDir, live :+ name)
+    // already live — re-committing would double-list it. The match
+    // includes compaction-renamed forms (`name.gN…`): if a takedown
+    // compaction ran inside the crash window, the slice's SURVIVORS
+    // are already live under the renamed dir, and re-listing the
+    // fresh dir would both double-count them and resurrect the
+    // taken-down rows — the re-written dir stays an orphan for the
+    // next compaction's sweep instead
+    val renamedForm = (java.util.regex.Pattern.quote(name) + "\\.g\\d+.*").r
+    if (!live.exists(l => l == name || renamedForm.matches(l)))
+      commitShardMan(spark, stateDir, live :+ name)
   }
 
   /** Commit the slice-name manifest as the next `shardman.gN` under
@@ -922,8 +936,10 @@ object Training {
     old.foreach(IndexMeta.delete(spark, _))
   }
 
-  /** The live slice-dir names, in manifest order. */
-  private def liveSlices(spark: SparkSession, stateDir: String): Seq[String] = {
+  /** The live slice-dir names, in manifest order (`private[ops]` so
+    * the spec pins the SAME resolution rule readers use, instead of
+    * re-implementing it). */
+  private[ops] def liveSlices(spark: SparkSession, stateDir: String): Seq[String] = {
     val g = IndexMeta.requireLive(spark, s"$stateDir/shards", "shardman")
     spark.read.parquet(s"$g/manifest").collect().map(_.getString(0)).toSeq.sorted
   }
@@ -1061,10 +1077,13 @@ object Training {
       .localCheckpoint()
     // tokenizer-drift telemetry per arrival (the lex-oov line's twin):
     // measured on the RAW slice, not the survivors — drift is a
-    // property of what arrives, and the quality gate must not mask it
+    // property of what arrives, and the quality gate must not mask it.
+    // The encode Column is built ONCE per ingest (one driver read of
+    // the frozen merges) and shared with the shard write below
+    val toksCol = bpeTokensCol(spark, s"$stateDir/bpe")
     System.err.println(f"[bpe-oov] $stateDir slice=$tag " +
-      f"oov_frac=${bpeOovFraction(spark, s"$stateDir/bpe", d)}%.4f")
-    writeSliceShards(spark, stateDir, kept, tag)
+      f"oov_frac=${bpeOovFraction(spark, s"$stateDir/bpe", d, Some(toksCol))}%.4f")
+    writeSliceShards(spark, stateDir, kept, tag, Some(toksCol))
     newTh.select(col("th")).distinct()
       .write.mode("append").parquet(s"$stateDir/seen_th")
     // marker BEFORE the watermark: a crash between the two leaves a
@@ -1124,13 +1143,24 @@ object Training {
     * (hashes of banned text suppress its near-duplicates — desired). */
   def tombstonePretrainDocs(spark: SparkSession, stateDir: String,
       ids: DataFrame): Unit = {
-    liveSlices(spark, stateDir) // loud not-a-state guard
+    val names = liveSlices(spark, stateDir) // loud not-a-state guard
     val t = s"$stateDir/shards/tombstones"
+    // record only ids that are (a) not already tombstoned and (b)
+    // actually SHIPPED — a takedown of never-kept or already-removed
+    // ids must stay a no-op (no table, no anti-join on every later
+    // read, and the next compaction keeps its cheap gc-only path).
+    // The shipped probe is a semi-join against the live tree's narrow
+    // doc_id projection: one map-only column scan, the same price the
+    // census already pays
+    val shipped = names.map(n =>
+        spark.read.parquet(s"$stateDir/shards/$n").select(col("doc_id")))
+      .reduce(_.unionByName(_))
     val novel = (pretrainTombstones(spark, stateDir) match {
       case Some(existing) => ids.select(col("doc_id")).distinct()
         .join(existing.select(col("doc_id")), Seq("doc_id"), "left_anti")
       case None => ids.select(col("doc_id")).distinct()
-    }).localCheckpoint() // tiny; one eval for the guard AND the write
+    }).join(shipped, Seq("doc_id"), "left_semi")
+      .localCheckpoint() // tiny; one eval for the guard AND the write
     if (!novel.isEmpty)
       novel.coalesce(1).write.mode("append").parquet(t)
   }
@@ -1172,19 +1202,29 @@ object Training {
     // commit below)
     val genTag = IndexMeta.nextGen(spark, root, "shardman")._1
       .split('.').last // "gNNNNN"
-    val renamed = names.map { n =>
-      if (!affected(n)) n
+    val renamed = names.flatMap { n =>
+      if (!affected(n)) Some(n)
       else {
         val nn = s"$n.$genTag"
-        spark.read.parquet(s"$root/$n")
+        val kept = spark.read.parquet(s"$root/$n")
           .join(tombIds, Seq("doc_id"), "left_anti")
-          .repartition(col("shard"), col("part"))
-          .sortWithinPartitions("shard", "part", "pos")
-          .write.mode("overwrite").partitionBy("shard", "part")
-          .parquet(s"$root/$nn")
-        nn
+          .localCheckpoint() // slice-bounded; the empty probe AND the write
+        // a slice whose EVERY doc was taken down (whole-crawl-batch
+        // recall) leaves the manifest entirely — committing a fileless
+        // dir would make every later read throw on schema inference
+        if (kept.isEmpty) None
+        else {
+          kept.repartition(col("shard"), col("part"))
+            .sortWithinPartitions("shard", "part", "pos")
+            .write.mode("overwrite").partitionBy("shard", "part")
+            .parquet(s"$root/$nn")
+          Some(nn)
+        }
       }
     }
+    require(renamed.nonEmpty,
+      s"takedown removed every live slice under $stateDir — an empty " +
+        "state has no census; rebuild instead of compacting to nothing")
     commitShardMan(spark, stateDir, renamed)
     IndexMeta.delete(spark, s"$root/tombstones")
     gcOrphans(renamed.toSet)
@@ -1263,7 +1303,12 @@ object Training {
       .writeStream.queryName(name)
       .foreachBatch { (batch: Dataset[Row], bid: Long) =>
         val t0 = System.nanoTime()
-        ingestPretrainSlice(spark, stateDir, batch, s"stream_$bid")
+        // slice ids carry the STREAM name, not just the engine bid:
+        // bids restart at 0 for every new stream (the checkpoint is
+        // swept on entry), so a bare `stream_<bid>` would make a
+        // SECOND stream into the same state silently no-op against
+        // the first one's markers — idempotence is per (stream, bid)
+        ingestPretrainSlice(spark, stateDir, batch, s"${name}_$bid")
         System.err.println(f"[stream-batch] $name bid=$bid " +
           f"sec=${(System.nanoTime() - t0) / 1e9}%.1f")
         ()

@@ -465,17 +465,11 @@ class TrainingSpec extends AnyFunSuite with SparkTestSession {
 
   // ------------------------- C33b incremental pretrain composition
 
-  /** The live slice names of a state, through the shardman manifest
-    * (the reader contract — never a disk listing). */
-  private def manifestSlices(st: String): Seq[String] = {
-    val g = IndexMeta.requireLive(spark, s"$st/shards", "shardman")
-    spark.read.parquet(s"$g/manifest").collect().map(_.getString(0)).toSeq.sorted
-  }
-
   /** The kept-doc id set of a c33b state — union of every LIVE shard
-    * slice's doc_ids. */
+    * slice's doc_ids, resolved through [[Training.liveSlices]] (the
+    * SAME rule readers use — the spec must not re-implement it). */
   private def keptIds(st: String): Set[Long] =
-    manifestSlices(st).map(n => spark.read.parquet(s"$st/shards/$n"))
+    Training.liveSlices(spark, st).map(n => spark.read.parquet(s"$st/shards/$n"))
       .reduce(_.unionByName(_))
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
 
@@ -576,9 +570,7 @@ class TrainingSpec extends AnyFunSuite with SparkTestSession {
     }
     assert(keptIds(stS) == keptIds(stM),
       "streamed state's kept ids diverge from the slice-wise one-shot")
-    def census(st: String) = Training.readPretrainShards(spark, st)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
-    assert(census(stS) == census(stM),
+    assert(shardCensus(stS) == shardCensus(stM),
       "streamed state's shard census diverges from the slice-wise one-shot")
   }
 
@@ -616,11 +608,48 @@ class TrainingSpec extends AnyFunSuite with SparkTestSession {
       "compaction left the tombstone table behind")
     assert(shardCensus(st) == pre,
       "compaction changed what the census reader sees")
-    // 3. re-delete of already-removed ids: no table re-created, no-op
+    // 3. re-delete of already-removed ids: the shipped-probe drops
+    //    them all, so NO tombstone table is re-created (the census
+    //    would otherwise pay a pointless anti-join forever and the
+    //    next compaction would leave its cheap gc-only path)
     Training.tombstonePretrainDocs(spark, st, victims.toSeq.toDF("doc_id"))
+    assert(!IndexMeta.exists(spark, s"$st/shards/tombstones"),
+      "re-delete of physically-removed ids re-created the tombstone table")
     assert(shardCensus(st) == pre, "re-delete changed the census")
-    // (an id never shipped is not re-creatable either — dedup is
-    // against the tombstone table, removal against the live rows)
+  }
+
+  test("C33d: whole-slice takedown drops the slice from the manifest; never-shipped ids are no-ops") {
+    // the crawl-batch recall case: every doc of one ingested slice is
+    // taken down — the rewrite keeps zero rows, and committing a
+    // fileless dir would make every later read throw on schema
+    // inference, so the slice must leave the manifest entirely
+    val dir = "/root/testdata/sf0.001"
+    val docs = Relational.table(spark, dir, "documents")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val t1 = maxId * 90 / 100
+    val st = Similarity.freshScratch(spark, "graft_c33d_whole_")
+    Training.buildPretrainState(spark, docs.filter(col("doc_id") <= t1), st)
+    Training.ingestPretrainSlice(spark, st, docs.filter(col("doc_id") > t1), "s1")
+    val sliceDocs = keptIds(st).filter(_ > t1)
+    assert(sliceDocs.nonEmpty, "fixture regression: the arrival slice kept nothing")
+    import spark.implicits._
+    Training.tombstonePretrainDocs(spark, st, sliceDocs.toSeq.toDF("doc_id"))
+    Training.compactPretrainShards(spark, st)
+    assert(!Training.liveSlices(spark, st).exists(_.startsWith("slice_s1")),
+      "a fully-taken-down slice stayed in the manifest")
+    assert(keptIds(st).intersect(sliceDocs).isEmpty,
+      "whole-slice takedown left rows behind")
+    assert(shardCensus(st).nonEmpty, "census must stay readable after the drop")
+    // ids now physically gone (or never shipped at all): a re-delete
+    // creates no table, and the next compaction is gc-only — the
+    // manifest generation does not move
+    Training.tombstonePretrainDocs(spark, st, sliceDocs.toSeq.toDF("doc_id"))
+    assert(!IndexMeta.exists(spark, s"$st/shards/tombstones"),
+      "takedown of non-live ids created a tombstone table")
+    val g = IndexMeta.requireLive(spark, s"$st/shards", "shardman")
+    Training.compactPretrainShards(spark, st)
+    assert(IndexMeta.requireLive(spark, s"$st/shards", "shardman") == g,
+      "a no-op compaction committed a new manifest generation")
   }
 
   test("C33d: taken-down content stays banned — an identical re-crawl is dropped by ingest") {
