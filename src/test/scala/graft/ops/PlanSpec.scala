@@ -876,4 +876,27 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"diff must be one equi-join:\n$p")
   }
+
+  test("C33d: the tombstone-aware census broadcasts tombstones and prunes payload from the scans") {
+    import org.apache.spark.sql.functions.col
+    val docs = Relational.table(spark, dir, "documents")
+    val st = Similarity.freshScratch(spark, "graft_c33d_plan_")
+    Training.buildPretrainState(spark, docs, st)
+    val vid = spark.read.parquet(
+        s"$st/shards/${Training.liveSlices(spark, st).head}")
+      .select(col("doc_id")).head().getLong(0)
+    import spark.implicits._
+    Training.tombstonePretrainDocs(spark, st, Seq(vid).toDF("doc_id"))
+    val p = plan(Training.readPretrainShards(spark, st))
+    // tombstones are O(deletes) — they must broadcast, never shuffle
+    // the shipped rows to an exchange-keyed anti-join
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"tombstones not applied as a broadcast anti-join:\n$p")
+    // the census needs (doc_id, n_chars, shard) only; the shipped
+    // payload (text, bpe_tokens) must be pruned from every slice scan
+    // or the census pays corpus-text I/O at 100 TB
+    val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(rs.nonEmpty && !rs.contains("text") && !rs.contains("bpe_tokens"),
+      s"census scans read shipped payload columns:\n$rs")
+  }
 }
