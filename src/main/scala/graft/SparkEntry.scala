@@ -45,7 +45,9 @@ object SparkEntry {
       .min(spark.sparkContext.defaultParallelism)
     val sized = if (target > src.rdd.getNumPartitions) src.repartition(target) else src
     OrcIO.writeOrc(sized, path, OrcIO.WriteOptions(overwrite = true))
-    OrcIO.readOrc(spark, path)
+    // read back with the schema we just wrote (nullable-widened to what
+    // inference would return): skips the per-run footer-inference job
+    OrcIO.readOrcAs(spark, path, sized.schema)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
         round(sum(round(col("l_quantity") * 10000, 0).cast("long")) / 10000.0, 4).as("sum_qty"))

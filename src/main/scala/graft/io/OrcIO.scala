@@ -46,6 +46,28 @@ object OrcIO {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** A1 read with a caller-known schema (round-14 optimization): ORC
+    * schema inference is a footer-reading Spark job per DataFrame
+    * construction; a caller that just wrote the files (the a2
+    * roundtrip) already knows the schema and can skip it.
+    * `expected` must be the write schema with every field marked
+    * nullable — exactly what inference would return (file formats
+    * don't persist nullability) — so the constructed relation is
+    * bit-identical to [[readOrc]]'s. */
+  def readOrcAs(spark: SparkSession, path: String, expected: StructType): DataFrame = {
+    def nullableOf(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = nullableOf(f.dataType), nullable = true)))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = nullableOf(a.elementType), containsNull = true)
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(keyType = nullableOf(m.keyType), valueType = nullableOf(m.valueType),
+          valueContainsNull = true)
+      case other => other
+    }
+    spark.read.schema(nullableOf(expected).asInstanceOf[StructType]).orc(path)
+  }
+
   private def applyOptions[T](w: DataFrameWriter[T], opts: WriteOptions): DataFrameWriter[T] = {
     var out = w.mode(if (opts.overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
     opts.stripeSize.foreach(s => out = out.option("orc.stripe.size", s.toString))
