@@ -309,11 +309,11 @@ object Pipeline {
       .localCheckpoint()
     val (termsPath, scalarsPath) = bm25StatsPaths(spark, statsDir)
     val delta = d.agg(sum(col("dl").cast("long")), count(lit(1))).head()
-    val prev = spark.read.parquet(scalarsPath).head()
+    val prev = Relational.cachedSchemaParquet(spark, scalarsPath).head()
     val (s2, n2) = (prev.getLong(0) + delta.getLong(0), prev.getLong(1) + delta.getLong(1))
     val deltaDf = d.select(explode(array_distinct(col("toks"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("ddf"))
-    val merged = spark.read.parquet(termsPath)
+    val merged = Relational.cachedSchemaParquet(spark, termsPath)
       .select(col("tok"), col("dfq"))
       .join(deltaDf, Seq("tok"), "full_outer")
       .select(col("tok"),
@@ -335,9 +335,9 @@ object Pipeline {
   def bm25ScoreWith(spark: SparkSession, docs: DataFrame, statsDir: String,
                     terms: Seq[String], k: Int = 10): DataFrame = {
     val (termsPath, scalarsPath) = bm25StatsPaths(spark, statsDir)
-    val row = spark.read.parquet(scalarsPath).head()
+    val row = Relational.cachedSchemaParquet(spark, scalarsPath).head()
     val (sTotal, nDocs) = (row.getLong(0), row.getLong(1))
-    val stats = spark.read.parquet(termsPath)
+    val stats = Relational.cachedSchemaParquet(spark, termsPath)
       .filter(col("tok").isin(terms: _*))
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("dl", size(col("toks")))
@@ -830,12 +830,12 @@ object Pipeline {
     * replay record (absent table = none, e.g. right after a fit). */
   private def lexApplied(spark: SparkSession, g: String): Seq[String] =
     if (IndexMeta.exists(spark, s"$g/applied"))
-      spark.read.parquet(s"$g/applied").collect().map(_.getString(0)).toSeq
+      Relational.cachedSchemaParquet(spark, s"$g/applied").collect().map(_.getString(0)).toSeq
     else Seq.empty
 
   /** The live generation's segment names, in manifest order. */
   private[graft] def lexSegments(spark: SparkSession, g: String): Seq[String] =
-    spark.read.parquet(s"$g/manifest").collect().map(_.getString(0)).toSeq.sorted
+    Relational.cachedSchemaParquet(spark, s"$g/manifest").collect().map(_.getString(0)).toSeq.sorted
 
   /** True iff generation `g` is the current layout: a segment
     * manifest, segment-resident terms (no generation-level vocab
@@ -846,7 +846,7 @@ object Pipeline {
   private def lexLayoutCurrent(spark: SparkSession, g: String): Boolean =
     IndexMeta.exists(spark, s"$g/manifest") &&
       !IndexMeta.exists(spark, s"$g/terms") &&
-      spark.read.parquet(s"$g/scalars").columns.contains("lineage")
+      Relational.cachedSchemaParquet(spark, s"$g/scalars").columns.contains("lineage")
 
   /** The one-row scalars of a CURRENT-layout generation, read ONCE
     * per op (the review-flagged repeated-I/O seam): guards the layout
@@ -857,7 +857,7 @@ object Pipeline {
     * names the caller in the refusal message. */
   private def lexScalarsRow(spark: SparkSession, g: String,
                             what: String): org.apache.spark.sql.Row = {
-    val scalars = spark.read.parquet(s"$g/scalars")
+    val scalars = Relational.cachedSchemaParquet(spark, s"$g/scalars")
     require(IndexMeta.exists(spark, s"$g/manifest") &&
         !IndexMeta.exists(spark, s"$g/terms") &&
         scalars.columns.contains("lineage"),
@@ -870,7 +870,7 @@ object Pipeline {
     * started this index's current life, carried forward verbatim by
     * append and compaction. Side-state paths embed it. */
   private def lexLineage(spark: SparkSession, g: String): String =
-    spark.read.parquet(s"$g/scalars").select(col("lineage")).head().getString(0)
+    Relational.cachedSchemaParquet(spark, s"$g/scalars").select(col("lineage")).head().getString(0)
 
   /** Union read of one table across the given segments — callers
     * resolve [[lexSegments]] ONCE per op and reuse the list (manifest
@@ -879,7 +879,7 @@ object Pipeline {
   private def lexSegTable(spark: SparkSession, lexDir: String,
       segs: Seq[String], table: String): DataFrame = {
     require(segs.nonEmpty, s"empty manifest under $lexDir")
-    spark.read.parquet(segs.map(s => s"$lexDir/$s/$table"): _*)
+    Relational.cachedSchemaParquet(spark, segs.map(s => s"$lexDir/$s/$table"))
   }
 
   /** The four live lex tables of an index — (terms, scalars, postings,
@@ -892,7 +892,7 @@ object Pipeline {
     val segs = lexSegments(spark, g)
     (lexSegTable(spark, lexDir, segs, "terms")
        .groupBy(col("tok")).agg(sum(col("dfq")).as("dfq")),
-      spark.read.parquet(s"$g/scalars"),
+      Relational.cachedSchemaParquet(spark, s"$g/scalars"),
       lexSegTable(spark, lexDir, segs, "postings"),
       lexSegTable(spark, lexDir, segs, "doclens"))
   }
@@ -1090,7 +1090,7 @@ object Pipeline {
   private def lexTombstones(spark: SparkSession, lexDir: String,
                             lineage: String): Option[DataFrame] = {
     val t = s"$lexDir/tombstones_$lineage"
-    if (IndexMeta.exists(spark, t)) Some(spark.read.parquet(t)) else None
+    if (IndexMeta.exists(spark, t)) Some(Relational.cachedSchemaParquet(spark, t)) else None
   }
 
   /** C43e — lexical TAKEDOWN: tombstone doc ids as a side table
@@ -1818,7 +1818,7 @@ object Pipeline {
     * product LBFGS optimized, no refit, no shuffle, no ML pipeline.
     * Map-only (PlanSpec-pinned); an arrival batch scores at scan cost. */
   def scoreWithClassifier(spark: SparkSession, docs: DataFrame, modelDir: String): DataFrame = {
-    val m = spark.read.parquet(IndexMeta.requireLive(spark, modelDir, "model")).head()
+    val m = Relational.cachedSchemaParquet(spark, IndexMeta.requireLive(spark, modelDir, "model")).head()
     val w = m.getSeq[Double](0)
     val b = m.getDouble(1)
     docs

@@ -59,20 +59,28 @@ object Relational {
     }
   }
 
-  private[graft] def cachedSchemaParquet(spark: SparkSession, path: String): DataFrame = {
+  private[graft] def cachedSchemaParquet(spark: SparkSession, path: String): DataFrame =
+    cachedSchemaParquet(spark, Seq(path))
+
+  /** Multi-path form — one memo entry over the combined listing
+    * signature (the lex segment union reads N immutable segment dirs
+    * in one relation; re-inferring their shared schema per query batch
+    * is the same footer job, ×N). */
+  private[graft] def cachedSchemaParquet(spark: SparkSession, paths: Seq[String]): DataFrame = {
     // the raw schema depends on the legacy timestamp read confs (events:
     // ns-as-long / NTZ inference), so sessions with different postures
     // must not share entries
     val key = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").getOrElse("") + "|" +
-      spark.conf.getOption("spark.sql.parquet.inferTimestampNTZ.enabled").getOrElse("") + "|" + path
-    val sig = try listingSignature(spark, path) catch {
+      spark.conf.getOption("spark.sql.parquet.inferTimestampNTZ.enabled").getOrElse("") + "|" +
+      paths.mkString("\u0001")
+    val sig = try paths.foldLeft(17L)((acc, p) => acc * 1000003L + listingSignature(spark, p)) catch {
       case _: java.io.IOException => Long.MinValue // missing dir: fall through, read throws as before
     }
     val cached = schemaMemo.get(key)
     if (cached != null && cached._1 == sig && sig != Long.MinValue)
-      spark.read.schema(cached._2).parquet(path)
+      spark.read.schema(cached._2).parquet(paths: _*)
     else {
-      val df = spark.read.parquet(path)
+      val df = spark.read.parquet(paths: _*)
       if (sig != Long.MinValue) schemaMemo.put(key, (sig, df.schema))
       df
     }

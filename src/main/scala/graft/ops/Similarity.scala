@@ -466,7 +466,7 @@ object Similarity {
     IndexMeta.requireLive(spark, indexDir, table)
 
   private def storeTable(spark: SparkSession, indexDir: String, table: String): DataFrame =
-    spark.read.parquet(nearDupTablePath(spark, indexDir, table))
+    Relational.cachedSchemaParquet(spark, nearDupTablePath(spark, indexDir, table))
 
   /** Build the store: one text pass writes shingles/, then bands/ and
     * the corpus-internal pairs/ derive from the PERSISTED hashes (the
@@ -477,10 +477,10 @@ object Similarity {
   def buildNearDupIndex(spark: SparkSession, docs: DataFrame, indexDir: String): Unit = {
     val (shDir, oldSh) = IndexMeta.nextGen(spark, indexDir, "shingles")
     hashedShingles(spark, docs).write.mode("overwrite").parquet(shDir)
-    val sh = spark.read.parquet(shDir)
+    val sh = Relational.cachedSchemaParquet(spark, shDir)
     val (bandDir, oldBands) = IndexMeta.nextGen(spark, indexDir, "bands")
     bandKeysOf(sh).write.mode("overwrite").parquet(bandDir)
-    val bands = spark.read.parquet(bandDir)
+    val bands = Relational.cachedSchemaParquet(spark, bandDir)
     val cands = bands.as("a").hint("shuffle_hash").join(bands.as("b"),
         col("a.bkh") === col("b.bkh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
@@ -571,7 +571,7 @@ object Similarity {
       val bytes = IndexMeta.bytesUnder(spark, live, ".parquet")
       val nf = math.max(1L, math.ceil(bytes.toDouble / targetFileBytes).toLong).toInt
       val (next, oldGens) = IndexMeta.nextGen(spark, indexDir, table)
-      spark.read.parquet(live).repartition(nf)
+      Relational.cachedSchemaParquet(spark, live).repartition(nf)
         .write.mode("overwrite").parquet(next)
       oldGens.foreach(IndexMeta.delete(spark, _))
     }
@@ -1210,7 +1210,7 @@ object Similarity {
     * plan-ships — a BOUNDED collect (k rows, the documented exception
     * to the no-collect rule). */
   private def indexCentroidsFlat(spark: SparkSession, indexDir: String): (Array[Float], Int) = {
-    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val cents = Relational.cachedSchemaParquet(spark, s"$indexDir/centroids")
       .select(col("cell"), col("centroid"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
     val dim = cents.head._2.length
@@ -1270,7 +1270,7 @@ object Similarity {
     dedupSemanticWithAppend(spark, idx, b1)
     // batch-2 twin ids must clear every LIVE id (corpus ∪ survivors ≤
     // corpusMax + off), so the offset doubles
-    val survivors = spark.read.parquet(liveVectorsPath(spark, idx))
+    val survivors = Relational.cachedSchemaParquet(spark, liveVectorsPath(spark, idx))
       .join(corpus.select(col("vec_id")), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("embedding"))
     val b2 = plantedNoisy(survivors, 2 * off)
@@ -1483,7 +1483,7 @@ object Similarity {
   def decontaminateSemantic(spark: SparkSession, evalIndexDir: String,
       corpus: DataFrame): DataFrame = {
     GraftFunctions.register(spark)
-    val cents = spark.read.parquet(s"$evalIndexDir/centroids")
+    val cents = Relational.cachedSchemaParquet(spark, s"$evalIndexDir/centroids")
       .select(col("cell"), col("centroid"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
     val dim = cents.head._2.length
@@ -1592,7 +1592,7 @@ object Similarity {
     val docs = Relational.table(spark, dir, "documents")
     val allowed = docs.filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
     val sel = math.max(allowed.count().toDouble / math.max(1L, docs.count()), 1e-9)
-    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val cents = Relational.cachedSchemaParquet(spark, s"$indexDir/centroids")
       .select(col("cell"), col("centroid"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
     val widened = math.min(cents.length.toLong,
@@ -1905,7 +1905,7 @@ object Similarity {
   /** The committed sidecar state, if any: parse the live pqmeta rows. */
   private[graft] def livePqMeta(spark: SparkSession, indexDir: String): Option[PqMeta] =
     IndexMeta.liveGen(spark, indexDir, "pqmeta").map { g =>
-      val rows = spark.read.parquet(g.toString)
+      val rows = Relational.cachedSchemaParquet(spark, g.toString)
         .collect().map(r => (r.getString(0), r.getString(1)))
       PqMeta(
         rows.collectFirst { case (k, n) if k == pqKindVecgen => n }.get,
@@ -1951,7 +1951,7 @@ object Similarity {
     * per-subspace matrices (the fitPqBooks shape). */
   private def readPqBooks(spark: SparkSession, indexDir: String,
       booksGen: String): Array[Array[Float]] = {
-    val rows = spark.read.parquet(s"$indexDir/$booksGen")
+    val rows = Relational.cachedSchemaParquet(spark, s"$indexDir/$booksGen")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
     val dsub = rows.head._3.length
     rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, rs) =>
@@ -1970,7 +1970,7 @@ object Similarity {
   private[graft] def pqCodesTable(spark: SparkSession, indexDir: String): DataFrame = {
     val m = livePqMeta(spark, indexDir).getOrElse(sys.error(
       s"no committed PQ sidecar under $indexDir — run addPqToIndex first"))
-    m.codesGens.map(g => spark.read.parquet(s"$indexDir/$g")
+    m.codesGens.map(g => Relational.cachedSchemaParquet(spark, s"$indexDir/$g")
         .select(col("vec_id"), col("pq"), col("cell")))
       .reduce(_.unionByName(_))
   }
@@ -1984,7 +1984,7 @@ object Similarity {
     val m = livePqMeta(spark, indexDir).getOrElse(sys.error(
       s"no committed PQ sidecar under $indexDir"))
     val books = readPqBooks(spark, indexDir, m.booksGen)
-    val v = spark.read.parquet(liveVectorsPath(spark, indexDir))
+    val v = Relational.cachedSchemaParquet(spark, liveVectorsPath(spark, indexDir))
       .select(col("vec_id"), col("embedding"), col("cell"))
     val dim = v.select(size(col("embedding"))).head().getInt(0)
     v.withColumn("pq", pqPackedCol(books, dim / pqSubspaces))
@@ -2034,7 +2034,7 @@ object Similarity {
         commitPqMeta(spark, indexDir, vecGen, census, codesGens, m.booksGen)
       case _ =>
         // full derive: fit books on the live corpus, encode everything
-        val v = spark.read.parquet(vecPath)
+        val v = Relational.cachedSchemaParquet(spark, vecPath)
           .select(col("vec_id"), col("embedding"), col("cell"))
         val dim = v.select(size(col("embedding"))).head().getInt(0)
         val n = v.count()
@@ -2115,7 +2115,7 @@ object Similarity {
       s"query vector vec_id=0 is not in the live index at $indexDir " +
         "(tombstoned or never indexed) — probe with a live vector")
     val qVec = qRows(0).getSeq[Float](0).toArray
-    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val cents = Relational.cachedSchemaParquet(spark, s"$indexDir/centroids")
       .select(col("cell"), col("centroid"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
     val nCells = filtered match {
@@ -2130,12 +2130,12 @@ object Similarity {
     // base + delta codes generations, unioned — each scan keeps its own
     // cell partition pruning, and [[compactIvfIndex]]-triggered full
     // re-derives fold them back to one
-    val codes0 = m.codesGens.map(g => spark.read.parquet(s"$indexDir/$g")
+    val codes0 = m.codesGens.map(g => Relational.cachedSchemaParquet(spark, s"$indexDir/$g")
         .select(col("vec_id"), col("pq"), col("cell")))
       .reduce(_.unionByName(_))
     val tomb = s"$indexDir/tombstones"
     val codes1 = if (IndexMeta.exists(spark, tomb))
-      codes0.join(broadcast(spark.read.parquet(tomb)), Seq("vec_id"), "left_anti")
+      codes0.join(broadcast(Relational.cachedSchemaParquet(spark, tomb)), Seq("vec_id"), "left_anti")
     else codes0
     // allowed-id semi-join BEFORE ADC scoring (see annIvfPqFiltered)
     val codes = filtered match {
@@ -2299,9 +2299,9 @@ object Similarity {
     * assignment distance over the live layout (cells are already
     * stored — no re-assignment), one `quantstats.gN` row. */
   private def writeQuantStats(spark: SparkSession, indexDir: String): Unit = {
-    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val cents = Relational.cachedSchemaParquet(spark, s"$indexDir/centroids")
       .select(col("cell"), col("centroid"))
-    val row = spark.read.parquet(liveVectorsPath(spark, indexDir))
+    val row = Relational.cachedSchemaParquet(spark, liveVectorsPath(spark, indexDir))
       .select(col("cell").cast("int").as("cell"), col("embedding"))
       .join(broadcast(cents), "cell")
       .agg(avg(assignSqDistCol).as("m"), count(lit(1)).as("n")).head()
@@ -2326,7 +2326,7 @@ object Similarity {
                                vecs: DataFrame): Double = {
     GraftFunctions.register(spark)
     val (flat, dim) = indexCentroidsFlat(spark, indexDir)
-    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val cents = Relational.cachedSchemaParquet(spark, s"$indexDir/centroids")
       .select(col("cell"), col("centroid"))
     val row = vecs.select(col("embedding"))
       .withColumn("cell", element_at(indexCellsCol(spark, indexDir, flat, dim, 1), 1))
@@ -2355,10 +2355,10 @@ object Similarity {
   def quantizerDrift(spark: SparkSession, indexDir: String,
                      arrivals: DataFrame): Double = {
     val base = IndexMeta.liveGen(spark, indexDir, "quantstats") match {
-      case Some(g) => spark.read.parquet(g.toString).head().getDouble(0)
+      case Some(g) => Relational.cachedSchemaParquet(spark, g.toString).head().getDouble(0)
       case None =>
         writeQuantStats(spark, indexDir)
-        spark.read.parquet(
+        Relational.cachedSchemaParquet(spark, 
           IndexMeta.requireLive(spark, indexDir, "quantstats")).head().getDouble(0)
     }
     val arr = meanAssignSqDist(spark, indexDir,
@@ -2401,10 +2401,10 @@ object Similarity {
     * accumulates more than one window of deletes here. No tombstones
     * dir → the reader is the bare layout scan, anti-join-free. */
   private def liveIndexVectors(spark: SparkSession, indexDir: String): DataFrame = {
-    val v = spark.read.parquet(liveVectorsPath(spark, indexDir))
+    val v = Relational.cachedSchemaParquet(spark, liveVectorsPath(spark, indexDir))
     val t = s"$indexDir/tombstones"
     if (IndexMeta.exists(spark, t))
-      v.join(broadcast(spark.read.parquet(t)), Seq("vec_id"), "left_anti")
+      v.join(broadcast(Relational.cachedSchemaParquet(spark, t)), Seq("vec_id"), "left_anti")
     else v
   }
 
@@ -2433,7 +2433,7 @@ object Similarity {
     * filter — nprobe directory reads, zero data-file touches elsewhere. */
   def annIvfIndexed(spark: SparkSession, dir: String, indexDir: String): DataFrame = {
     GraftFunctions.register(spark)
-    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val cents = Relational.cachedSchemaParquet(spark, s"$indexDir/centroids")
       .select(col("cell"), col("centroid"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
     val vectors = liveIndexVectors(spark, indexDir)
@@ -2854,7 +2854,7 @@ object Similarity {
     val tomb = s"$indexDir/tombstones"
     if (IndexMeta.exists(spark, tomb)) {
       val clash = newVectors.select(col("vec_id"))
-        .join(broadcast(spark.read.parquet(tomb)), Seq("vec_id"), "left_semi")
+        .join(broadcast(Relational.cachedSchemaParquet(spark, tomb)), Seq("vec_id"), "left_semi")
         .limit(5).collect().map(_.getLong(0))
       require(clash.isEmpty,
         s"batch re-inserts tombstoned ids ${clash.mkString(", ")} — the old rows " +
@@ -2878,8 +2878,8 @@ object Similarity {
     // then own the two-rows-per-id failure mode.
     val idsGen = IndexMeta.liveGen(spark, indexDir, "ids").map(_.toString)
     if (spark.conf.getOption("graft.index.appendIdCheck").forall(_.toBoolean)) {
-      val physicalIds = idsGen.map(spark.read.parquet(_))
-        .getOrElse(spark.read.parquet(vecDir).select(col("vec_id")))
+      val physicalIds = idsGen.map(Relational.cachedSchemaParquet(spark, _))
+        .getOrElse(Relational.cachedSchemaParquet(spark, vecDir).select(col("vec_id")))
       val liveClash = physicalIds
         .join(broadcast(newVectors.select(col("vec_id"))), Seq("vec_id"), "left_semi")
         .limit(5).collect().map(_.getLong(0))
@@ -2900,7 +2900,7 @@ object Similarity {
     idsGen.foreach(g => newVectors.select(col("vec_id")).coalesce(1)
       .write.mode("append").parquet(g))
     GraftFunctions.register(spark)
-    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val cents = Relational.cachedSchemaParquet(spark, s"$indexDir/centroids")
       .select(col("cell"), col("centroid"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
     val dim = cents.head._2.length
@@ -2975,7 +2975,7 @@ object Similarity {
     // bytes/row over the RAW layout (tombstoned rows still occupy the
     // files being measured) — dividing by the live count would inflate
     // the estimate ~2× after heavy deletes and halve the file sizes
-    val rawRows = spark.read.parquet(vecDir).count().max(1L)
+    val rawRows = Relational.cachedSchemaParquet(spark, vecDir).count().max(1L)
     val bytesPerRow = totalBytes.toDouble / rawRows
     val filesPerCell = counts.map { case (c, n) =>
       (c, math.max(1L, math.ceil(n * bytesPerRow / targetFileBytes).toLong))
@@ -3051,7 +3051,7 @@ object Similarity {
   def rebuildIdsSidecar(spark: SparkSession, indexDir: String): Unit = {
     val (idsNext, oldIds) = IndexMeta.nextGen(spark, indexDir, "ids")
     Scale.sizeForWrite(
-      spark.read.parquet(liveVectorsPath(spark, indexDir)).select(col("vec_id")))
+      Relational.cachedSchemaParquet(spark, liveVectorsPath(spark, indexDir)).select(col("vec_id")))
       .write.mode("overwrite").parquet(idsNext)
     oldIds.foreach(IndexMeta.delete(spark, _))
   }
@@ -3290,7 +3290,7 @@ object Similarity {
   private def indexCellsCol(spark: SparkSession, indexDir: String,
       flat: Array[Float], dim: Int, nprobe: Int): org.apache.spark.sql.Column =
     if (IndexMeta.exists(spark, s"$indexDir/centroids2/_SUCCESS")) {
-      val co = spark.read.parquet(s"$indexDir/centroids2")
+      val co = Relational.cachedSchemaParquet(spark, s"$indexDir/centroids2")
         .select(col("cell1"), col("centroid"))
         .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
       val coFlat = new Array[Float](co.length * dim)
@@ -3551,7 +3551,7 @@ object Similarity {
       // (measured at sf10: 30.2 s vs 28.1 s for the fit path, which
       // already checkpoints); same harness-local choice as the fit path
       .localCheckpoint()
-    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val cents = Relational.cachedSchemaParquet(spark, s"$indexDir/centroids")
       .select(col("cell"), col("centroid"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
     val dim = cents.head._2.length

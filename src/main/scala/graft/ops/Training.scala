@@ -298,8 +298,8 @@ object Training {
     * join (OOV → hapax floor), exact long sums per doc. Same output
     * shape as [[docLogprob]]. */
   def scoreWithLm(spark: SparkSession, docs: DataFrame, lmDir: String): DataFrame = {
-    val lm = spark.read.parquet(s"$lmDir/vocab")
-    val nTotal = spark.read.parquet(s"$lmDir/total").head().getLong(0)
+    val lm = Relational.cachedSchemaParquet(spark, s"$lmDir/vocab")
+    val nTotal = Relational.cachedSchemaParquet(spark, s"$lmDir/total").head().getLong(0)
     val oovNll = math.round(math.log(nTotal.toDouble) * 1e6)
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .join(broadcast(lm), Seq("tok"), "left")
@@ -442,7 +442,7 @@ object Training {
     * the composition surface (c32 scoring, c15b packing): one driver
     * read of the merge table, the codec plan-shipped. */
   def bpeTokensCol(spark: SparkSession, modelDir: String): org.apache.spark.sql.Column = {
-    val m = spark.read.parquet(IndexMeta.requireLive(spark, modelDir, "merges"))
+    val m = Relational.cachedSchemaParquet(spark, IndexMeta.requireLive(spark, modelDir, "merges"))
       .orderBy("rank").collect()
     val flat = m.flatMap(r => Seq(r.getString(1), r.getString(2)))
     import org.apache.spark.sql.graft.{GraftColumns => EU}
@@ -475,7 +475,7 @@ object Training {
   def bpeOovFraction(spark: SparkSession, modelDir: String,
       docs: DataFrame,
       toks: Option[org.apache.spark.sql.Column] = None): Double = {
-    val vocab = spark.read.parquet(IndexMeta.requireLive(spark, modelDir, "vocab"))
+    val vocab = Relational.cachedSchemaParquet(spark, IndexMeta.requireLive(spark, modelDir, "vocab"))
       .select(col("token"))
     // `toks` lets a caller that already built the encode Column (one
     // driver read of the frozen merges per op — the read-ONCE seam)
@@ -494,10 +494,10 @@ object Training {
     * rows — the PQ-books doctrine). */
   private def bpeModelTables(spark: SparkSession,
       modelDir: String): (Array[String], Array[String]) = {
-    val m = spark.read.parquet(IndexMeta.requireLive(spark, modelDir, "merges"))
+    val m = Relational.cachedSchemaParquet(spark, IndexMeta.requireLive(spark, modelDir, "merges"))
       .orderBy("rank").collect()
     val flat = m.flatMap(r => Seq(r.getString(1), r.getString(2)))
-    val v = spark.read.parquet(IndexMeta.requireLive(spark, modelDir, "vocab"))
+    val v = Relational.cachedSchemaParquet(spark, IndexMeta.requireLive(spark, modelDir, "vocab"))
       .orderBy("id").collect().map(_.getString(1))
     (flat, v)
   }
@@ -674,7 +674,7 @@ object Training {
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     val out = Similarity.freshScratch(spark, s"graft_shards_${key}_")
     writeShards(spark, dir, out)
-    spark.read.parquet(out)
+    Relational.cachedSchemaParquet(spark, out)
       .groupBy(col("shard").cast("long").as("shard"),
         col("part").cast("long").as("part"))
       .agg(count(lit(1)).as("n_docs"),
@@ -714,7 +714,7 @@ object Training {
       Pipeline.curateE2E(spark, dir).select(col("doc_id"))
         .write.mode("overwrite").parquet(poolDir)
     }
-    val pool = spark.read.parquet(poolDir)
+    val pool = Relational.cachedSchemaParquet(spark, poolDir)
     // 2. LEAK-FREE SPLIT (c37): the Lehmer-gated eval holdout leaves
     //    the training pool entirely, keyed on near-dup CLUSTERS over
     //    the FULL corpus — a survivor whose cluster drew the eval side
@@ -739,7 +739,7 @@ object Training {
           docsTbl.filter(col("doc_id") % 20 === 0).select(col("doc_id"), col("text")))
         .write.mode("overwrite").parquet(keptDir)
     }
-    val docs = spark.read.parquet(keptDir)
+    val docs = Relational.cachedSchemaParquet(spark, keptDir)
       .join(Relational.table(spark, dir, "documents").select(col("doc_id"), col("lang")),
         "doc_id")
     // 4. the TOKENIZER artifact: fit once on the excised pool (the
@@ -796,7 +796,7 @@ object Training {
     * recomputation instead. */
   def pretrainE2E(spark: SparkSession, dir: String): DataFrame = {
     val out = writePretrainShards(spark, dir)
-    spark.read.parquet(out)
+    Relational.cachedSchemaParquet(spark, out)
       .groupBy(col("shard").cast("long").as("shard"),
         col("part").cast("long").as("part"))
       .agg(count(lit(1)).as("n_docs"),
@@ -941,14 +941,14 @@ object Training {
     * re-implementing it). */
   private[ops] def liveSlices(spark: SparkSession, stateDir: String): Seq[String] = {
     val g = IndexMeta.requireLive(spark, s"$stateDir/shards", "shardman")
-    spark.read.parquet(s"$g/manifest").collect().map(_.getString(0)).toSeq.sorted
+    Relational.cachedSchemaParquet(spark, s"$g/manifest").collect().map(_.getString(0)).toSeq.sorted
   }
 
   /** The state's takedown tombstones, if any exist. */
   private def pretrainTombstones(spark: SparkSession,
       stateDir: String): Option[DataFrame] = {
     val t = s"$stateDir/shards/tombstones"
-    if (IndexMeta.exists(spark, t)) Some(spark.read.parquet(t)) else None
+    if (IndexMeta.exists(spark, t)) Some(Relational.cachedSchemaParquet(spark, t)) else None
   }
 
   private def writePretrainMeta(spark: SparkSession, stateDir: String,
@@ -993,7 +993,7 @@ object Training {
     Curation.gramHashes(spark, d.filter(col("doc_id") % 20 === 0))
       .select(col("gram_h")).distinct()
       .write.mode("overwrite").parquet(s"$stateDir/evalgrams")
-    val evalGrams = spark.read.parquet(s"$stateDir/evalgrams")
+    val evalGrams = Relational.cachedSchemaParquet(spark, s"$stateDir/evalgrams")
     val train = d.filter(col("doc_id") % 20 =!= 0)
     // the pre-gate curated pool — the mixture plan freezes over it
     // (rates are pool statistics: c18 feeding c34); this is
@@ -1011,7 +1011,7 @@ object Training {
       Curation.mixWeightsOn(curated).select(col("lang"), col("source"), col("sample_rate")))
     rates.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/rates")
     val kept = curated
-      .join(broadcast(spark.read.parquet(s"$stateDir/rates")), Seq("lang", "source"))
+      .join(broadcast(Relational.cachedSchemaParquet(spark, s"$stateDir/rates")), Seq("lang", "source"))
       .where(Curation.lehmerHash(col("doc_id")) <
         expr("cast(floor(sample_rate * cast(1000003 as double)) as bigint)"))
       .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
@@ -1040,7 +1040,7 @@ object Training {
       col("source"), col("n_chars")))
     val mm = d.agg(min(col("doc_id")), max(col("doc_id"))).head()
     if (mm.isNullAt(0)) { IndexMeta.createMarker(spark, marker); return }
-    val prevMax = spark.read.parquet(
+    val prevMax = Relational.cachedSchemaParquet(spark, 
       IndexMeta.requireLive(spark, stateDir, "meta")).head().getLong(0)
     require(mm.getLong(0) > prevMax,
       s"arrival slice carries doc_id ${mm.getLong(0)} ≤ the state's id " +
@@ -1051,7 +1051,7 @@ object Training {
     // scan is map-only (the c12/c27 probe doctrine) — seenHit is the
     // slice-bounded intersection, then keepers are min-id per NEW text
     val th = d.select(col("doc_id"), xxhash64(col("text")).as("th"))
-    val seenHit = spark.read.parquet(s"$stateDir/seen_th")
+    val seenHit = Relational.cachedSchemaParquet(spark, s"$stateDir/seen_th")
       .join(broadcast(th.select(col("th")).distinct()), Seq("th"), "left_semi")
       .distinct().localCheckpoint()
     val newTh = th.join(broadcast(seenHit), Seq("th"), "left_anti")
@@ -1072,8 +1072,8 @@ object Training {
       .select(col("gram_h")).distinct()
       .write.mode("append").parquet(s"$stateDir/evalgrams")
     val kept = monotonePool(d.filter(col("doc_id") % 20 =!= 0), keepers, losers,
-      spark.read.parquet(s"$stateDir/evalgrams"),
-      spark.read.parquet(s"$stateDir/rates"))
+      Relational.cachedSchemaParquet(spark, s"$stateDir/evalgrams"),
+      Relational.cachedSchemaParquet(spark, s"$stateDir/rates"))
       .localCheckpoint()
     // tokenizer-drift telemetry per arrival (the lex-oov line's twin):
     // measured on the RAW slice, not the survivors — drift is a
@@ -1108,7 +1108,7 @@ object Training {
   def readPretrainShards(spark: SparkSession, stateDir: String): DataFrame = {
     val names = liveSlices(spark, stateDir)
     require(names.nonEmpty, s"no shard slices under $stateDir")
-    val all = names.map(n => spark.read.parquet(s"$stateDir/shards/$n"))
+    val all = names.map(n => Relational.cachedSchemaParquet(spark, s"$stateDir/shards/$n"))
       .reduce(_.unionByName(_))
     val live = pretrainTombstones(spark, stateDir) match {
       case Some(t) => all.join(broadcast(t.select(col("doc_id")).distinct()),
@@ -1153,7 +1153,7 @@ object Training {
     // doc_id projection: one map-only column scan, the same price the
     // census already pays
     val shipped = names.map(n =>
-        spark.read.parquet(s"$stateDir/shards/$n").select(col("doc_id")))
+        Relational.cachedSchemaParquet(spark, s"$stateDir/shards/$n").select(col("doc_id")))
       .reduce(_.unionByName(_))
     val novel = (pretrainTombstones(spark, stateDir) match {
       case Some(existing) => ids.select(col("doc_id")).distinct()
@@ -1191,7 +1191,7 @@ object Training {
     if (tombOpt.isEmpty) { gcOrphans(names.toSet); return }
     val tombIds = broadcast(tombOpt.get.select(col("doc_id")).distinct())
     val affected = names.map(n =>
-        spark.read.parquet(s"$root/$n").select(col("doc_id"))
+        Relational.cachedSchemaParquet(spark, s"$root/$n").select(col("doc_id"))
           .withColumn("s", lit(n)))
       .reduce(_.unionByName(_))
       .join(tombIds, Seq("doc_id"), "left_semi")
@@ -1206,7 +1206,7 @@ object Training {
       if (!affected(n)) Some(n)
       else {
         val nn = s"$n.$genTag"
-        val kept = spark.read.parquet(s"$root/$n")
+        val kept = Relational.cachedSchemaParquet(spark, s"$root/$n")
           .join(tombIds, Seq("doc_id"), "left_anti")
           .localCheckpoint() // slice-bounded; the empty probe AND the write
         // a slice whose EVERY doc was taken down (whole-crawl-batch

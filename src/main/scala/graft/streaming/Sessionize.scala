@@ -78,7 +78,7 @@ object Sessionize {
     * batch DataFrame. */
   def sessionizeEvents(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val rawSchema = graft.ops.Relational.cachedSchemaParquet(spark, s"$dir/events.parquet").schema
     val sinkName = "graft_sessionize_sink"
     val rawStream = spark.readStream.schema(rawSchema).parquet(s"$dir/events.parque[t]")
     val stream = rawSchema("ts").dataType match {
