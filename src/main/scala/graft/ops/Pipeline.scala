@@ -1602,7 +1602,9 @@ object Pipeline {
         struct(col("n_chars"), col("label")).as("meta"))
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_c5_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     OrcIO.writeOrc(nested, path, OrcIO.WriteOptions(overwrite = true))
-    OrcIO.readOrc(spark, path)
+    // read back with the just-written schema (the a2 doctrine): skips
+    // the per-construction ORC footer-inference job
+    OrcIO.readOrcAs(spark, path, nested.schema)
       .select(col("doc.doc_id").as("doc_id"), col("doc.lang").as("lang"),
         col("meta.label").as("label"), size(col("embedding")).as("dim"))
       .orderBy("doc_id")
