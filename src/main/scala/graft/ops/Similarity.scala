@@ -1584,14 +1584,19 @@ object Similarity {
     * every cell, which IS exact brute search over the filtered subset —
     * the right plan there, since the semi-join runs before the cosine
     * projection and only passing rows pay the distance. Selectivity
-    * comes from two metadata-side counts (no embedding scan). The cell
+    * comes from one metadata-side aggregate (no embedding scan). The cell
     * scan stays partition-pruned for any non-degenerate s; approximate
     * → rows-only, recall vs [[simTopKFiltered]] pinned in TierCSpec. */
   def annIvfFiltered(spark: SparkSession, dir: String, indexDir: String): DataFrame = {
     GraftFunctions.register(spark)
     val docs = Relational.table(spark, dir, "documents")
     val allowed = docs.filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
-    val sel = math.max(allowed.count().toDouble / math.max(1L, docs.count()), 1e-9)
+    // selectivity from ONE metadata pass (round-14: was two separate
+    // counts = two scans of the metadata table per probe): a single
+    // aggregate computes total and passing rows together
+    val selRow = docs.agg(count(lit(1)).as("n"),
+      count(when(col("lang") === "en", 1)).as("k")).head()
+    val sel = math.max(selRow.getLong(1).toDouble / math.max(1L, selRow.getLong(0)), 1e-9)
     val cents = Relational.cachedSchemaParquet(spark, s"$indexDir/centroids")
       .select(col("cell"), col("centroid"))
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
@@ -2080,7 +2085,10 @@ object Similarity {
   def annIvfPqFiltered(spark: SparkSession, dir: String, indexDir: String): DataFrame = {
     val docs = Relational.table(spark, dir, "documents")
     val allowed = docs.filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
-    val sel = math.max(allowed.count().toDouble / math.max(1L, docs.count()), 1e-9)
+    // one metadata pass for selectivity (see annIvfFiltered)
+    val selRow = docs.agg(count(lit(1)).as("n"),
+      count(when(col("lang") === "en", 1)).as("k")).head()
+    val sel = math.max(selRow.getLong(1).toDouble / math.max(1L, selRow.getLong(0)), 1e-9)
     pqIndexedCore(spark, indexDir, Some((allowed, sel)))
   }
 
