@@ -1229,17 +1229,19 @@ object Pipeline {
     val qDistinct = queryDocs
       .select(explode(array_distinct(split(col("text"), " "))).as("tok"))
       .distinct().localCheckpoint()
-    val nq = qDistinct.count()
-    if (nq == 0L) 0.0
-    else {
-      // a tok may appear in several segments' deltas — distinct after
-      // the batch-bounded semi-join, before counting membership
-      val known = lexSegTable(spark, lexDir, lexSegments(spark, g), "terms")
-        .select(col("tok"))
-        .join(broadcast(qDistinct), Seq("tok"), "left_semi")
-        .distinct().count()
-      (nq - known).toDouble / nq
-    }
+    // one job for BOTH counts (round-14: was a count + a semi-join
+    // count, two jobs per probe): the batch-bounded semi-join survivors
+    // (a tok may appear in several segments' deltas — distinct before
+    // membership) left-join back onto the pinned query terms and a
+    // single aggregate reads |batch| and |known| together
+    val known = lexSegTable(spark, lexDir, lexSegments(spark, g), "terms")
+      .select(col("tok"))
+      .join(broadcast(qDistinct), Seq("tok"), "left_semi")
+      .distinct().withColumn("m", lit(1))
+    val row = qDistinct.join(known, Seq("tok"), "left")
+      .agg(count(lit(1)).as("nq"), count(col("m")).as("known")).head()
+    val (nq, kn) = (row.getLong(0), row.getLong(1))
+    if (nq == 0L) 0.0 else (nq - kn).toDouble / nq
   }
 
   /** OOV-drift-triggered REFIT policy — the lexical twin of
@@ -1364,8 +1366,15 @@ object Pipeline {
     // quantizer drift), and derived from the two frames the score
     // plan needs anyway: two counts on pinned batch-bounded tables,
     // not a second tokenize + vocab scan
-    val nq = qDistinct.count()
-    val oov = if (nq == 0L) 0.0 else (nq - dfToks.count()).toDouble / nq
+    // one job for both telemetry counts (the lexOovFraction fold):
+    // dfToks is pinned for the score plan anyway, so the left join
+    // reads two cached frames and a single aggregate yields |batch|
+    // and |matched| together
+    val ovRow = qDistinct
+      .join(dfToks.select(col("tok"), lit(1).as("m")), Seq("tok"), "left")
+      .agg(count(lit(1)).as("nq"), count(col("m")).as("matched")).head()
+    val (nq, matched) = (ovRow.getLong(0), ovRow.getLong(1))
+    val oov = if (nq == 0L) 0.0 else (nq - matched).toDouble / nq
     System.err.println(f"[lex-oov] $lexDir oov_frac=$oov%.4f")
     val queryTerms = dfToks
       .join(broadcast(qToks), Seq("tok"))
