@@ -49,6 +49,15 @@ object Relational {
   private val schemaMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, org.apache.spark.sql.types.StructType)]()
 
+  /** Signature of a dir's DIRECT children (name/mtime/len). One level
+    * is sufficient for every layout this repo reads through the memo:
+    * flat appends add a direct child; a `partitionBy("cell")` append
+    * bumps the touched cell dir's mtime (visible in the parent's
+    * listStatus); and the only TWO-level layout (the c25b
+    * shard/part tree) is always written whole into a fresh dir —
+    * audited round-14. A future append into an existing grandchild of
+    * a memoized path would need a recursive signature; do not add one
+    * without that write pattern existing. */
   private def listingSignature(spark: SparkSession, path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
