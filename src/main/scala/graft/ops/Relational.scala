@@ -90,6 +90,10 @@ object Relational {
       spark.read.schema(cached._2).parquet(paths: _*)
     else {
       val df = spark.read.parquet(paths: _*)
+      // bound the memo: a long-lived service reading ever-new scratch
+      // paths must not grow it forever — clearing only costs the next
+      // construction one re-inference per live path
+      if (schemaMemo.size > 8192) schemaMemo.clear()
       if (sig != Long.MinValue) schemaMemo.put(key, (sig, df.schema))
       df
     }
