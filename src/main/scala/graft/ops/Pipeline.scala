@@ -837,6 +837,29 @@ object Pipeline {
   private[graft] def lexSegments(spark: SparkSession, g: String): Seq[String] =
     Relational.cachedSchemaParquet(spark, s"$g/manifest").collect().map(_.getString(0)).toSeq.sorted
 
+  /** Scalars row + manifest of a live lex generation in ONE Spark job
+    * (round-15, the OOV-fold treatment applied to the per-batch
+    * metadata reads): the score path needs both before it can build a
+    * plan, and reading them separately (`head()` + `collect()`) is two
+    * driver round-trips per serving batch over two tiny single-file
+    * tables. A cross join of the 1-row scalars with the manifest
+    * collapsed to one sorted-list row reads both in one job — same
+    * values (`sort_array(collect_list)` ≡ [[lexSegments]]'s sorted
+    * collect), same layout guard as [[lexScalarsRow]]. */
+  private def lexHeader(spark: SparkSession, g: String,
+                        what: String): (org.apache.spark.sql.Row, Seq[String]) = {
+    val scalars = Relational.cachedSchemaParquet(spark, s"$g/scalars")
+    require(IndexMeta.exists(spark, s"$g/manifest") &&
+        !IndexMeta.exists(spark, s"$g/terms") &&
+        scalars.columns.contains("lineage"),
+      s"lex generation $g predates the segment-resident terms layout — " +
+        s"$what cannot use it; refit with fitLexIndex first")
+    val row = scalars.crossJoin(
+      Relational.cachedSchemaParquet(spark, s"$g/manifest")
+        .agg(sort_array(collect_list(col("seg"))).as("segs"))).head()
+    (row, row.getAs[scala.collection.Seq[String]]("segs").toSeq)
+  }
+
   /** True iff generation `g` is the current layout: a segment
     * manifest, segment-resident terms (no generation-level vocab
     * table), and lineage-keyed side-state (scalars carry `lineage`)
@@ -1229,6 +1252,13 @@ object Pipeline {
     val qDistinct = queryDocs
       .select(explode(array_distinct(split(col("text"), " "))).as("tok"))
       .distinct().localCheckpoint()
+    // empty batch ⇒ 0.0 WITHOUT touching the index (round-14 advice:
+    // the single-job fold dropped this short-circuit, so an empty
+    // batch against an empty-manifest index started throwing where it
+    // previously read 0.0). isEmpty is a limit(1) over the pinned
+    // frame — cheap, and this is the operator policy path, not the
+    // per-batch score path (which has its own fold).
+    if (qDistinct.isEmpty) return 0.0
     // one job for BOTH counts (round-14: was a count + a semi-join
     // count, two jobs per probe): the batch-bounded semi-join survivors
     // (a tok may appear in several segments' deltas — distinct before
@@ -1333,8 +1363,8 @@ object Pipeline {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
     val g = IndexMeta.requireLive(spark, lexDir, "lex")
-    val scRow = lexScalarsRow(spark, g, "this raw-fact reader")
-    val segs = lexSegments(spark, g) // manifest read ONCE per score batch
+    // scalars + manifest in ONE job per score batch (round-15 fold)
+    val (scRow, segs) = lexHeader(spark, g, "this raw-fact reader")
     val stored = lexSegTable(spark, lexDir, segs, "postings")
     val (sTotal, nDocs) = (scRow.getAs[Long]("s_total"), scRow.getAs[Long]("n_docs"))
     val postings = lexTombstones(spark, lexDir, scRow.getAs[String]("lineage")) match {
@@ -1376,6 +1406,11 @@ object Pipeline {
     val (nq, matched) = (ovRow.getLong(0), ovRow.getLong(1))
     val oov = if (nq == 0L) 0.0 else (nq - matched).toDouble / nq
     System.err.println(f"[lex-oov] $lexDir oov_frac=$oov%.4f")
+    // NOT pinned (round-15, verdict item 4): the posting join below is
+    // this frame's ONLY consumer, so an eager localCheckpoint bought no
+    // recompute protection and cost one Spark job per serving batch —
+    // the term selection now rides inside the score plan, reading the
+    // PINNED dfToks (so the vocab scan still runs once per batch).
     val queryTerms = dfToks
       .join(broadcast(qToks), Seq("tok"))
       .withColumn("trk", row_number().over(wq))
@@ -1383,7 +1418,6 @@ object Pipeline {
       .withColumn("n_docs", lit(nDocs))
       .withColumn("idf_micro", expr(bm25IdfExpr))
       .select(col("query_id"), col("tok"), col("idf_micro"))
-      .localCheckpoint()
     val ws = Window.partitionBy(col("query_id"))
       .orderBy(col("score_micro").desc, col("doc_id"))
     // stored postings ⋈ query terms: the same term-sharded retrieval

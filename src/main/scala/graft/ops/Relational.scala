@@ -46,8 +46,60 @@ object Relational {
     * stores exactly the inferred schema, so the constructed relation is
     * bit-identical to the uncached read (plan ReadSchema diffed —
     * identical). Metadata caching only: no rows, no results. */
-  private val schemaMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, org.apache.spark.sql.types.StructType)]()
+  /** Bounded LRU (round-15, round-14 advice): the former clear-all at
+    * 8192 entries made every live path re-pay one inference job
+    * simultaneously (thundering re-inference in a long-lived service),
+    * and the size-check/put pair was racy. An access-ordered
+    * LinkedHashMap evicts only the coldest entry, under one lock —
+    * lookups are ns-scale against the ~80 ms inference they save. */
+  private[ops] var schemaMemoMax = 8192 // var: the eviction spec shrinks it
+  /** Test seam: the eviction spec needs a deterministic starting state
+    * (costs the next construction per live path one re-inference). */
+  private[ops] def schemaMemoClear(): Unit = schemaMemo.clear()
+  private val schemaMemo: java.util.Map[String, (Long, org.apache.spark.sql.types.StructType)] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, (Long, org.apache.spark.sql.types.StructType)](256, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, (Long, org.apache.spark.sql.types.StructType)]): Boolean =
+          size() > schemaMemoMax
+      })
+
+  /** Confs that change what parquet inference RETURNS (round-14 advice:
+    * the key carried only the two timestamp confs, so two sessions in
+    * one JVM with differing case-sensitivity/binary/int96/mergeSchema
+    * postures would share stale entries through the JVM-global memo).
+    * `getOption` resolves registered SQL confs to their effective value
+    * (set or default), so the key captures the posture, not just
+    * explicit sets. */
+  private val schemaConfs = Seq(
+    "spark.sql.legacy.parquet.nanosAsLong",
+    "spark.sql.parquet.inferTimestampNTZ.enabled",
+    "spark.sql.caseSensitive",
+    "spark.sql.parquet.binaryAsString",
+    "spark.sql.parquet.int96AsTimestamp",
+    "spark.sql.parquet.mergeSchema")
+
+  /** The listing-signature revalidation contract (name/mtime/len of
+    * direct children) relies on POSIX/HDFS directory-mtime semantics —
+    * an append into a child dir bumps its mtime. Object-store
+    * filesystems (S3A reports directory mtime 0) would silently skip
+    * revalidation, so unknown schemes BYPASS the memo entirely (every
+    * construction re-infers — strictly correct, just unmemoized) and
+    * say so once per scheme (round-14 advice: fail loud, not silent). */
+  private val mtimeSchemes = Set("file", "hdfs", "viewfs")
+  private val warnedSchemes = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def memoizableScheme(spark: SparkSession, path: String): Boolean = {
+    val uri = new org.apache.hadoop.fs.Path(path).toUri
+    val scheme = Option(uri.getScheme).getOrElse(Option(
+      org.apache.hadoop.fs.FileSystem.getDefaultUri(
+        spark.sparkContext.hadoopConfiguration).getScheme).getOrElse("file"))
+    val ok = mtimeSchemes(scheme)
+    if (!ok && warnedSchemes.add(scheme))
+      System.err.println(s"[schema-memo] scheme '$scheme' does not propagate " +
+        "directory mtimes — bypassing the schema memo (every construction " +
+        "re-infers); register it in Relational.mtimeSchemes if it does")
+    ok
+  }
 
   /** Signature of a dir's DIRECT children (name/mtime/len). One level
     * is sufficient for every layout this repo reads through the memo:
@@ -76,24 +128,21 @@ object Relational {
     * in one relation; re-inferring their shared schema per query batch
     * is the same footer job, ×N). */
   private[graft] def cachedSchemaParquet(spark: SparkSession, paths: Seq[String]): DataFrame = {
-    // the raw schema depends on the legacy timestamp read confs (events:
-    // ns-as-long / NTZ inference), so sessions with different postures
-    // must not share entries
-    val key = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").getOrElse("") + "|" +
-      spark.conf.getOption("spark.sql.parquet.inferTimestampNTZ.enabled").getOrElse("") + "|" +
-      paths.mkString("\u0001")
-    val sig = try paths.foldLeft(17L)((acc, p) => acc * 1000003L + listingSignature(spark, p)) catch {
-      case _: java.io.IOException => Long.MinValue // missing dir: fall through, read throws as before
-    }
+    // the raw schema depends on every inference-affecting conf (see
+    // schemaConfs), so sessions with different postures must not share
+    // entries
+    val key = schemaConfs.map(c => spark.conf.getOption(c).getOrElse(""))
+      .mkString("|") + "|" + paths.mkString("\u0001")
+    val sig =
+      if (!paths.forall(memoizableScheme(spark, _))) Long.MinValue // bypass, never memoize
+      else try paths.foldLeft(17L)((acc, p) => acc * 1000003L + listingSignature(spark, p)) catch {
+        case _: java.io.IOException => Long.MinValue // missing dir: fall through, read throws as before
+      }
     val cached = schemaMemo.get(key)
     if (cached != null && cached._1 == sig && sig != Long.MinValue)
       spark.read.schema(cached._2).parquet(paths: _*)
     else {
       val df = spark.read.parquet(paths: _*)
-      // bound the memo: a long-lived service reading ever-new scratch
-      // paths must not grow it forever — clearing only costs the next
-      // construction one re-inference per live path
-      if (schemaMemo.size > 8192) schemaMemo.clear()
       if (sig != Long.MinValue) schemaMemo.put(key, (sig, df.schema))
       df
     }

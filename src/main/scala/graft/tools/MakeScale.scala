@@ -55,11 +55,16 @@ object MakeScale {
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
 
-  /** output files per table — facts get enough splits for parallel scans */
+  /** output files per table — facts get enough splits for parallel
+    * scans. Parquet packs small files into shared splits (openCost
+    * charges 4 MB each), and each output file is one row group, so
+    * EFFECTIVE scan parallelism ≈ file count: facts need ≥32 files for
+    * a local[32] scan to use every core (round-15 — at 16 files the
+    * 8-vs-32-core bench ratio topped out at 16-way). */
   private def filesFor(name: String, copies: Int): Int = name match {
     case "region" | "nation"          => 1
-    case "lineitem" | "orders"        => math.max(copies, 16)
-    case _                            => math.max(copies / 2, 4)
+    case "lineitem" | "orders"        => math.max(copies * 2, 32)
+    case _                            => math.max(copies, 8)
   }
 
   def main(args: Array[String]): Unit = {

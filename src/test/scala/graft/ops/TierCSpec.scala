@@ -105,6 +105,58 @@ class TierCSpec extends AnyFunSuite with SparkTestSession {
     assert(both.filter(col("sig_str") =!= col("sig_hs")).count() == 0)
   }
 
+  test("C27 verify size-band: boundary pair survives, impossible pair drops") {
+    import spark.implicits._
+    // (1,2): |ha|=5, |hb|=4, inter=4 → J = 4/5 = 0.8 exactly — must
+    // survive (the band's 20000/15999 integer form must not clip the
+    // inclusive threshold); (2,3): |4| vs |10|, J = 0.4 — band-dropped
+    // before the intersection, same verdict as the exact check
+    val sh = Seq(
+      (1L, Seq(10L, 11L, 12L, 13L, 14L)),
+      (2L, Seq(10L, 11L, 12L, 13L)),
+      (3L, Seq(10L, 11L, 12L, 13L, 24L, 25L, 26L, 27L, 28L, 29L))
+    ).toDF("doc_id", "hs")
+    val cands = Seq((1L, 2L), (2L, 3L)).toDF("da", "db")
+    val out = Similarity.verifyPairs(cands, sh).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out === Set((1L, 2L, 0.8)))
+  }
+
+  test("C27 verify size-band never changes the survivor set (randomized equivalence)") {
+    import spark.implicits._
+    // all pairs over random small hash sets, banded verify vs the
+    // pre-band formula — identical (da, db, j) sets, including rounding
+    // boundaries (values from a small domain make near-0.8 J common)
+    val rng = new scala.util.Random(7)
+    // planted structure: even ids are a base set, odd ids a perturbed
+    // copy (drop one element, sometimes add a fresh one) → J spans
+    // (n−1)/n, (n−1)/(n+1), … — dense around the 0.8 threshold for the
+    // sizes drawn; unrelated bases give the sub-threshold mass
+    val docs = (0L until 60L by 2).flatMap { i =>
+      val base = Seq.fill(4 + rng.nextInt(10))(rng.nextLong()).distinct
+      val variant =
+        if (rng.nextBoolean()) base.drop(1)
+        else base.drop(1) :+ rng.nextLong()
+      Seq(i -> base, (i + 1) -> variant)
+    }
+    val sh = docs.toDF("doc_id", "hs")
+    val cands = (for { a <- 1L to 60L; b <- a + 1 to 60L } yield (a, b))
+      .toDF("da", "db")
+    val banded = Similarity.verifyPairs(cands, sh).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val unbanded = cands
+      .join(sh.select(col("doc_id").as("da"), col("hs").as("ha")), Seq("da"))
+      .join(sh.select(col("doc_id").as("db"), col("hs").as("hb")), Seq("db"))
+      .select(col("da"), col("db"), expr(
+        """round(size(array_intersect(ha, hb)) * 1.0D /
+          |(size(ha) + size(hb) - size(array_intersect(ha, hb))), 4)""".stripMargin).as("j"))
+      .filter(col("j") >= 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(unbanded.nonEmpty, "random fixture produced no verified pairs — spec is vacuous")
+    assert(banded === unbanded,
+      s"band dropped ${(unbanded -- banded).size} / invented ${(banded -- unbanded).size} pairs")
+  }
+
   test("C27 re-appending indexed ids is rejected loudly") {
     val idx = java.nio.file.Files.createTempDirectory("graft_c27_guard_").toString
     val docs = Relational.table(spark, dir, "documents")
