@@ -449,10 +449,13 @@ object Similarity {
     * J ≥ 0.79995 (HALF_UP), and J ≤ min/max (inter ≤ min size, union ≥
     * max size), so min·20000 < max·15999 ⇒ certain failure. Exact
     * integer arithmetic on longs — never drops a true survivor, pinned
-    * by the c27/c22d oracle hashes. (2) the intersection binds ONCE as
-    * a lambda variable; the old expression referenced
-    * `size(array_intersect(ha, hb))` twice, and an inlining rewrite
-    * (the withShingles trap) would run it twice per pair. */
+    * by the c27/c22d oracle hashes. (2) the Jaccard expression stays the
+    * PLAIN double-reference form on purpose: whole-stage codegen's
+    * subexpression elimination already computes the intersection once,
+    * and rebinding it through a `transform` lambda (the withShingles
+    * move) pushes the projection OUT of codegen into interpreted
+    * HigherOrderFunction evaluation — measured +1.1 s on the sf1 c27
+    * A/B (8.31 vs 6.88/7.17 s), a de-optimization. */
   private[graft] def verifyPairs(cands: DataFrame, sh: DataFrame): DataFrame =
     cands
       .join(sh.select(col("doc_id").as("da"), col("hs").as("ha")), Seq("da"))
@@ -460,8 +463,8 @@ object Similarity {
       .filter(least(size(col("ha")), size(col("hb"))).cast("long") * 20000L >=
         greatest(size(col("ha")), size(col("hb"))).cast("long") * 15999L)
       .select(col("da"), col("db"), expr(
-        """transform(array(size(array_intersect(ha, hb))), iv ->
-          |  round(iv * 1.0D / (size(ha) + size(hb) - iv), 4))[0]""".stripMargin).as("j"))
+        """round(size(array_intersect(ha, hb)) * 1.0D /
+          |(size(ha) + size(hb) - size(array_intersect(ha, hb))), 4)""".stripMargin).as("j"))
       .filter(col("j") >= 0.8)
 
   /** (doc_id, hs) projection of a raw documents frame — the only pass
