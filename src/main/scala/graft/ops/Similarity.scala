@@ -1631,23 +1631,42 @@ object Similarity {
     }
   }
 
+  /** Centroids and the vec_id=0 query embedding in ONE driver
+    * round-trip (round-15, the verdict-item-4 action-fold doctrine):
+    * every persistent-index probe needs both before it can choose
+    * cells, and fetching them as a collect + a take(1) was two Spark
+    * jobs per probe. A null-padded union reads both in one job with no
+    * exchange: centroid rows carry cell ≥ 0, the query row rides with
+    * the cell = −1 sentinel (cells are 0..k−1 by construction). A
+    * missing query vector still fails with the same loud message. */
+  private def centroidsAndQuery(spark: SparkSession, indexDir: String,
+      vectors: DataFrame): (Array[(Int, Seq[Float])], Seq[Float]) = {
+    val rows = Relational.cachedSchemaParquet(spark, s"$indexDir/centroids")
+      .select(col("cell"), col("centroid"),
+        lit(null).cast("array<float>").as("qv"))
+      .unionByName(vectors.filter(col("vec_id") === 0)
+        .select(lit(-1).as("cell"),
+          lit(null).cast("array<float>").as("centroid"),
+          col("embedding").as("qv")).limit(1))
+      .collect()
+    val (qRow, centRows) = rows.partition(_.getInt(0) == -1)
+    require(qRow.nonEmpty,
+      s"query vector vec_id=0 is not in the live index at $indexDir " +
+        "(tombstoned or never indexed) — probe with a live vector")
+    (centRows.map(r => (r.getInt(0), r.getSeq[Float](1))), qRow(0).getSeq[Float](2))
+  }
+
   def annIvfFiltered(spark: SparkSession, dir: String, indexDir: String): DataFrame = {
     GraftFunctions.register(spark)
     val docs = Relational.table(spark, dir, "documents")
     val allowed = docs.filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
     // catalog-stats selectivity, single-aggregate fallback (see helper)
     val sel = filterSelectivity(spark, docs, col("lang") === "en")
-    val cents = Relational.cachedSchemaParquet(spark, s"$indexDir/centroids")
-      .select(col("cell"), col("centroid"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val vectors = liveIndexVectors(spark, indexDir)
+    // centroids + query vector in one job (see centroidsAndQuery)
+    val (cents, qVec) = centroidsAndQuery(spark, indexDir, vectors)
     val widened = math.min(cents.length.toLong,
       math.ceil(nprobe(spark) / sel).toLong).toInt
-    val vectors = liveIndexVectors(spark, indexDir)
-    val qRows = vectors.filter(col("vec_id") === 0)
-      .select(col("embedding")).take(1)
-    require(qRows.nonEmpty,
-      s"query vector vec_id=0 is not in the live index at $indexDir")
-    val qVec = qRows(0).getSeq[Float](0)
     val probeCells = cents.map { case (i, c) =>
       val d = c.zip(qVec).map { case (a, b) => (a - b).toDouble * (a - b) }.sum
       (i, d)
@@ -2156,15 +2175,10 @@ object Similarity {
         "layout rewrite), then probe again.")
     val books = readPqBooks(spark, indexDir, m.booksGen)
     val vectors = liveIndexVectors(spark, indexDir)
-    val qRows = vectors.filter(col("vec_id") === 0)
-      .select(col("embedding")).take(1)
-    require(qRows.nonEmpty,
-      s"query vector vec_id=0 is not in the live index at $indexDir " +
-        "(tombstoned or never indexed) — probe with a live vector")
-    val qVec = qRows(0).getSeq[Float](0).toArray
-    val cents = Relational.cachedSchemaParquet(spark, s"$indexDir/centroids")
-      .select(col("cell"), col("centroid"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    // centroids + query vector in one job (see centroidsAndQuery)
+    val (cents0, qVec0) = centroidsAndQuery(spark, indexDir, vectors)
+    val qVec = qVec0.toArray
+    val cents = cents0.sortBy(_._1)
     val nCells = filtered match {
       case Some((_, sel)) => math.min(cents.length.toLong,
         math.ceil(nprobe(spark) / sel).toLong).toInt
@@ -2480,16 +2494,9 @@ object Similarity {
     * filter — nprobe directory reads, zero data-file touches elsewhere. */
   def annIvfIndexed(spark: SparkSession, dir: String, indexDir: String): DataFrame = {
     GraftFunctions.register(spark)
-    val cents = Relational.cachedSchemaParquet(spark, s"$indexDir/centroids")
-      .select(col("cell"), col("centroid"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Float](1)))
     val vectors = liveIndexVectors(spark, indexDir)
-    val qRows = vectors.filter(col("vec_id") === 0)
-      .select(col("embedding")).take(1)
-    require(qRows.nonEmpty,
-      s"query vector vec_id=0 is not in the live index at $indexDir " +
-        "(tombstoned or never indexed) — probe with a live vector")
-    val qVec = qRows(0).getSeq[Float](0)
+    // centroids + query vector in one job (see centroidsAndQuery)
+    val (cents, qVec) = centroidsAndQuery(spark, indexDir, vectors)
     val probeCells = cents.map { case (i, c) =>
       val d = c.zip(qVec).map { case (a, b) => (a - b).toDouble * (a - b) }.sum
       (i, d)
