@@ -308,9 +308,13 @@ object Pipeline {
       .withColumn("dl", size(col("toks")))
       .localCheckpoint()
     val (termsPath, scalarsPath) = bm25StatsPaths(spark, statsDir)
-    val delta = d.agg(sum(col("dl").cast("long")), count(lit(1))).head()
-    val prev = Relational.cachedSchemaParquet(spark, scalarsPath).head()
-    val (s2, n2) = (prev.getLong(0) + delta.getLong(0), prev.getLong(1) + delta.getLong(1))
+    // batch delta + stored scalars in ONE job per append (round-15
+    // action fold): a cross join of the two 1-row frames reads both
+    // together instead of a head() each
+    val hdr = d.agg(sum(col("dl").cast("long")).as("ds"), count(lit(1)).as("dn"))
+      .crossJoin(Relational.cachedSchemaParquet(spark, scalarsPath)).head()
+    val (s2, n2) = (hdr.getAs[Long]("s_total") + hdr.getLong(0),
+      hdr.getAs[Long]("n_docs") + hdr.getLong(1))
     val deltaDf = d.select(explode(array_distinct(col("toks"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("ddf"))
     val merged = Relational.cachedSchemaParquet(spark, termsPath)
@@ -837,27 +841,36 @@ object Pipeline {
   private[graft] def lexSegments(spark: SparkSession, g: String): Seq[String] =
     Relational.cachedSchemaParquet(spark, s"$g/manifest").collect().map(_.getString(0)).toSeq.sorted
 
-  /** Scalars row + manifest of a live lex generation in ONE Spark job
-    * (round-15, the OOV-fold treatment applied to the per-batch
-    * metadata reads): the score path needs both before it can build a
-    * plan, and reading them separately (`head()` + `collect()`) is two
-    * driver round-trips per serving batch over two tiny single-file
-    * tables. A cross join of the 1-row scalars with the manifest
-    * collapsed to one sorted-list row reads both in one job — same
+  /** Scalars row + manifest (+ the applied-batch replay record) of a
+    * live lex generation in ONE Spark job (round-15, the OOV-fold
+    * treatment applied to the per-batch metadata reads): the score and
+    * append paths need all of these before they can build a plan, and
+    * reading them separately (`head()` + 1–2 `collect()`s) was 2–3
+    * driver round-trips per serving/ingest batch over tiny single-file
+    * tables. A cross join of the 1-row scalars with each table
+    * collapsed to one list row reads everything in one job — same
     * values (`sort_array(collect_list)` ≡ [[lexSegments]]'s sorted
-    * collect), same layout guard as [[lexScalarsRow]]. */
+    * collect; `applied` membership is order-insensitive), same layout
+    * guard as [[lexScalarsRow]]. */
   private def lexHeader(spark: SparkSession, g: String,
-                        what: String): (org.apache.spark.sql.Row, Seq[String]) = {
+      what: String): (org.apache.spark.sql.Row, Seq[String], Seq[String]) = {
     val scalars = Relational.cachedSchemaParquet(spark, s"$g/scalars")
     require(IndexMeta.exists(spark, s"$g/manifest") &&
         !IndexMeta.exists(spark, s"$g/terms") &&
         scalars.columns.contains("lineage"),
       s"lex generation $g predates the segment-resident terms layout — " +
         s"$what cannot use it; refit with fitLexIndex first")
-    val row = scalars.crossJoin(
-      Relational.cachedSchemaParquet(spark, s"$g/manifest")
-        .agg(sort_array(collect_list(col("seg"))).as("segs"))).head()
-    (row, row.getAs[scala.collection.Seq[String]]("segs").toSeq)
+    val appliedDf =
+      if (IndexMeta.exists(spark, s"$g/applied"))
+        Relational.cachedSchemaParquet(spark, s"$g/applied")
+      else spark.range(0).select(lit("").as("batch"))
+    val row = scalars
+      .crossJoin(Relational.cachedSchemaParquet(spark, s"$g/manifest")
+        .agg(sort_array(collect_list(col("seg"))).as("segs")))
+      .crossJoin(appliedDf.agg(collect_list(col("batch")).as("applied")))
+      .head()
+    (row, row.getAs[scala.collection.Seq[String]]("segs").toSeq,
+      row.getAs[scala.collection.Seq[String]]("applied").toSeq)
   }
 
   /** True iff generation `g` is the current layout: a segment
@@ -984,17 +997,17 @@ object Pipeline {
   def appendLexIndex(spark: SparkSession, lexDir: String, batch: DataFrame,
                      batchId: Option[String] = None): Unit = {
     val g = IndexMeta.requireLive(spark, lexDir, "lex")
-    val sc = lexScalarsRow(spark, g, "appends")
+    // scalars + manifest + applied in ONE job per append (round-15
+    // fold; was three reads). The applied table is the
+    // generation-resident replay record: it lives IN the committed
+    // generation, so a refit retires ingest history atomically with
+    // its commit — replaying an old batchId against the NEW index life
+    // appends (correct: the refit corpus decided what exists; the
+    // arrival is new data to it), never a silent no-op
+    val (sc, segs, applied) = lexHeader(spark, g, "appends")
     val lineage = sc.getAs[String]("lineage")
-    // generation-resident replay record: the applied table lives IN
-    // the committed generation, so a refit retires ingest history
-    // atomically with its commit — replaying an old batchId against
-    // the NEW index life appends (correct: the refit corpus decided
-    // what exists; the arrival is new data to it), never a silent no-op
-    val applied = lexApplied(spark, g)
     if (batchId.exists(applied.contains)) return
     val cap = sc.getAs[Long]("posting_cap").toInt
-    val segs = lexSegments(spark, g) // manifest read ONCE per append
     // pin the batch: it feeds four consumers (id guard, scalars delta,
     // df delta, the segment write) — and pinning is what makes the
     // no-old-corpus-read property STRUCTURAL rather than incidental
@@ -1005,25 +1018,30 @@ object Pipeline {
     val tombIds = lexTombstones(spark, lexDir, lineage)
       .map(_.select(col("doc_id")))
       .getOrElse(spark.range(0).select(col("id").as("doc_id")))
-    val clash = doclens.select(col("doc_id")).unionByName(tombIds)
-      .join(broadcast(d.select(col("doc_id"))), Seq("doc_id"), "left_semi")
-      .limit(5).collect().map(_.getLong(0))
+    // id guard + additive scalars delta in ONE job per append
+    // (round-15 fold): both read the pinned batch, so a cross join of
+    // the 1-row delta aggregate with the (≤5-row → 1-row) clash list
+    // answers together what two actions answered before. An EMPTY
+    // batch is a pure no-op (the ingestPretrainSlice guard): streaming
+    // replay can deliver empty micro-batches (stageSlices pads the id
+    // range), and sum(dl) over zero rows is a null that would
+    // otherwise NPE below. No replay record is needed — re-appending
+    // nothing is naturally idempotent, and committing a generation
+    // just to record the batchId would cost a commit per empty trigger
+    val hdr = d.agg(sum(col("dl").cast("long")).as("ds"), count(lit(1)).as("dn"))
+      .crossJoin(doclens.select(col("doc_id")).unionByName(tombIds)
+        .join(broadcast(d.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+        .limit(5).agg(collect_list(col("doc_id")).as("clash")))
+      .head()
+    val clash = hdr.getAs[scala.collection.Seq[Long]]("clash")
     require(clash.isEmpty,
       s"batch re-inserts doc ids ${clash.mkString(", ")} already indexed " +
         s"(or tombstoned and awaiting compaction) in $lexDir — a " +
         "double-insert double-counts df and serves duplicate postings; " +
         "dedup the batch (or compact first) and retry")
-    // 1. additive scalars. An EMPTY batch is a pure no-op (the
-    // ingestPretrainSlice guard): streaming replay can deliver empty
-    // micro-batches (stageSlices pads the id range), and sum(dl) over
-    // zero rows is a null that would otherwise NPE here. No replay
-    // record is needed — re-appending nothing is naturally idempotent,
-    // and committing a generation just to record the batchId would
-    // cost a commit per empty trigger
-    val delta = d.agg(sum(col("dl").cast("long")), count(lit(1))).head()
-    if (delta.isNullAt(0)) return
-    val (s2, n2) = (sc.getAs[Long]("s_total") + delta.getLong(0),
-      sc.getAs[Long]("n_docs") + delta.getLong(1))
+    if (hdr.isNullAt(0)) return
+    val (s2, n2) = (sc.getAs[Long]("s_total") + hdr.getLong(0),
+      sc.getAs[Long]("n_docs") + hdr.getLong(1))
     val (segTerms, segPostings, segLens) =
       mergedLexFrames(spark, lexDir, segs, d, s2, n2, cap)
     val (genDir, oldGens) = IndexMeta.nextGen(spark, lexDir, "lex")
@@ -1364,7 +1382,7 @@ object Pipeline {
     graft.functions.GraftFunctions.register(spark)
     val g = IndexMeta.requireLive(spark, lexDir, "lex")
     // scalars + manifest in ONE job per score batch (round-15 fold)
-    val (scRow, segs) = lexHeader(spark, g, "this raw-fact reader")
+    val (scRow, segs, _) = lexHeader(spark, g, "this raw-fact reader")
     val stored = lexSegTable(spark, lexDir, segs, "postings")
     val (sTotal, nDocs) = (scRow.getAs[Long]("s_total"), scRow.getAs[Long]("n_docs"))
     val postings = lexTombstones(spark, lexDir, scRow.getAs[String]("lineage")) match {

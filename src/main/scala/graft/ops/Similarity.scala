@@ -543,9 +543,15 @@ object Similarity {
     // re-shingles the batch (same harness-local choice as knnJoinIvf2)
     val arr = hashedShingles(spark, newDocs).localCheckpoint()
     val corpusSh = storeTable(spark, indexDir, "shingles")
-    val clash = corpusSh.select(col("doc_id"))
-      .join(broadcast(arr.select(col("doc_id"))), Seq("doc_id"), "left_semi")
-      .limit(5).collect().map(_.getLong(0))
+    // id guard + arrival row count in ONE job (round-15 fold): both
+    // read the pinned arrival, and the count feeds the probe dispatch
+    // AND the files-added bound below
+    val hdr = arr.agg(count(lit(1)).as("n"))
+      .crossJoin(corpusSh.select(col("doc_id"))
+        .join(broadcast(arr.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+        .limit(5).agg(collect_list(col("doc_id")).as("clash")))
+      .head()
+    val clash = hdr.getAs[scala.collection.Seq[Long]]("clash")
     require(clash.isEmpty,
       s"arrival batch re-inserts indexed doc ids ${clash.mkString(", ")} — " +
         "appending would duplicate their band rows and emit self-pairs; " +
@@ -553,13 +559,13 @@ object Similarity {
         (if (batchId.isDefined) " (a batch that crashed mid-append needs a " +
           "store rebuild; a completed batch re-run is already a marker no-op)"
          else ""))
+    val arrRows = hdr.getLong(0)
     // materialize the pair delta before any table mutates: the probe
     // must see the PRE-append store, not a half-appended one
-    val newPairs = probeNearDupIndex(spark, indexDir, arr).localCheckpoint()
-    // files-added bound per table (both counts are cheap: arr and
-    // newPairs are localCheckpoint'd, so count() reads cached blocks).
-    // bands is a narrow explode of arr — same write partitioning.
-    val arrRows = arr.count()
+    val newPairs = probeNearDupIndex(spark, indexDir, arr, arrRows).localCheckpoint()
+    // pairs files-added bound (cheap: newPairs is localCheckpoint'd,
+    // so count() reads cached blocks). bands is a narrow explode of
+    // arr — same write partitioning.
     val arrParts = arr.rdd.getNumPartitions.toLong
     val pairRows = newPairs.count()
     val pairParts = newPairs.rdd.getNumPartitions.toLong
@@ -620,13 +626,17 @@ object Similarity {
     * folds the doubled arrival-arrival matches and the multi-band
     * collisions alike. `arr` is the (doc_id, hs) arrival projection. */
   private[graft] def probeNearDupIndex(spark: SparkSession, indexDir: String,
-      arr: DataFrame): DataFrame = {
+      arr: DataFrame, arrRows: Long = -1L): DataFrame = {
     val arrBands = bandKeysOf(arr)
     val corpusBands = storeTable(spark, indexDir, "bands")
     val corpusSh = storeTable(spark, indexDir, "shingles")
     val allBands = corpusBands.unionByName(arrBands)
+    // the dispatch row count is one more job per probe when the caller
+    // already knows it (round-15: the append path counts the pinned
+    // arrival anyway and passes it in; -1 = count here)
+    val n = if (arrRows >= 0) arrRows else arr.count()
     val cands = allBands.as("b")
-      .join(dispatchProbeSide(spark, arrBands, arr.count()).as("a"),
+      .join(dispatchProbeSide(spark, arrBands, n).as("a"),
         col("a.bkh") === col("b.bkh") && col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("da"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("db"))
