@@ -2946,19 +2946,30 @@ object Similarity {
     // assignment is externally unique (e.g. monotone crawl ids), who
     // then own the two-rows-per-id failure mode.
     val idsGen = IndexMeta.liveGen(spark, indexDir, "ids").map(_.toString)
-    if (spark.conf.getOption("graft.index.appendIdCheck").forall(_.toBoolean)) {
-      val physicalIds = idsGen.map(Relational.cachedSchemaParquet(spark, _))
-        .getOrElse(Relational.cachedSchemaParquet(spark, vecDir).select(col("vec_id")))
-      val liveClash = physicalIds
-        .join(broadcast(newVectors.select(col("vec_id"))), Seq("vec_id"), "left_semi")
-        .limit(5).collect().map(_.getLong(0))
-      require(liveClash.isEmpty,
-        s"batch re-inserts ids already live in the index ${liveClash.mkString(", ")} — " +
-          "every probe would serve two rows per id. Dedup the batch against " +
-          "the indexed ids first (or delete + compact to replace them). " +
-          "If a previous append of THIS batch crashed between its sidecar " +
-          "and layout writes, repair with rebuildIdsSidecar and re-run.")
-    }
+    // live-id guard + centroids fetch in ONE job per append (round-15
+    // action fold): the k-row centroids cross-join the (≤5-row → 1-row)
+    // clash aggregate, so the guard and the assignment codebook arrive
+    // in one driver round-trip; with the id check conf'd off the
+    // centroids collect runs alone, as before
+    val centsDf = Relational.cachedSchemaParquet(spark, s"$indexDir/centroids")
+      .select(col("cell"), col("centroid"))
+    val cents =
+      if (spark.conf.getOption("graft.index.appendIdCheck").forall(_.toBoolean)) {
+        val physicalIds = idsGen.map(Relational.cachedSchemaParquet(spark, _))
+          .getOrElse(Relational.cachedSchemaParquet(spark, vecDir).select(col("vec_id")))
+        val rows = centsDf.crossJoin(physicalIds
+          .join(broadcast(newVectors.select(col("vec_id"))), Seq("vec_id"), "left_semi")
+          .limit(5).agg(collect_list(col("vec_id")).as("live_clash"))).collect()
+        val liveClash = rows.headOption
+          .map(_.getAs[scala.collection.Seq[Long]]("live_clash")).getOrElse(Nil)
+        require(liveClash.isEmpty,
+          s"batch re-inserts ids already live in the index ${liveClash.mkString(", ")} — " +
+            "every probe would serve two rows per id. Dedup the batch against " +
+            "the indexed ids first (or delete + compact to replace them). " +
+            "If a previous append of THIS batch crashed between its sidecar " +
+            "and layout writes, repair with rebuildIdsSidecar and re-run.")
+        rows.map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+      } else centsDf.collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
     // Sidecar lands BEFORE the layout (one small file, job-committed):
     // a crash between the two writes leaves the sidecar a SUPERSET of
     // the layout, so the bare re-run fails LOUDLY on the guard above
@@ -2969,9 +2980,6 @@ object Similarity {
     idsGen.foreach(g => newVectors.select(col("vec_id")).coalesce(1)
       .write.mode("append").parquet(g))
     GraftFunctions.register(spark)
-    val cents = Relational.cachedSchemaParquet(spark, s"$indexDir/centroids")
-      .select(col("cell"), col("centroid"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
     val dim = cents.head._2.length
     val flat = new Array[Float](cents.length * dim)
     cents.foreach { case (c, arr) =>

@@ -1038,10 +1038,14 @@ object Training {
     if (IndexMeta.exists(spark, marker)) return
     val d = Scale.pin(slice.select(col("doc_id"), col("text"), col("lang"),
       col("source"), col("n_chars")))
-    val mm = d.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    // slice id range + stored watermark in ONE job per slice (round-15
+    // action fold): a cross join of the 1-row aggregate with the 1-row
+    // meta table reads both together
+    val mm = d.agg(min(col("doc_id")), max(col("doc_id")))
+      .crossJoin(Relational.cachedSchemaParquet(spark,
+        IndexMeta.requireLive(spark, stateDir, "meta"))).head()
     if (mm.isNullAt(0)) { IndexMeta.createMarker(spark, marker); return }
-    val prevMax = Relational.cachedSchemaParquet(spark, 
-      IndexMeta.requireLive(spark, stateDir, "meta")).head().getLong(0)
+    val prevMax = mm.getAs[Long]("max_doc_id")
     require(mm.getLong(0) > prevMax,
       s"arrival slice carries doc_id ${mm.getLong(0)} ≤ the state's id " +
         s"watermark $prevMax — slices must arrive in id order (the " +
